@@ -1,0 +1,126 @@
+"""Unit-normalizing number parsing.
+
+Reimplements the semantics of the reference's
+``NumberWithUnitParser.kt:3-50`` (``withOptionalUnitToDoubleOrNull``):
+a tag value like ``"30 mph"`` normalizes to km/h, ``"5'8\""`` to
+meters, ``"2st"`` to tonnes; an unknown unit or a non-numeric string
+yields ``None``. Canonical units are km/h (speed), m (length) and
+t (weight).
+
+Used in three places:
+- parse-time constant folding of comparison literals
+  (``TagFilterExpressionParser.kt:194``),
+- runtime comparison atoms F10-F12 (``filters/TagFilter.kt:95-102``),
+- result assembly speed capping / implicit-maxspeed detection
+  (``LegalDefaultSpeeds.kt:253-304``).
+
+Also exports ``parse_number_with_unit_series`` (pandas-vectorized, the
+hot path inside Arrow UDF batches) and the unit-factor table consumed
+by the native Spark Column compiler in ``functions.sql_exprs``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# Factors to the canonical unit per dimension: km/h, meters, tonnes.
+# Mirrors NumberWithUnitParser.kt:30-50 bit-for-bit (the doubles must
+# match so comparisons agree with the reference).
+UNIT_FACTORS: dict[str, float] = {
+    # speed -> km/h
+    "km/h": 1.0,
+    "kph": 1.0,
+    "mph": 1.609344,
+    # width/length/height -> meters
+    "m": 1.0,
+    "mm": 0.001,
+    "cm": 0.01,
+    "km": 1000.0,
+    "ft": 0.3048,
+    "'": 0.3048,
+    "in": 0.0254,
+    '"': 0.0254,
+    "yd": 0.9144,
+    "yds": 0.9144,
+    # weight -> tonnes
+    "t": 1.0,
+    "kg": 0.001,
+    "st": 0.90718474,  # short tons
+    "lt": 1.0160469,  # long tons
+    "lb": 0.00045359237,
+    "lbs": 0.00045359237,
+    "cwt": 0.05080234544,  # imperial (=long) hundredweight
+}
+
+# NumberWithUnitParser.kt:27-28
+_FEET_INCH_RE = re.compile(r"([0-9]+)\s*(?:'|ft)\s*([0-9]+)\s*(?:\"|in)")
+_WITH_UNIT_RE = re.compile(r"([0-9]+|[0-9]*\.[0-9]+)\s*([a-z/'\"]+)")
+
+# Plain-number grammar accepted by Java's Double.parseDouble for inputs
+# that already passed the first-char-is-digit-or-dot guard (no sign, no
+# hex, no underscores in practice for OSM values; leading/trailing
+# whitespace is trimmed by parseDouble). fullmatch-anchored.
+_PLAIN_NUMBER_RE = re.compile(
+    r"\s*([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?\s*"
+)
+
+
+def parse_number_with_unit(value: str | None) -> float | None:
+    """``"30 mph"`` -> 48.28032, ``"60"`` -> 60.0, junk -> None."""
+    if not value:
+        return None
+    first = value[0]
+    if not ("0" <= first <= "9") and first != ".":
+        return None
+    last = value[-1]
+    if not last.isalpha() and last not in "\"'":
+        # bare number (NumberWithUnitParser.kt:7)
+        if _PLAIN_NUMBER_RE.fullmatch(value):
+            try:
+                return float(value)
+            except ValueError:
+                return None
+        return None
+
+    m = _WITH_UNIT_RE.fullmatch(value)
+    if m:
+        try:
+            v = float(m.group(1))
+        except ValueError:
+            return None
+        factor = UNIT_FACTORS.get(m.group(2))
+        if factor is None:
+            return None
+        return v * factor
+
+    m = _FEET_INCH_RE.fullmatch(value)
+    if m:
+        return int(m.group(1)) * UNIT_FACTORS["ft"] + int(m.group(2)) * UNIT_FACTORS["in"]
+
+    return None
+
+
+def parse_number_with_unit_series(values: pd.Series) -> pd.Series:
+    """Vectorized ``parse_number_with_unit`` over a pandas Series of
+    strings (nullable). Fast path: values that are plain numbers are
+    bulk-converted with ``pd.to_numeric``; only the residue (values with
+    unit suffixes, a tiny fraction of OSM maxspeed values) falls back to
+    the scalar parser per element.
+    """
+    s = values.astype("object")
+    out = pd.to_numeric(s, errors="coerce")
+    # pd.to_numeric is more lenient than Java parseDouble for signs and
+    # whitespace-only; re-check the guard for values it converted.
+    converted = out.notna()
+    if converted.any():
+        heads = s[converted].str.slice(0, 1)
+        bad = ~(heads.str.isdigit() | (heads == "."))
+        if bad.any():
+            out[bad[bad].index] = np.nan
+    residue = out.isna() & s.notna()
+    if residue.any():
+        out[residue] = s[residue].map(parse_number_with_unit)
+    return out.astype("float64")
