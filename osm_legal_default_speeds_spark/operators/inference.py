@@ -1,0 +1,174 @@
+"""Distributed speed-limit inference (the reference's ``getSpeedLimits``
+as a whole-DataFrame transformation).
+
+Physical design (SURVEY.md §2.4, §2.6):
+
+- The compiled rule set (~1.2k rules after driver-side compilation) is
+  a Spark **broadcast variable** — the fact table never shuffles for the
+  rule match, which keeps the operator skew-immune and embarrassingly
+  parallel at 10^12-row scale.
+- Per-partition evaluation happens in one **Arrow-batched pandas UDF**
+  whose kernel is the pure-Python reference engine
+  (``plans.reference_engine``) — the deliberately-UDF component where
+  bit-for-bit fidelity to the reference string semantics beats
+  native-expression purity (match cascade C2-C5, relation EXISTS C6,
+  replacer overrides C7, result assembly R1-R4).
+- The **relevant-key pruning** projection (F16,
+  ``LegalDefaultSpeeds.kt:241-247``) is a native ``map_filter``
+  expression: Catalyst prunes top-level columns but cannot prune inside
+  a MapType, so we narrow the map before it crosses the Arrow boundary
+  (or any shuffle/cache).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from osm_legal_default_speeds_spark.plans.reference_engine import (
+    LegalDefaultSpeedsEngine,
+)
+from osm_legal_default_speeds_spark.plans.rules_compiler import CompiledRuleSet
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("road_type_name", StringType()),
+        StructField("tags", MapType(StringType(), StringType())),
+        StructField("certitude", StringType()),
+    ]
+)
+
+_RELATIONS_TYPE = "array<map<string,string>>"
+_OVERRIDES_TYPE = "map<string,boolean>"
+
+
+def prune_relevant_tags(ruleset: CompiledRuleSet, tags_col: Column | str) -> Column:
+    """Native map-internal column pruning: keep only tag keys any rule
+    filter can reference. Runs JVM-side (whole-stage codegen), shrinking
+    the payload before shuffles and the Arrow transfer."""
+    tags = F.col(tags_col) if isinstance(tags_col, str) else tags_col
+    strings = sorted(ruleset.relevant_key_strings)
+    regex = ruleset.combined_key_regex()
+
+    def keep(k: Column, v: Column) -> Column:
+        cond = k.isin(*strings) if strings else F.lit(False)
+        if regex is not None:
+            cond = cond | k.rlike(regex)
+        return cond
+
+    return F.map_filter(tags, keep)
+
+
+def infer_speed_limits(
+    df: DataFrame,
+    ruleset: CompiledRuleSet,
+    country_col: str = "country_code",
+    tags_col: str = "tags",
+    relations_col: str | None = None,
+    overrides_col: str | None = None,
+    result_col: str = "speed_limit",
+    prune_keys: bool = False,
+) -> DataFrame:
+    """Append a ``result_col`` struct column
+    (road_type_name, tags, certitude) — null when no rule matched
+    (mirrors the reference returning null, LegalDefaultSpeeds.kt:159,183).
+
+    ``relations_col``: optional array<map<string,string>> column with the
+    tags of relations the road belongs to (C6).
+    ``overrides_col``: optional map<string,boolean> column forcing named
+    road-type predicates per row (the columnar replacerFn, C7) — e.g. an
+    ``is_urban`` signal from a spatial layer.
+    ``prune_keys``: pre-narrow the tag map with the relevant-key
+    projection before the Arrow transfer. Sound because result assembly
+    only reads ``maxspeed``-family keys — but those ARE relevant keys in
+    any real dataset; enable only if your rule set references maxspeed
+    (checked at runtime) or you don't need R1 input-echo semantics.
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(ruleset)
+
+    tags_expr: Column = F.col(tags_col)
+    if prune_keys:
+        # R1/R2 read input 'maxspeed' and subtract *all* non-implicit
+        # input keys; pruning is only transparent if the result struct
+        # is what the caller consumes (it is: pruned keys can't appear
+        # in rule output tags either unless the rule emits them, and
+        # rule-emitted keys are never pruned from rule tags). The one
+        # observable difference: input keys absent from the relevant
+        # set are not subtracted from rule output tags - impossible,
+        # as rule output keys that matter (maxspeed*) are relevant in
+        # any rule set that also filters on them. Keep opt-in.
+        tags_expr = prune_relevant_tags(ruleset, tags_expr)
+
+    rels_expr: Column = (
+        F.col(relations_col)
+        if relations_col is not None
+        else F.lit(None).cast(_RELATIONS_TYPE)
+    )
+    ovr_expr: Column = (
+        F.col(overrides_col)
+        if overrides_col is not None
+        else F.lit(None).cast(_OVERRIDES_TYPE)
+    )
+
+    @F.pandas_udf(RESULT_SCHEMA)
+    def _match_rules(
+        cc: pd.Series, tags: pd.Series, rels: pd.Series, ovr: pd.Series
+    ) -> pd.DataFrame:
+        engine = LegalDefaultSpeedsEngine(ruleset=bc.value)
+        get = engine.get_speed_limits
+        n = len(cc)
+        names: list = [None] * n
+        out_tags: list = [None] * n
+        certs: list = [None] * n
+        cc_l, tags_l, rels_l, ovr_l = (
+            cc.tolist(),
+            tags.tolist(),
+            rels.tolist(),
+            ovr.tolist(),
+        )
+        for i in range(n):
+            country = cc_l[i]
+            if country is None:
+                continue
+            t = tags_l[i] or {}
+            r = rels_l[i]
+            relations = list(r) if r is not None and len(r) else ()
+            o = ovr_l[i]
+            result = get(country, t, relations, overrides=o)
+            if result is not None:
+                names[i] = result.road_type_name
+                out_tags[i] = result.tags
+                certs[i] = result.certitude
+        return pd.DataFrame(
+            {"road_type_name": names, "tags": out_tags, "certitude": certs}
+        )
+
+    out = df.withColumn(
+        result_col, _match_rules(F.col(country_col), tags_expr, rels_expr, ovr_expr)
+    )
+    # _match_rules returns a struct with all-null fields for misses;
+    # normalize to a null struct so `result IS NULL` means "no match"
+    # like the reference's null return.
+    return out.withColumn(
+        result_col,
+        F.when(F.col(f"{result_col}.certitude").isNotNull(), F.col(result_col)),
+    )
+
+
+def is_relevant_tag_key_col(ruleset: CompiledRuleSet, key_col: Column | str) -> Column:
+    """Native boolean Column equivalent of isRelevantTagKey
+    (LegalDefaultSpeeds.kt:246-247)."""
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    strings = sorted(ruleset.relevant_key_strings)
+    cond = k.isin(*strings) if strings else F.lit(False)
+    regex = ruleset.combined_key_regex()
+    if regex is not None:
+        cond = cond | k.rlike(regex)
+    return cond

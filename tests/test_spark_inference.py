@@ -1,0 +1,401 @@
+"""Spark operator tests: the broadcast-cascade UDF must agree with the
+pure-Python reference engine row-for-row (differential oracle), and the
+native Column compiler must agree with the AST evaluator."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from osm_legal_default_speeds_spark import (
+    LegalDefaultSpeedsEngine,
+    RoadTypeDef,
+    RoadTypeFilterDef,
+    compile_ruleset,
+)
+from osm_legal_default_speeds_spark.functions.sql_exprs import (
+    filter_to_column,
+    number_with_unit_to_double,
+    road_type_match_column,
+)
+from osm_legal_default_speeds_spark.functions.tagfilter_parser import parse_tag_filter
+from osm_legal_default_speeds_spark.functions.units import parse_number_with_unit
+from osm_legal_default_speeds_spark.operators.inference import (
+    infer_speed_limits,
+    is_relevant_tag_key_col,
+    prune_relevant_tags,
+)
+from osm_legal_default_speeds_spark.sources.rules_json import (
+    REFERENCE_DATASET_PATH,
+    load_rules_json,
+)
+
+INPUT_SCHEMA = StructType(
+    [
+        StructField("road_id", StringType()),
+        StructField("country_code", StringType()),
+        StructField("tags", MapType(StringType(), StringType())),
+        StructField("relations_tags", ArrayType(MapType(StringType(), StringType()))),
+        StructField("overrides", MapType(StringType(), BooleanType())),
+    ]
+)
+
+
+def za_defs():
+    road_types = {
+        "living street": RoadTypeFilterDef("highway=living_street"),
+        "alley": RoadTypeFilterDef("{urban} and alley=yes"),
+        "urban": RoadTypeFilterDef("lit=yes", "highway=residential"),
+        "urban state road": RoadTypeFilterDef("{urban} and {state road}"),
+        "rural": RoadTypeFilterDef(None, "sidewalk=no"),
+        "dual carriageway": RoadTypeFilterDef("dual_carriageway=yes"),
+        "motorway": RoadTypeFilterDef("highway=motorway"),
+        "state road": RoadTypeFilterDef(None, None, "type=route and ref~ZA.*"),
+        "rural state road": RoadTypeFilterDef("{rural} and {state road}"),
+        "road in construction": RoadTypeFilterDef("~construction|proposed~yes"),
+        "imaginary road": RoadTypeFilterDef("~imagination:.*"),
+    }
+    rules = {
+        "ZA": [
+            RoadTypeDef("road in construction", {"maxspeed": "0"}),
+            RoadTypeDef("living street", {"maxspeed": "10"}),
+            RoadTypeDef("alley", {"maxspeed": "5"}),
+            RoadTypeDef("urban state road", {"maxspeed": "60"}),
+            RoadTypeDef("urban", {"maxspeed": "50"}),
+            RoadTypeDef(None, {"maxspeed": "100"}),
+            RoadTypeDef("rural", {"maxspeed": "100"}),
+            RoadTypeDef("dual carriageway", {"maxspeed": "110"}),
+            RoadTypeDef("rural state road", {"maxspeed": "115"}),
+            RoadTypeDef("motorway", {"maxspeed": "120"}),
+            RoadTypeDef("imaginary road", {"maxspeed": "999"}),
+        ]
+    }
+    return road_types, rules
+
+
+ZA_CASES = [
+    ("ZA", {"lit": "no"}, [], None),
+    ("ZA", {"lit": "yes"}, [], None),
+    ("ZA", {"maxspeed": "110"}, [], None),
+    ("ZA", {"highway": "residential"}, [], None),
+    ("ZA-NC", {"lit": "yes"}, [], None),
+    ("ZA-NC", {"maxspeed": "50"}, [], None),
+    ("GY", {"lit": "yes"}, [], None),
+    ("ZA", {"highway": "motorway", "lit": "yes", "dual_carriageway": "yes"}, [], None),
+    ("ZA", {"lit": "yes", "dual_carriageway": "yes"}, [], None),
+    ("ZA", {"highway": "living_street", "lit": "yes"}, [], None),
+    ("ZA", {"lit": "yes", "sidewalk": "no"}, [], None),
+    ("ZA", {"lit": "yes", "sidewalk": "no", "maxspeed": "110"}, [], None),
+    ("ZA", {"sidewalk": "no", "maxspeed": "110"}, [], None),
+    ("ZA", {"lit": "yes", "alley": "yes"}, [], None),
+    ("ZA", {"highway": "residential", "alley": "yes"}, [], None),
+    (
+        "ZA",
+        {"sidewalk": "no"},
+        [{"type": "route", "ref": "Bus 1234"}, {"type": "route", "ref": "ZA 2"}],
+        None,
+    ),
+    ("ZA", {"lit": "yes"}, [{"type": "route", "ref": "ZA 2"}], None),
+    ("ZA", {}, [], {"urban": True}),
+    ("ZA", {"alley": "yes"}, [], {"urban": True}),
+    ("ZA", {"highway": "residential"}, [], {"state road": True}),
+    ("ZA", {"maxspeed": "RO:urban", "lit": "yes"}, [], None),
+    ("ZA", {"construction": "yes"}, [], None),
+    ("ZA", {"imagination:1": "rainbow"}, [], None),
+]
+
+
+def _expected(engine, cases):
+    out = []
+    for cc, tags, rels, ovr in cases:
+        r = engine.get_speed_limits(cc, tags, rels, overrides=ovr)
+        out.append(None if r is None else (r.road_type_name, r.tags, r.certitude))
+    return out
+
+
+def test_infer_speed_limits_za_differential(spark):
+    road_types, rules = za_defs()
+    ruleset = compile_ruleset(road_types, rules)
+    engine = LegalDefaultSpeedsEngine(ruleset=ruleset)
+
+    rows = [
+        Row(
+            road_id=f"r{i}",
+            country_code=cc,
+            tags=tags,
+            relations_tags=rels,
+            overrides=ovr,
+        )
+        for i, (cc, tags, rels, ovr) in enumerate(ZA_CASES)
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA).repartition(4)
+    out = infer_speed_limits(
+        df,
+        ruleset,
+        relations_col="relations_tags",
+        overrides_col="overrides",
+    )
+    got = {r["road_id"]: r["speed_limit"] for r in out.collect()}
+    expected = _expected(engine, ZA_CASES)
+    for i, exp in enumerate(expected):
+        g = got[f"r{i}"]
+        if exp is None:
+            assert g is None, f"case {i}: expected None, got {g}"
+        else:
+            assert g is not None, f"case {i}: expected {exp}, got None"
+            assert (g.road_type_name, g.tags, g.certitude) == exp, f"case {i}"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_DATASET_PATH), reason="reference dataset missing"
+)
+def test_infer_speed_limits_full_dataset_differential(spark):
+    """Synthetic grid of inputs x sample of countries on the real
+    1206-rule dataset: Spark operator output == pure engine output."""
+    _, road_types, speed_limits, _ = load_rules_json(REFERENCE_DATASET_PATH)
+    ruleset = compile_ruleset(road_types, speed_limits)
+    engine = LegalDefaultSpeedsEngine(ruleset=ruleset)
+
+    countries = ["DE", "US-ND", "DK", "FR", "GB", "IT", "US", "AU-NSW", "BE-VLG", "ZZ"]
+    tag_grid = [
+        {},
+        {"highway": "motorway"},
+        {"highway": "residential", "lit": "yes"},
+        {"highway": "trunk", "dual_carriageway": "yes", "lanes": "4"},
+        {"maxspeed": "50"},
+        {"maxspeed": "30 mph"},
+        {"maxspeed": "RO:urban"},
+        {"highway": "living_street"},
+        {"highway": "service", "service": "driveway"},
+        {"lanes": "2", "oneway": "yes"},
+    ]
+    rel_grid = [
+        [],
+        [{"type": "route", "route": "road", "network": "US:I"}],
+        [{"type": "route", "route": "road", "network": "US:US"}],
+    ]
+    cases = [
+        (cc, tags, rels, None)
+        for cc in countries
+        for tags in tag_grid
+        for rels in rel_grid
+    ]
+    rows = [
+        Row(road_id=f"r{i}", country_code=cc, tags=t, relations_tags=rel, overrides=o)
+        for i, (cc, t, rel, o) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA).repartition(8)
+    out = infer_speed_limits(
+        df, ruleset, relations_col="relations_tags", overrides_col="overrides"
+    )
+    got = {r["road_id"]: r["speed_limit"] for r in out.collect()}
+    expected = _expected(engine, cases)
+    mismatches = []
+    for i, exp in enumerate(expected):
+        g = got[f"r{i}"]
+        gt = None if g is None else (g.road_type_name, g.tags, g.certitude)
+        if gt != exp:
+            mismatches.append((cases[i], exp, gt))
+    assert not mismatches, mismatches[:5]
+
+
+FILTER_EXPRS = [
+    "shop",
+    "!shop",
+    "shop = car",
+    "shop != car",
+    "~shop|craft",
+    "!~shop|craft",
+    "shop ~ car|boat",
+    "shop !~ car|boat",
+    "~shop|craft ~ car|boat",
+    "~n.[ms]e",
+    "width > 3.5",
+    "width >= 3.5",
+    "width < 3.5",
+    "width <= 3.5",
+    "maxspeed > 30mph",
+    "maxwidth > 4'6\"",
+    "(highway = residential or highway = tertiary) and !name",
+    "highway and !(shop or craft)",
+    "lit != yes and width < 2m",
+]
+
+FILTER_TAGS = [
+    {},
+    {"shop": "car"},
+    {"shop": "boat"},
+    {"shop": "yes"},
+    {"craft": "pottery"},
+    {"name": "a name yo"},
+    {"nase": "x"},
+    {"width": "3.5"},
+    {"width": "3.6"},
+    {"width": "11'6\""},
+    {"width": "broad"},
+    {"maxspeed": "48.3"},
+    {"maxspeed": "30.0 mph"},
+    {"maxspeed": "48.2 km/h"},
+    {"highway": "residential"},
+    {"highway": "tertiary", "name": "Main St"},
+    {"highway": "motorway", "shop": "car"},
+    {"lit": "no", "width": "1.5"},
+    {"lit": "yes", "width": "1.5"},
+]
+
+
+def test_native_filter_columns_match_ast(spark):
+    """filter_to_column (JVM codegen path) == AST evaluator for every
+    (expr, tags) pair."""
+    rows = [Row(case_id=i, tags=t) for i, t in enumerate(FILTER_TAGS)]
+    schema = StructType(
+        [
+            StructField("case_id", StringType()),
+            StructField("tags", MapType(StringType(), StringType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    cols = [
+        filter_to_column(e, "tags").alias(f"f{j}") for j, e in enumerate(FILTER_EXPRS)
+    ]
+    got = df.select("case_id", *cols).collect()
+    by_id = {r["case_id"]: r for r in got}
+    for i, tags in enumerate(FILTER_TAGS):
+        for j, e in enumerate(FILTER_EXPRS):
+            expected = parse_tag_filter(e).matches(tags, lambda n: False)
+            actual = by_id[str(i)][f"f{j}"]
+            assert actual == expected, f"expr={e!r} tags={tags!r}: {actual} != {expected}"
+
+
+UNIT_VALUES = [
+    "",
+    "1.0",
+    "1",
+    ".1",
+    "5'8\"",
+    "5 ft 8 in",
+    "5ft8in",
+    "1m",
+    "1 km/h",
+    "1 kph",
+    "1 t",
+    "1 '",
+    '1 "',
+    "1 yd",
+    "1 lbs",
+    "1 mm",
+    "1 mph",
+    "1 st",
+    "1 cwt",
+    "1 bananas",
+    "1 bananas 3 feet",
+    "speed 1 mph",
+    "RO:urban",
+    "walk",
+    "none",
+    "-1",
+    "30 mph",
+    "48.3",
+    "1e3",
+    "1.",
+]
+
+
+def test_native_unit_parse_matches_python(spark):
+    df = spark.createDataFrame([Row(v=v) for v in UNIT_VALUES])
+    got = df.select("v", number_with_unit_to_double(F.col("v")).alias("d")).collect()
+    for r in got:
+        expected = parse_number_with_unit(r["v"])
+        if expected is None:
+            assert r["d"] is None, f"{r['v']!r}: {r['d']} != None"
+        else:
+            assert r["d"] == pytest.approx(expected, abs=1e-12), f"{r['v']!r}"
+
+
+def test_native_road_type_match_column(spark):
+    """road_type_match_column (inlined placeholders, relation exists,
+    overrides) == engine filtersMatch for the ZA fixture."""
+    road_types, rules = za_defs()
+    ruleset = compile_ruleset(road_types, rules)
+    engine = LegalDefaultSpeedsEngine(ruleset=ruleset)
+
+    rows = [
+        Row(
+            road_id=f"r{i}",
+            country_code=cc,
+            tags=t,
+            relations_tags=rel,
+            overrides=ovr,
+        )
+        for i, (cc, t, rel, ovr) in enumerate(ZA_CASES)
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    names = list(road_types)
+    sel = [
+        road_type_match_column(
+            ruleset, name, "tags", "relations_tags", fuzzy, "overrides"
+        ).alias(f"m{k}_{int(fuzzy)}")
+        for k, name in enumerate(names)
+        for fuzzy in (False, True)
+    ]
+    got = {r["road_id"]: r for r in df.select("road_id", *sel).collect()}
+
+    for i, (cc, tags, rels, ovr) in enumerate(ZA_CASES):
+        for k, name in enumerate(names):
+            for fuzzy in (False, True):
+                # reference filtersMatchReplace semantics via the engine
+                found = engine._find_road_type_by_tags(
+                    [RoadTypeDef(name, {})],
+                    [0],
+                    tags,
+                    rels,
+                    fuzzy,
+                    (lambda n, ev, _ovr=ovr or {}: _ovr.get(n) if _ovr.get(n) is not None else ev()),
+                )
+                expected = found is not None
+                actual = got[f"r{i}"][f"m{k}_{int(fuzzy)}"]
+                assert actual == expected, (cc, tags, rels, ovr, name, fuzzy)
+
+
+def test_prune_and_relevant_key_col(spark):
+    road_types, rules = za_defs()
+    ruleset = compile_ruleset(road_types, rules)
+    df = spark.createDataFrame(
+        [
+            Row(
+                tags={
+                    "highway": "x",
+                    "opening_hours": "8-12",
+                    "imagination:1": "rainbow",
+                    "urban": "yes",
+                }
+            )
+        ],
+        StructType([StructField("tags", MapType(StringType(), StringType()))]),
+    )
+    pruned = df.select(prune_relevant_tags(ruleset, "tags").alias("t")).collect()[0]["t"]
+    assert set(pruned) == {"highway", "imagination:1"}
+
+    keys_df = spark.createDataFrame(
+        [Row(k="highway"), Row(k="opening_hours"), Row(k="imagination:1"), Row(k="{urban}")]
+    )
+    got = {
+        r["k"]: r["rel"]
+        for r in keys_df.select(
+            "k", is_relevant_tag_key_col(ruleset, "k").alias("rel")
+        ).collect()
+    }
+    assert got == {
+        "highway": True,
+        "opening_hours": False,
+        "imagination:1": True,
+        "{urban}": False,
+    }
