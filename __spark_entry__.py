@@ -1,38 +1,84 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (spatial jurisdiction
+resolution + speed-limit inference + tiling) at sf0.001;
+``queries()``/``oracle_sql()`` expose one named query per implemented
+operator family (SURVEY.md §2) with DuckDB oracle twins.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: orders-derived geo-tagged road rows -> grid encode ->
+    PIP jurisdiction (broadcast cell-index join) -> kNN fallback ->
+    speed-limit inference (broadcast compiled rules + Arrow cascade
+    UDF) -> result struct. Returns the enriched DataFrame."""
+    from pyspark.sql import functions as F
+
+    from osm_legal_default_speeds_spark.operators.inference import infer_speed_limits
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        assign_jurisdiction,
+        assign_tiles,
+        knn_region_column,
+    )
+    from osm_legal_default_speeds_spark.plans.driver_queries import (
+        _roads_df,
+        mini_ruleset,
+        synth_boundaries,
+    )
+    from osm_legal_default_speeds_spark.plans.rules_compiler import compile_ruleset
+    from osm_legal_default_speeds_spark.sources.rules_json import (
+        REFERENCE_DATASET_PATH,
+        load_rules_json,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    roads = _roads_df(spark, sf_dir)
+
+    boundaries = synth_boundaries()
+    located = assign_jurisdiction(roads, boundaries, index_res=6)
+    located = located.withColumn(
+        "region_code",
+        F.coalesce(
+            F.col("region_code"),
+            knn_region_column(boundaries, F.col("lon"), F.col("lat")),
+        ),
+    )
+    located = assign_tiles(located, tile_res=7)
+
+    # full real rule dataset when available, else the embedded mini set
+    if os.path.exists(REFERENCE_DATASET_PATH):
+        _, road_types, speed_limits, _ = load_rules_json(REFERENCE_DATASET_PATH)
+        ruleset = compile_ruleset(road_types, speed_limits)
+    else:
+        ruleset = mini_ruleset()
+
+    out = infer_speed_limits(
+        located, ruleset, country_col="region_code", tags_col="tags"
+    )
+    return out.select(
+        "road_id",
+        "region_code",
+        "tile_id",
+        F.col("speed_limit.road_type_name").alias("road_type_name"),
+        F.col("speed_limit.certitude").alias("certitude"),
+        F.col("speed_limit.tags").alias("result_tags"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from osm_legal_default_speeds_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osm_legal_default_speeds_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

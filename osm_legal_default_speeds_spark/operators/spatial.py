@@ -1,0 +1,283 @@
+"""Spatial layer: hierarchical grid index, point-in-polygon
+jurisdiction selection, kNN border resolution, tile assignment.
+
+This is the graft extension (BASELINE.json north rule): every
+geo-tagged row is grid-encoded, PIP-tested against broadcast
+country/subdivision boundary polygons to select the legal-speed
+jurisdiction, kNN-matched to the nearest boundary for points that fall
+in no polygon (border/ocean cells), and raster tiles are assigned per
+grid cell with explicit skew-aware salting.
+
+Design notes (scale-first):
+
+- **Grid scheme.** An H3/S2-style hierarchical index, but rectangular
+  (equirectangular quadtree) so that every cell function is a pure
+  integer expression: cell(lon, lat, res) with 2^(res+1) x 2^res cells.
+  Pure-arithmetic cells keep the whole encode/parent/neighbor algebra
+  inside whole-stage codegen (no UDF, no library), and make results
+  reproducible in any SQL engine (the DuckDB oracle).
+- **PIP join.** Boundaries are a small dim table (10^2..10^5 rows):
+  precompute each polygon's covering cells at a coarse resolution on
+  the driver, explode to a cell->polygon index, **broadcast** it, and
+  equi-join fact rows on their coarse cell — candidates then pass an
+  exact containment test. The fact table never shuffles.
+- **kNN fallback.** Points in no polygon take the nearest boundary by
+  clamped point-to-rectangle distance; with a broadcast dim this is a
+  map-side argmin (min_by), again shuffle-free.
+- **Tiling + salting.** Tile assignment is deterministic
+  (cell at tile_res). Per-tile aggregation is the one genuine shuffle;
+  hot cells (megacities) are Zipfian, so the rollup is two-phase:
+  groupBy(tile, salt) partial -> groupBy(tile) merge. AQE handles
+  residual skew.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+# --------------------------------------------------------------------------
+# Grid index (native integer algebra — codegen'd, SQL-portable)
+# --------------------------------------------------------------------------
+
+def grid_nx(res: int) -> int:
+    return 1 << (res + 1)
+
+
+def grid_ny(res: int) -> int:
+    return 1 << res
+
+
+def grid_cell_xy(lon: Column, lat: Column, res: int) -> tuple[Column, Column]:
+    nx, ny = grid_nx(res), grid_ny(res)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(nx))
+    y = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(ny))
+    # clamp the lat/lon == +max edge into the last cell
+    x = F.least(F.greatest(x, F.lit(0)), F.lit(nx - 1))
+    y = F.least(F.greatest(y, F.lit(0)), F.lit(ny - 1))
+    return x, y
+
+
+def grid_cell(lon: Column, lat: Column, res: int) -> Column:
+    """cell_id = x * 2^res + y  (bigint; res fixed per column)."""
+    x, y = grid_cell_xy(lon, lat, res)
+    return (x * F.lit(grid_ny(res)) + y).cast("long")
+
+
+def grid_parent(cell: Column, res: int) -> Column:
+    """Parent cell id at res-1."""
+    ny = grid_ny(res)
+    x = (cell / F.lit(ny)).cast("long")
+    y = cell - x * F.lit(ny)
+    px = (x / 2).cast("long")
+    py = (y / 2).cast("long")
+    return (px * F.lit(grid_ny(res - 1)) + py).cast("long")
+
+
+def grid_cell_py(lon: float, lat: float, res: int) -> int:
+    nx, ny = grid_nx(res), grid_ny(res)
+    x = int((lon + 180.0) / 360.0 * nx)
+    y = int((lat + 90.0) / 180.0 * ny)
+    x = min(max(x, 0), nx - 1)
+    y = min(max(y, 0), ny - 1)
+    return x * ny + y
+
+
+def grid_neighbors_py(cell: int, res: int, k: int = 1) -> list[int]:
+    """k-ring neighborhood (including the cell itself); lon wraps,
+    lat clamps."""
+    nx, ny = grid_nx(res), grid_ny(res)
+    x, y = divmod(cell, ny)
+    out = []
+    for dx in range(-k, k + 1):
+        for dy in range(-k, k + 1):
+            yy = y + dy
+            if yy < 0 or yy >= ny:
+                continue
+            xx = (x + dx) % nx
+            out.append(xx * ny + yy)
+    return sorted(set(out))
+
+
+# --------------------------------------------------------------------------
+# Boundaries: axis-aligned rectangles (convex polygons degenerate to
+# their bounding box in the synthetic world; the exact-PIP hook below
+# is where a general convex test would slot in).
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RectBoundary:
+    region_code: str  # country or CC-SUB subdivision code
+    lon_min: float
+    lat_min: float
+    lon_max: float
+    lat_max: float
+    priority: int = 0  # lower wins on overlap (subdivision < country)
+
+    def covering_cells(self, res: int) -> list[int]:
+        nx, ny = grid_nx(res), grid_ny(res)
+        x0 = min(max(int((self.lon_min + 180.0) / 360.0 * nx), 0), nx - 1)
+        x1 = min(max(int((self.lon_max + 180.0) / 360.0 * nx), 0), nx - 1)
+        y0 = min(max(int((self.lat_min + 90.0) / 180.0 * ny), 0), ny - 1)
+        y1 = min(max(int((self.lat_max + 90.0) / 180.0 * ny), 0), ny - 1)
+        return [x * ny + y for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)]
+
+
+def boundaries_to_df(spark, boundaries: list[RectBoundary]) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            (b.region_code, b.lon_min, b.lat_min, b.lon_max, b.lat_max, b.priority)
+            for b in boundaries
+        ],
+        "region_code string, lon_min double, lat_min double, lon_max double, lat_max double, priority int",
+    )
+
+
+def boundary_cell_index_df(spark, boundaries: list[RectBoundary], res: int) -> DataFrame:
+    """Driver-side cell -> candidate-polygon-array coverage index (the
+    broadcast side of the PIP join). One row per covered cell, with all
+    candidate polygons packed in an array — so the fact-side join adds
+    exactly one column and never multiplies rows."""
+    by_cell: dict[int, list] = {}
+    for b in boundaries:
+        for cell in b.covering_cells(res):
+            by_cell.setdefault(cell, []).append(
+                {
+                    "priority": b.priority,
+                    "region_code": b.region_code,
+                    "lon_min": b.lon_min,
+                    "lat_min": b.lat_min,
+                    "lon_max": b.lon_max,
+                    "lat_max": b.lat_max,
+                }
+            )
+    rows = [(cell, cands) for cell, cands in by_cell.items()]
+    return spark.createDataFrame(
+        rows,
+        "cell long, candidates array<struct<priority:int, region_code:string, "
+        "lon_min:double, lat_min:double, lon_max:double, lat_max:double>>",
+    )
+
+
+# --------------------------------------------------------------------------
+# PIP jurisdiction assignment
+# --------------------------------------------------------------------------
+
+def assign_jurisdiction(
+    points: DataFrame,
+    boundaries: list[RectBoundary],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    out_col: str = "region_code",
+    index_res: int = 6,
+) -> DataFrame:
+    """Broadcast PIP join: coarse-cell equi-join against the
+    cell -> candidate-array index, exact containment filter inside the
+    array, min(priority) winner via array_min. Points matching no
+    polygon keep out_col null (resolve with knn_region_column).
+
+    Scale shape: fact side is map-only — one broadcast hash join adding
+    one array column, zero row multiplication, zero shuffle, winner
+    selection fully inside codegen'd array expressions.
+    """
+    spark = points.sparkSession
+    idx = F.broadcast(boundary_cell_index_df(spark, boundaries, index_res))
+
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    pts = points.withColumn("_pip_cell", grid_cell(lon, lat, index_res))
+
+    joined = pts.join(idx, pts["_pip_cell"] == idx["cell"], "left").drop("cell")
+    contained = lambda c: (  # noqa: E731
+        (lon >= c.getField("lon_min"))
+        & (lon < c.getField("lon_max"))
+        & (lat >= c.getField("lat_min"))
+        & (lat < c.getField("lat_max"))
+    )
+    winner = F.array_min(F.filter(F.col("candidates"), contained))
+    return joined.withColumn(out_col, winner.getField("region_code")).drop(
+        "candidates"
+    )
+
+
+def pip_region_column(
+    boundaries: list[RectBoundary], lon: Column, lat: Column
+) -> Column:
+    """Shuffle-free alternative for small boundary sets: one CASE
+    expression choosing the min-priority containing rectangle. Fully
+    codegen'd; used for the oracle-checked queries and benchmarks."""
+    best: Column = F.lit(None).cast("string")
+    for b in sorted(boundaries, key=lambda b: b.priority, reverse=True):
+        inside = (
+            (lon >= F.lit(b.lon_min))
+            & (lon < F.lit(b.lon_max))
+            & (lat >= F.lit(b.lat_min))
+            & (lat < F.lit(b.lat_max))
+        )
+        best = F.when(inside, F.lit(b.region_code)).otherwise(best)
+    return best
+
+
+def knn_region_column(
+    boundaries: list[RectBoundary], lon: Column, lat: Column
+) -> Column:
+    """Nearest boundary by clamped point-to-rectangle distance
+    (exact argmin over the broadcast dim — map-side, no shuffle).
+    Distance ties break by region_code ascending for determinism."""
+    candidates = []
+    for b in boundaries:
+        dx = F.greatest(F.lit(b.lon_min) - lon, lon - F.lit(b.lon_max), F.lit(0.0))
+        dy = F.greatest(F.lit(b.lat_min) - lat, lat - F.lit(b.lat_max), F.lit(0.0))
+        dist = dx * dx + dy * dy
+        candidates.append(F.struct(dist.alias("d"), F.lit(b.region_code).alias("r")))
+    arr = F.array(*candidates)
+    best = F.array_min(arr)
+    return best.getField("r")
+
+
+def resolve_jurisdiction_column(
+    boundaries: list[RectBoundary], lon: Column, lat: Column
+) -> Column:
+    """PIP winner, else kNN nearest — the full jurisdiction rule."""
+    return F.coalesce(
+        pip_region_column(boundaries, lon, lat),
+        knn_region_column(boundaries, lon, lat),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tiling with skew-aware salting
+# --------------------------------------------------------------------------
+
+def assign_tiles(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    tile_res: int = 7,
+    tile_col: str = "tile_id",
+) -> DataFrame:
+    return df.withColumn(tile_col, grid_cell(F.col(lon_col), F.col(lat_col), tile_res))
+
+
+def tile_rollup(
+    df: DataFrame,
+    tile_col: str = "tile_id",
+    salt_buckets: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-phase salted rollup: groupBy(tile, salt) partial aggregation
+    -> groupBy(tile) merge. Defeats Zipfian hot tiles that would
+    otherwise pin one reducer. Salt = crc32(salt_on) % buckets when a
+    column is given, else spark_partition_id() (which makes phase one a
+    pure map-side combine). Metrics: row count per tile."""
+    if salt_on is not None:
+        salt = F.pmod(F.crc32(F.col(salt_on).cast("string")), F.lit(salt_buckets))
+    else:
+        salt = F.spark_partition_id()
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(tile_col, "_salt")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return partial.groupBy(tile_col).agg(F.sum("_cnt").cast("long").alias("n_rows"))

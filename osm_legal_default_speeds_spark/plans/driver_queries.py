@@ -1,0 +1,536 @@
+"""Driver-contract queries: one named query per operator family from
+SURVEY.md §2, each with a DuckDB oracle-SQL twin.
+
+Every query derives its inputs deterministically from the driver's
+TPC-H-ish parquet tables (TESTDATA.md) with pure integer/float
+arithmetic on keys, so the Spark implementation (this engine's
+operators) and the independent hand-written DuckDB SQL must agree
+bit-for-bit. Column names are aliased identically on both sides (the
+driver's comparator sorts columns by name before hashing).
+
+Query -> SURVEY §2 coverage:
+  tagfilter_atoms    F1-F12 native Column compilation
+  units_normalize    F13 native unit normalization
+  bool_precedence    B1-B4, B7/B8 combinators
+  effective_country  F14 subdivision -> country fallback
+  relevant_keys      F16 map-internal key pruning
+  cascade_infer      C1-C5 match cascade + A1 first-match (Arrow UDF path)
+  result_assembly    R1-R4 result map algebra incl. conditional capping
+  grid_encode        graft: hierarchical grid encode + parent rollup
+  pip_jurisdiction   graft: broadcast PIP join (cell index -> exact test)
+  knn_nearest        graft: kNN border resolution (argmin over dim)
+  tile_rollup        graft: salted two-phase per-tile aggregation (A5)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from osm_legal_default_speeds_spark.functions.sql_exprs import (
+    filter_to_column,
+    number_with_unit_to_double,
+)
+from osm_legal_default_speeds_spark.operators.inference import (
+    infer_speed_limits,
+    prune_relevant_tags,
+)
+from osm_legal_default_speeds_spark.operators.spatial import (
+    RectBoundary,
+    assign_jurisdiction,
+    assign_tiles,
+    grid_cell,
+    grid_parent,
+    knn_region_column,
+    tile_rollup,
+)
+from osm_legal_default_speeds_spark.plans.rules_compiler import compile_ruleset
+from osm_legal_default_speeds_spark.plans.rules_model import (
+    RoadTypeDef,
+    RoadTypeFilterDef,
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Shared deterministic derivations (single source of truth for both the
+# Spark side and the generated oracle SQL)
+# --------------------------------------------------------------------------
+
+HIGHWAYS = ["motorway", "residential", "trunk", "living_street", "service"]
+
+# synthetic world: 12 regions on a 30-degree raster with 2-degree gaps
+# (gaps exercise the kNN path); US-ND is a higher-priority subdivision
+# rectangle inside US.
+def synth_boundaries() -> list[RectBoundary]:
+    codes = ["DE", "FR", "IT", "ES", "PL", "NL", "GB", "DK", "US", "CA", "MX", "ZA"]
+    bs = []
+    for i, code in enumerate(codes):
+        lon0 = -180.0 + i * 30.0
+        lat0 = -60.0 + (i % 4) * 30.0
+        bs.append(RectBoundary(code, lon0, lat0, lon0 + 28.0, lat0 + 28.0, priority=i + 1))
+    # subdivision inside US (i=8: lon [60, 88), lat [-60, -32))
+    bs.append(RectBoundary("US-ND", 65.0, -55.0, 75.0, -45.0, priority=0))
+    return bs
+
+
+def _roads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM-ish road rows derived from orders: tags map, country code
+    with occasional subdivision suffix, deterministic lon/lat."""
+    k = F.col("o_orderkey")
+    o = _read(spark, sf_dir, "orders")
+    highway = F.element_at(F.array(*[F.lit(h) for h in HIGHWAYS]), (k % 5 + 1).cast("int"))
+    lit_v = F.when(k % 3 == 0, "yes").otherwise("no")
+    maxspeed = F.when(k % 4 == 0, F.when(k % 8 == 0, "30 mph").otherwise("50"))
+    lanes = (k % 6 + 1).cast("string")
+    base = F.create_map(
+        F.lit("highway"), highway,
+        F.lit("lit"), lit_v,
+        F.lit("lanes"), lanes,
+    )
+    tags = F.when(
+        maxspeed.isNotNull(),
+        F.map_concat(base, F.create_map(F.lit("maxspeed"), maxspeed)),
+    ).otherwise(base)
+    country = F.when(k % 7 == 0, "ZA-NC").otherwise("ZA")
+    lon = (k * 7919 % 360000) / 1000.0 - 180.0
+    lat = (k * 104729 % 170000) / 1000.0 - 85.0
+    return o.select(
+        k.alias("road_id"),
+        country.alias("country_code"),
+        tags.alias("tags"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+    )
+
+
+_ROADS_SQL = """
+SELECT o_orderkey AS road_id,
+       CASE WHEN o_orderkey % 7 = 0 THEN 'ZA-NC' ELSE 'ZA' END AS country_code,
+       ['motorway','residential','trunk','living_street','service'][(o_orderkey % 5 + 1)::INT] AS highway,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'yes' ELSE 'no' END AS lit,
+       CASE WHEN o_orderkey % 4 = 0 THEN (CASE WHEN o_orderkey % 8 = 0 THEN '30 mph' ELSE '50' END) END AS maxspeed,
+       (o_orderkey * 7919 % 360000) / 1000.0 - 180.0 AS lon,
+       (o_orderkey * 104729 % 170000) / 1000.0 - 85.0 AS lat
+FROM orders
+"""
+
+
+def mini_ruleset():
+    """SQL-expressible mini rule set used by the oracle-checked cascade
+    query (mirrors the ZA fixture shape: null-separator priority order,
+    fuzzy filter, subdivision inputs)."""
+    road_types = {
+        "motorway": RoadTypeFilterDef("highway=motorway"),
+        "living street": RoadTypeFilterDef("highway=living_street"),
+        "urban": RoadTypeFilterDef("lit=yes", "highway=residential"),
+        # referenced by relevant-keys only; never in the rule list
+        "fast road": RoadTypeFilterDef("maxspeed>=100"),
+    }
+    rules = {
+        "ZA": [
+            RoadTypeDef("living street", {"maxspeed": "10"}),
+            RoadTypeDef("urban", {"maxspeed": "50"}),
+            RoadTypeDef(None, {"maxspeed": "100"}),
+            RoadTypeDef("motorway", {"maxspeed": "120"}),
+        ]
+    }
+    return compile_ruleset(road_types, rules)
+
+
+def assembly_ruleset():
+    rules = {
+        "AB": [
+            RoadTypeDef(
+                None,
+                {
+                    "maxspeed": "100",
+                    "maxspeed:hgv": "80",
+                    "maxspeed:conditional": "90 @ (wet); 40 @ (snow)",
+                },
+            )
+        ]
+    }
+    return compile_ruleset({}, rules)
+
+
+# --------------------------------------------------------------------------
+# Queries
+# --------------------------------------------------------------------------
+
+def q_tagfilter_atoms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _read(spark, sf_dir, "part")
+    base = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("type"), F.col("p_type"),
+        F.lit("size"), F.col("p_size").cast("string"),
+        F.lit("width"), F.concat(F.col("p_size").cast("string"), F.lit(" cm")),
+    )
+    tags = F.when(
+        F.col("p_size") % 3 == 0,
+        F.map_concat(base, F.create_map(F.lit("promo"), F.lit("yes"))),
+    ).otherwise(base)
+    df = part.select(F.col("p_partkey").alias("part_id"), tags.alias("tags"))
+    return df.select(
+        "part_id",
+        filter_to_column("promo", "tags").alias("has_promo"),
+        filter_to_column("!promo", "tags").alias("not_has_promo"),
+        filter_to_column("type = ECONOMY", "tags").alias("is_economy"),
+        filter_to_column("type != ECONOMY", "tags").alias("not_economy"),
+        filter_to_column("~pr.*", "tags").alias("key_like"),
+        filter_to_column("!~pr.*", "tags").alias("not_key_like"),
+        filter_to_column("size ~ 1[0-9]", "tags").alias("size_teens"),
+        filter_to_column("size !~ 1[0-9]", "tags").alias("size_not_teens"),
+        filter_to_column("~.ype ~ STANDARD|ECONOMY", "tags").alias("tag_like"),
+        filter_to_column("size > 25", "tags").alias("size_gt"),
+        filter_to_column("size <= 3", "tags").alias("size_le"),
+        filter_to_column("width < 0.2", "tags").alias("narrow"),
+    )
+
+
+SQL_TAGFILTER_ATOMS = """
+SELECT p_partkey AS part_id,
+       (p_size % 3 = 0) AS has_promo,
+       NOT (p_size % 3 = 0) AS not_has_promo,
+       (p_type = 'ECONOMY') AS is_economy,
+       (p_type <> 'ECONOMY') AS not_economy,
+       (p_size % 3 = 0) AS key_like,
+       NOT (p_size % 3 = 0) AS not_key_like,
+       (p_size BETWEEN 10 AND 19) AS size_teens,
+       NOT (p_size BETWEEN 10 AND 19) AS size_not_teens,
+       (p_type IN ('STANDARD','ECONOMY')) AS tag_like,
+       (p_size > 25) AS size_gt,
+       (p_size <= 3) AS size_le,
+       (p_size < 20) AS narrow
+FROM part
+"""
+
+
+def q_units_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    q = F.floor(F.col("l_quantity")).cast("int").cast("string")
+    sel = F.col("l_linenumber") % 6
+    val = (
+        F.when(sel == 0, q)
+        .when(sel == 1, F.concat(q, F.lit(" mph")))
+        .when(sel == 2, F.concat(q, F.lit(" km/h")))
+        .when(sel == 3, F.lit("RO:urban"))
+        .when(sel == 4, F.concat(q, F.lit("st")))
+        .otherwise(
+            F.concat(q, F.lit(" ft "), (F.col("l_partkey") % 12).cast("string"), F.lit(" in"))
+        )
+    )
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        val.alias("raw_value"),
+        number_with_unit_to_double(val).alias("normalized"),
+    )
+
+
+SQL_UNITS_NORMALIZE = """
+WITH src AS (
+  SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+         CAST(FLOOR(l_quantity) AS INT) AS q,
+         (l_partkey % 12) AS inches,
+         l_linenumber % 6 AS sel
+  FROM lineitem
+)
+SELECT order_id, line_no,
+  CASE sel WHEN 0 THEN q::VARCHAR
+           WHEN 1 THEN q::VARCHAR || ' mph'
+           WHEN 2 THEN q::VARCHAR || ' km/h'
+           WHEN 3 THEN 'RO:urban'
+           WHEN 4 THEN q::VARCHAR || 'st'
+           ELSE q::VARCHAR || ' ft ' || inches::VARCHAR || ' in' END AS raw_value,
+  CASE sel WHEN 0 THEN q::DOUBLE
+           WHEN 1 THEN q * 1.609344
+           WHEN 2 THEN q * 1.0
+           WHEN 3 THEN NULL
+           WHEN 4 THEN q * 0.90718474
+           ELSE q * 0.3048 + inches * 0.0254 END AS normalized
+FROM src
+"""
+
+
+def q_bool_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _read(spark, sf_dir, "part")
+    tags = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("type"), F.col("p_type"),
+        F.lit("size"), F.col("p_size").cast("string"),
+    )
+    df = part.select(F.col("p_partkey").alias("part_id"), tags.alias("tags"))
+    expr = "(brand = Brand#2 or brand = Brand#7) and !(type = ECONOMY or size > 25)"
+    expr2 = "brand = Brand#2 or type = PROMO and size <= 10"  # and binds tighter
+    return df.select(
+        "part_id",
+        filter_to_column(expr, "tags").alias("picked"),
+        filter_to_column(expr2, "tags").alias("precedence"),
+    )
+
+
+SQL_BOOL_PRECEDENCE = """
+SELECT p_partkey AS part_id,
+       ((p_brand = 'Brand#2' OR p_brand = 'Brand#7')
+         AND NOT (p_type = 'ECONOMY' OR p_size > 25)) AS picked,
+       (p_brand = 'Brand#2' OR (p_type = 'PROMO' AND p_size <= 10)) AS precedence
+FROM part
+"""
+
+
+def q_effective_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    base = F.element_at(
+        F.array(F.lit("DE"), F.lit("FR"), F.lit("US"), F.lit("ZA")),
+        (k % 4 + 1).cast("int"),
+    )
+    raw = F.when(k % 2 == 0, F.concat(base, F.lit("-S"), (k % 5).cast("string"))).otherwise(base)
+    known = ["DE", "FR", "US", "ZA", "US-S1"]
+    effective = F.when(raw.isin(known), raw).otherwise(F.substring_index(raw, "-", 1))
+    return cust.select(
+        k.alias("cust_id"), raw.alias("raw_code"), effective.alias("effective_code")
+    )
+
+
+SQL_EFFECTIVE_COUNTRY = """
+WITH src AS (
+  SELECT c_custkey AS cust_id,
+         CASE WHEN c_custkey % 2 = 0
+              THEN ['DE','FR','US','ZA'][(c_custkey % 4 + 1)::INT] || '-S' || (c_custkey % 5)::VARCHAR
+              ELSE ['DE','FR','US','ZA'][(c_custkey % 4 + 1)::INT] END AS raw_code
+  FROM customer
+)
+SELECT cust_id, raw_code,
+       CASE WHEN raw_code IN ('DE','FR','US','ZA','US-S1') THEN raw_code
+            ELSE split_part(raw_code, '-', 1) END AS effective_code
+FROM src
+"""
+
+
+def q_relevant_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ruleset = mini_ruleset()  # relevant keys: highway, lit, maxspeed
+    roads = _roads_df(spark, sf_dir)
+    pruned = prune_relevant_tags(ruleset, F.col("tags"))
+    return roads.select(
+        "road_id",
+        F.array_join(F.array_sort(F.map_keys(pruned)), ",").alias("kept_keys"),
+    )
+
+
+SQL_RELEVANT_KEYS = f"""
+WITH roads AS ({_ROADS_SQL})
+SELECT road_id,
+       CASE WHEN maxspeed IS NOT NULL THEN 'highway,lit,maxspeed'
+            ELSE 'highway,lit' END AS kept_keys
+FROM roads
+"""
+
+
+def q_cascade_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ruleset = mini_ruleset()
+    roads = _roads_df(spark, sf_dir)
+    out = infer_speed_limits(roads, ruleset)
+    r = F.col("speed_limit")
+    return out.select(
+        "road_id",
+        r.getField("road_type_name").alias("road_type_name"),
+        r.getField("certitude").alias("certitude"),
+        F.element_at(r.getField("tags"), F.lit("maxspeed")).alias("out_maxspeed"),
+    )
+
+
+SQL_CASCADE_INFER = f"""
+WITH roads AS ({_ROADS_SQL}),
+staged AS (
+  SELECT road_id, highway, lit, maxspeed,
+    CASE WHEN highway = 'motorway' THEN 'motorway'
+         WHEN highway = 'living_street' THEN 'living street'
+         WHEN lit = 'yes' THEN 'urban' END AS exact_name,
+    CASE WHEN maxspeed = '120' THEN 'motorway'
+         WHEN maxspeed = '10' THEN 'living street'
+         WHEN maxspeed = '50' THEN 'urban' END AS ms_name,
+    CASE WHEN highway = 'residential' THEN 'urban' END AS fuzzy_name
+  FROM roads
+),
+resolved AS (
+  SELECT road_id, maxspeed,
+    CASE WHEN exact_name IS NOT NULL THEN exact_name
+         WHEN maxspeed IS NOT NULL AND ms_name IS NOT NULL THEN ms_name
+         WHEN fuzzy_name IS NOT NULL THEN fuzzy_name END AS road_type_name,
+    CASE WHEN exact_name IS NOT NULL THEN 'Exact'
+         WHEN maxspeed IS NOT NULL AND ms_name IS NOT NULL THEN 'FromMaxSpeed'
+         WHEN fuzzy_name IS NOT NULL THEN 'Fuzzy'
+         ELSE 'Fallback' END AS certitude
+  FROM staged
+)
+SELECT road_id, road_type_name, certitude,
+  CASE WHEN maxspeed IS NOT NULL THEN NULL
+       ELSE CASE road_type_name WHEN 'motorway' THEN '120'
+                                WHEN 'living street' THEN '10'
+                                WHEN 'urban' THEN '50'
+                                ELSE '100' END END AS out_maxspeed
+FROM resolved
+"""
+
+
+def q_result_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ruleset = assembly_ruleset()
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    maxspeed = F.when(k % 3 == 1, "60").when(k % 3 == 2, "90")
+    tags = F.when(
+        maxspeed.isNotNull(), F.create_map(F.lit("maxspeed"), maxspeed)
+    ).otherwise(F.create_map().cast("map<string,string>"))
+    roads = o.select(
+        k.alias("road_id"), F.lit("AB").alias("country_code"), tags.alias("tags")
+    )
+    out = infer_speed_limits(roads, ruleset)
+    t = F.col("speed_limit").getField("tags")
+    return out.select(
+        "road_id",
+        F.col("speed_limit").getField("certitude").alias("certitude"),
+        F.element_at(t, F.lit("maxspeed")).alias("out_maxspeed"),
+        F.element_at(t, F.lit("maxspeed:hgv")).alias("out_hgv"),
+        F.element_at(t, F.lit("maxspeed:conditional")).alias("out_cond"),
+    )
+
+
+SQL_RESULT_ASSEMBLY = """
+SELECT o_orderkey AS road_id,
+  'Fallback' AS certitude,
+  CASE WHEN o_orderkey % 3 = 0 THEN '100' END AS out_maxspeed,
+  CASE WHEN o_orderkey % 3 = 0 THEN '80'
+       WHEN o_orderkey % 3 = 2 THEN '80' END AS out_hgv,
+  CASE WHEN o_orderkey % 3 = 0 THEN '90 @ (wet); 40 @ (snow)'
+       ELSE '40 @ (snow)' END AS out_cond
+FROM orders
+"""
+
+
+def q_grid_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    roads = _roads_df(spark, sf_dir)
+    cell7 = grid_cell(F.col("lon"), F.col("lat"), 7)
+    return roads.select(
+        "road_id",
+        F.col("lon"),
+        F.col("lat"),
+        cell7.alias("cell7"),
+        grid_parent(cell7, 7).alias("cell6"),
+    )
+
+
+SQL_GRID_ENCODE = f"""
+WITH roads AS ({_ROADS_SQL})
+SELECT road_id, lon, lat,
+  (LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 256), 0), 255)::BIGINT * 128
+   + LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * 128), 0), 127)::BIGINT) AS cell7,
+  (LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 128), 0), 127)::BIGINT * 64
+   + LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * 64), 0), 63)::BIGINT) AS cell6
+FROM roads
+"""
+
+
+def _boundaries_case_sql(bs: list[RectBoundary]) -> str:
+    """CASE expression choosing the min-priority containing rectangle —
+    generated from the same boundary list the Spark side uses."""
+    whens = []
+    for b in sorted(bs, key=lambda b: b.priority):
+        whens.append(
+            f"WHEN lon >= {b.lon_min} AND lon < {b.lon_max} "
+            f"AND lat >= {b.lat_min} AND lat < {b.lat_max} THEN '{b.region_code}'"
+        )
+    return "CASE " + " ".join(whens) + " END"
+
+
+def _boundaries_values_sql(bs: list[RectBoundary]) -> str:
+    rows = ", ".join(
+        f"('{b.region_code}', {b.lon_min}, {b.lat_min}, {b.lon_max}, {b.lat_max})"
+        for b in bs
+    )
+    return f"(VALUES {rows}) AS b(region_code, lon_min, lat_min, lon_max, lat_max)"
+
+
+def q_pip_jurisdiction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
+    out = assign_jurisdiction(roads, synth_boundaries(), index_res=6)
+    return out.select("road_id", "region_code")
+
+
+SQL_PIP_JURISDICTION = f"""
+WITH roads AS ({_ROADS_SQL})
+SELECT road_id, {_boundaries_case_sql(synth_boundaries())} AS region_code
+FROM roads
+"""
+
+
+def q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
+    return roads.select(
+        "road_id",
+        knn_region_column(synth_boundaries(), F.col("lon"), F.col("lat")).alias(
+            "nearest_region"
+        ),
+    )
+
+
+SQL_KNN_NEAREST = f"""
+WITH roads AS ({_ROADS_SQL}),
+dists AS (
+  SELECT road_id, b.region_code,
+    (GREATEST(b.lon_min - lon, lon - b.lon_max, 0.0) * GREATEST(b.lon_min - lon, lon - b.lon_max, 0.0)
+     + GREATEST(b.lat_min - lat, lat - b.lat_max, 0.0) * GREATEST(b.lat_min - lat, lat - b.lat_max, 0.0)) AS d
+  FROM roads, {_boundaries_values_sql(synth_boundaries())}
+)
+SELECT road_id, region_code AS nearest_region
+FROM dists
+QUALIFY ROW_NUMBER() OVER (PARTITION BY road_id ORDER BY d, region_code) = 1
+"""
+
+
+def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
+    tiled = assign_tiles(roads, tile_res=5)
+    return tile_rollup(tiled, tile_col="tile_id", salt_buckets=16)
+
+
+SQL_TILE_ROLLUP = f"""
+WITH roads AS ({_ROADS_SQL})
+SELECT (LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 64), 0), 63)::BIGINT * 32
+        + LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * 32), 0), 31)::BIGINT) AS tile_id,
+       COUNT(*) AS n_rows
+FROM roads
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "tagfilter_atoms": q_tagfilter_atoms,
+    "units_normalize": q_units_normalize,
+    "bool_precedence": q_bool_precedence,
+    "effective_country": q_effective_country,
+    "relevant_keys": q_relevant_keys,
+    "cascade_infer": q_cascade_infer,
+    "result_assembly": q_result_assembly,
+    "grid_encode": q_grid_encode,
+    "pip_jurisdiction": q_pip_jurisdiction,
+    "knn_nearest": q_knn_nearest,
+    "tile_rollup": q_tile_rollup,
+}
+
+ORACLES = {
+    "tagfilter_atoms": SQL_TAGFILTER_ATOMS,
+    "units_normalize": SQL_UNITS_NORMALIZE,
+    "bool_precedence": SQL_BOOL_PRECEDENCE,
+    "effective_country": SQL_EFFECTIVE_COUNTRY,
+    "relevant_keys": SQL_RELEVANT_KEYS,
+    "cascade_infer": SQL_CASCADE_INFER,
+    "result_assembly": SQL_RESULT_ASSEMBLY,
+    "grid_encode": SQL_GRID_ENCODE,
+    "pip_jurisdiction": SQL_PIP_JURISDICTION,
+    "knn_nearest": SQL_KNN_NEAREST,
+    "tile_rollup": SQL_TILE_ROLLUP,
+}

@@ -1,0 +1,98 @@
+"""Replicates the driver's verify loop: every queries() entry at
+sf0.01 must match its oracle_sql() twin in DuckDB — row count, schema
+column names, and order-insensitive values."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SF_DIR), reason="driver testdata missing"
+)
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def _rows_to_set(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=repr
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+
+    sdf = q(spark, SF_DIR)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+
+    con = _duck()
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: columns differ {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count"
+    s = _rows_to_set([tuple(r) for r in spark_rows], spark_cols)
+    d = _rows_to_set(duck_rows, duck_cols)
+    if s != d:
+        diffs = [(a, b) for a, b in zip(s, d) if a != b][:5]
+        pytest.fail(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {
+        "road_id",
+        "region_code",
+        "tile_id",
+        "road_type_name",
+        "certitude",
+        "result_tags",
+    }
+    # every row got a jurisdiction (PIP or kNN fallback)
+    assert all(r["region_code"] is not None for r in rows)
