@@ -1,0 +1,229 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash banding,
+n-gram Jaccard — the wide half of a training-data pipeline.
+
+Design for 100 TB:
+
+- **Exact dedup** groups by a fixed-width digest of the payload
+  (md5/sha2), never by the payload itself: the shuffle carries 16-32
+  bytes + ids per row, not documents/images.
+- **MinHash LSH** is fully native Column algebra: shingling via
+  higher-order array functions, per-permutation hashes via ``xxhash64``
+  (JVM, seeded) or md5-prefix strings (engine-portable for the DuckDB
+  oracle), banding via digest-of-slice. Candidate generation is an
+  equi-join on (band, key) — row multiplication bounded by collision
+  rate, never a cross product. Signatures (64 x 8B) are the only wide
+  payload.
+- **SimHash** banding reuses the pigeonhole trick on bit-bands of one
+  64/16-bit fingerprint (see payload.images.phash_near_dup_pairs for the
+  image twin).
+- Self-joins carry an ``id_a < id_b`` predicate inside the join
+  condition so Catalyst prunes the mirrored half before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from osm_legal_default_speeds_spark.operators.textops import tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate groups by content digest: (digest, rep_id = min id,
+    n_dups). Map-side partial aggregation applies; the shuffle carries
+    only (digest, id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def drop_exact_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per content digest."""
+    w = F.min(F.col(id_col)).over
+    reps = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("rep_id").alias(id_col)
+    )
+    return df.join(reps, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (multiset; min-hash only needs the set).
+    Texts shorter than n words yield one truncated shingle."""
+    t = tokens(text)
+    n_sh = F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 64, shingle_n: int = 3, portable: bool = False
+) -> Column:
+    """MinHash signature array. ``portable=False`` (production): per-
+    permutation ``xxhash64(shingle, seed=j)`` -> array<long>; JVM-fast.
+    ``portable=True`` (differential-oracle mode): min of md5 hex-prefix
+    strings ``md5('<j>:' || shingle)`` -> array<string> — bit-identical
+    in any engine with md5 (lexicographic min over fixed-width lowercase
+    hex == numeric min)."""
+    sh = shingles(text, shingle_n)
+
+    # NB: closure factories, not default args — PySpark derives HOF
+    # arity from the lambda's parameter count.
+    def md5_min(j: int) -> Column:
+        return F.array_min(
+            F.transform(
+                sh, lambda s: F.substring(F.md5(F.concat(F.lit(f"{j}:"), s)), 1, 16)
+            )
+        )
+
+    def xx_min(j: int) -> Column:
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(j))))
+
+    make = md5_min if portable else xx_min
+    return F.array(*[make(j) for j in range(num_hashes)])
+
+
+def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
+    """array<struct<band int, key string>> — band key = md5 digest of the
+    band's signature slice."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band).cast(
+                            "array<string>"
+                        ),
+                        "|",
+                    )
+                ).alias("key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: x == y)
+    return F.size(F.filter(eq, lambda b: b)).cast("double") / F.lit(float(num_hashes))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash LSH:
+    signature -> band -> equi-join on (band, key) -> estimated Jaccard
+    filter. Returns (id_a, id_b, est_jaccard), id_a < id_b, deduped
+    across bands."""
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, portable)
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        sig.alias("sig"),
+    ).withColumn("bk", F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bk.band") == F.col("b.bk.band"))
+            & (F.col("a.bk.key") == F.col("b.bk.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            estimated_jaccard(F.col("a.sig"), F.col("b.sig"), num_hashes).alias(
+                "est_jaccard"
+            ),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification-grade, for candidate pairs)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """Exact Jaccard over distinct word-n-gram sets. O(|a|*|b|) set ops
+    per pair — use on candidate pairs (post-LSH), not all pairs."""
+    sa = F.array_distinct(shingles(text_a, n))
+    sb = F.array_distinct(shingles(text_b, n))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return inter / union
+
+
+# ---------------------------------------------------------------------------
+# SimHash banding
+# ---------------------------------------------------------------------------
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    simhash_col: str = "simhash",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    num_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs on a precomputed simhash column via bit-band LSH
+    (pigeonhole: hamming < num_bands => >= 1 exact band match)."""
+    band_bits = bits // num_bands
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sh"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"), F.col(simhash_col).alias("sh")
+    ).withColumn("bk", F.explode(bands))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bk.band") == F.col("b.bk.band"))
+            & (F.col("a.bk.key") == F.col("b.bk.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>):
+brute-force cosine top-k (the exact baseline) and an LSH-bucketed
+approximate variant (the scale path).
+
+Numeric discipline: every reduction is an explicit sequential
+left-to-right fold over doubles (``F.aggregate``), so results are
+bit-reproducible and identical to the DuckDB oracle's ``list_reduce``
+fold — no dependence on engine-internal summation order.
+
+Scale shape:
+
+- Brute force broadcasts the (small) query set; per input row the work
+  is an O(Q*d) map-side loop in codegen — no shuffle until the final
+  per-query top-k, which carries only (query_id, vec_id, sim).
+  Top-k uses a window over query_id — Q partitions; for large Q swap in
+  groupBy(query_id).agg(max_by-style partial top-k).
+- The LSH variant buckets both sides with random-hyperplane signatures
+  (deterministic +-1 planes shipped as literals), joins on the bucket,
+  and ranks within buckets: candidate count drops from N*Q to
+  N*Q/2^planes on average; skewed buckets are split by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (order-pinned for reproducibility)."""
+    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast cross join + window
+    rank. Ties break by vec_id ascending (deterministic)."""
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = vectors.select(id_col, vec_col).crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
+def hyperplanes(dim: int, num_planes: int, seed: int = 1) -> list[list[float]]:
+    """Deterministic +-1 hyperplanes from a tiny LCG — identical
+    literals on the Spark and oracle sides by construction."""
+    planes = []
+    state = seed & 0x7FFFFFFF
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(1.0 if (state >> 16) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit p = [dot(vec, plane_p) > 0],
+    packed into a long. Sequential folds; plane vectors are literals."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        proj = dot(vec, lit_plane)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: equi-join on the hyperplane bucket, exact
+    cosine rank within the bucket. Recall rises with fewer planes /
+    multi-probe; this is the single-probe baseline."""
+    v = vectors.select(
+        id_col, vec_col, lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    q = F.broadcast(
+        queries.select(
+            query_id_col,
+            query_vec_col,
+            lsh_bucket(F.col(query_vec_col), planes).alias("bucket"),
+        )
+    )
+    scored = v.join(q, "bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    min_cosine: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join: rows in
+    the same hyperplane bucket with cosine >= min_cosine."""
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cosine)
+    )

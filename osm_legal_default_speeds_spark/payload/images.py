@@ -1,0 +1,450 @@
+"""Image+caption payload table: deterministic synthesis, real codecs,
+decode / verify / feature-extract / resize operators.
+
+Input contract (BASELINE.json ``input_hint``): an Iceberg-shaped table
+with columns ``(image_id:string, bytes:binary, w:int, h:int,
+fmt:string, caption:string, phash:long)``. Everything here is
+DataFrame + Arrow-batched ``mapInPandas`` / ``pandas_udf`` — no
+per-row Python UDFs in any hot path; inner loops are NumPy over whole
+batches (the unavoidable per-image codec calls operate on whole-image
+ndarrays, i.e. thousands of pixels per Python-level iteration).
+
+Codecs (stdlib-only, so the decode step is REAL, not stubbed, and the
+PSNR >= 40 dB per-row invariant is genuinely measured):
+
+- ``png``  — RGB8 PNG, zlib + filter-0 scanlines (lossless).
+- ``raw``  — zlib-compressed raw RGB8 (lossless).
+- ``q6``   — 6-bit/channel quantized + zlib (lossy; quantization error
+  is uniform on [0,3] per channel => PSNR ~= 47 dB, comfortably over
+  the 40 dB gate but failing if decode is ever wrong).
+
+Pixel content is a pure integer function of (image_id, x, y, channel),
+so any executor — or any other engine — can regenerate the reference
+pixels without shipping them: that is what makes the per-row
+decoded-pixel invariant testable at any scale with zero data movement.
+
+Scale design:
+
+- Synthesis/decode are narrow ``mapInPandas`` passes: the ``bytes``
+  column never crosses a shuffle. Wide operations (dedup groupBys,
+  joins, rollups) run on metadata projections (image_id, phash, w, h)
+  and re-join by ``image_id`` only if the payload is needed again
+  (SURVEY.md §7.3 hard-part 6).
+- Batches are bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+  at 10^12-image scale partition sizing comes from the table layout
+  (Iceberg file/row-group pruning on id ranges), not from this module.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+IMAGE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+_ADJ = ["red", "green", "blue", "dark", "pale", "bright", "dusty"]
+_NOUN = ["road", "bridge", "sign", "lane", "tunnel", "crossing"]
+_PLACE = ["berlin", "paris", "oslo", "cape town", "austin"]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic reference pixels / captions (pure functions of the id)
+# ---------------------------------------------------------------------------
+
+def image_dims(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    w = 24 + (ids % 5) * 8
+    h = 16 + (ids % 7) * 8
+    return w.astype(np.int32), h.astype(np.int32)
+
+
+def reference_pixels(image_num: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8 — integer texture regenerable anywhere. The id is
+    additionally embedded verbatim in the first 8 pixels' R channel, so
+    two distinct ids can never produce byte-identical images (makes
+    exact-dedup groups provably equal to id groups)."""
+    y, x = np.mgrid[0:h, 0:w]
+    c = np.arange(3)[None, None, :]
+    base = (image_num * 31 + x[..., None] * 7 + y[..., None] * 13 + c * 101)
+    tex = (x * y)[..., None] & 0xFF
+    px = ((base + tex) & 0xFF).astype(np.uint8)
+    ident = np.frombuffer(
+        struct.pack(">q", image_num), dtype=np.uint8
+    )
+    px[0, :8, 0] = ident
+    return px
+
+
+def caption_for(ids: np.ndarray) -> np.ndarray:
+    adj = np.array(_ADJ)[ids % len(_ADJ)]
+    noun = np.array(_NOUN)[ids % len(_NOUN)]
+    place = np.array(_PLACE)[ids % len(_PLACE)]
+    return np.char.add(
+        np.char.add(np.char.add(adj, " "), noun),
+        np.char.add(" in ", place),
+    )
+
+
+CAPTION_SQL = (
+    "['red','green','blue','dark','pale','bright','dusty'][(({id}) % 7 + 1)::INT]"
+    " || ' ' || ['road','bridge','sign','lane','tunnel','crossing'][(({id}) % 6 + 1)::INT]"
+    " || ' in ' || ['berlin','paris','oslo','cape town','austin'][(({id}) % 5 + 1)::INT]"
+)
+
+
+def fmt_for(ids: np.ndarray) -> np.ndarray:
+    return np.array(["png", "raw", "q6"])[ids % 3]
+
+
+def phash64(px: np.ndarray) -> int:
+    """Perceptual-ish 64-bit hash: 8x8 block-mean of luminance,
+    thresholded at its own mean, row-major bit pack (MSB first)."""
+    gray = px.astype(np.uint32).sum(axis=2) // 3
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    bits = (blocks > blocks.mean()).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return int(np.int64(np.uint64(val)))  # wrap to signed for LongType
+
+
+# ---------------------------------------------------------------------------
+# Codecs (stdlib zlib/struct only)
+# ---------------------------------------------------------------------------
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # RGB8
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per scanline
+    raw[:, 1:] = px.reshape(h, w * 3)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
+    pos, idat = 8, b""
+    w = h = 0
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            assert depth == 8 and ctype == 2, "only RGB8 supported"
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
+    assert (raw[:, 0] == 0).all(), "only filter-0 scanlines supported"
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def encode_raw(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    return struct.pack(">II", w, h) + zlib.compress(px.tobytes(), 1)
+
+
+def decode_raw(data: bytes) -> np.ndarray:
+    w, h = struct.unpack(">II", data[:8])
+    return (
+        np.frombuffer(zlib.decompress(data[8:]), dtype=np.uint8)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def encode_q6(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    return struct.pack(">II", w, h) + zlib.compress((px >> 2).tobytes(), 1)
+
+
+def decode_q6(data: bytes) -> np.ndarray:
+    w, h = struct.unpack(">II", data[:8])
+    q = np.frombuffer(zlib.decompress(data[8:]), dtype=np.uint8).reshape(h, w, 3)
+    return (q << 2).copy()  # dequantize to low edge; error uniform [0,3]
+
+
+_ENCODERS = {"png": encode_png, "raw": encode_raw, "q6": encode_q6}
+_DECODERS = {"png": decode_png, "raw": decode_raw, "q6": decode_q6}
+LOSSLESS_FMTS = frozenset({"png", "raw"})
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Decode one payload; raises on unknown fmt. Real image-codec
+    libraries (jpeg/webp) are not in this container — plugging one in is
+    a one-line addition to ``_DECODERS``."""
+    try:
+        dec = _DECODERS[fmt]
+    except KeyError:
+        raise NotImplementedError(
+            f"fmt {fmt!r}: only {sorted(_DECODERS)} codecs are built-in; "
+            "register external codecs in _DECODERS"
+        ) from None
+    return dec(data)
+
+
+def psnr(ref: np.ndarray, got: np.ndarray) -> float:
+    if ref.shape != got.shape:
+        return 0.0
+    mse = np.mean((ref.astype(np.float64) - got.astype(np.float64)) ** 2)
+    if mse == 0.0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
+
+
+# ---------------------------------------------------------------------------
+# Table synthesis (distributed, deterministic)
+# ---------------------------------------------------------------------------
+
+def images_from_ids(
+    ids_df: DataFrame, dup_group: int | None = None
+) -> DataFrame:
+    """Deterministic image+caption rows from any single-column ``id``
+    (bigint) DataFrame — one narrow ``mapInPandas`` pass, no shuffle, no
+    driver materialization. With ``dup_group=g`` the image *content*
+    (pixels, dims, fmt, phash — and hence bytes) derives from
+    ``(id // g) * g`` while image_id/caption stay per-id: groups of g
+    consecutive ids become exact byte-duplicates, the deterministic
+    fixture for the dedup operators."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            content = (ids // dup_group) * dup_group if dup_group else ids
+            ws, hs = image_dims(content)
+            fmts = fmt_for(content)
+            captions = caption_for(ids)
+            blobs, hashes = [], []
+            for i, w, h, fmt in zip(
+                content.tolist(), ws.tolist(), hs.tolist(), fmts
+            ):
+                px = reference_pixels(i, w, h)
+                blobs.append(_ENCODERS[fmt](px))
+                hashes.append(phash64(px))
+            yield pd.DataFrame(
+                {
+                    "image_id": np.char.add("img-", ids.astype(str)),
+                    "bytes": blobs,
+                    "w": ws,
+                    "h": hs,
+                    "fmt": fmts,
+                    "caption": captions,
+                    "phash": np.array(hashes, dtype=np.int64),
+                }
+            )
+
+    return ids_df.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def synth_image_table(
+    spark: SparkSession, n: int, parts: int | None = None
+) -> DataFrame:
+    """Deterministic image+caption table with the input-contract schema."""
+    rng = spark.range(0, n, 1, parts) if parts else spark.range(0, n)
+    return images_from_ids(rng)
+
+
+def _image_num(ids: pd.Series) -> np.ndarray:
+    return ids.str.slice(4).astype(np.int64).to_numpy()
+
+
+# ---------------------------------------------------------------------------
+# Operators: decode+verify, features, resize
+# ---------------------------------------------------------------------------
+
+VERIFY_SCHEMA = (
+    "image_id string, fmt string, psnr double, pixels_ok boolean, "
+    "caption_ok boolean, w int, h int, phash long"
+)
+
+
+def decode_and_verify(images: DataFrame) -> DataFrame:
+    """Per-row payload invariant (BASELINE.json input_hint): decode the
+    binary payload and measure PSNR against the regenerated reference
+    pixels (allclose for lossless, >= 40 dB for lossy), plus caption
+    equality and phash recompute-match. Narrow mapInPandas — bytes never
+    shuffle; output is metadata-only."""
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nums = _image_num(pdf["image_id"])
+            exp_caps = caption_for(nums)
+            n = len(pdf)
+            psnrs = np.empty(n)
+            pix_ok = np.zeros(n, dtype=bool)
+            hashes = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                px = decode_image(pdf["bytes"].iloc[i], pdf["fmt"].iloc[i])
+                ref = reference_pixels(
+                    int(nums[i]), int(pdf["w"].iloc[i]), int(pdf["h"].iloc[i])
+                )
+                p = psnr(ref, px)
+                psnrs[i] = p
+                lossless = pdf["fmt"].iloc[i] in LOSSLESS_FMTS
+                pix_ok[i] = (
+                    np.array_equal(ref, px) if lossless else p >= 40.0
+                )
+                hashes[i] = phash64(px)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "fmt": pdf["fmt"],
+                    "psnr": psnrs,
+                    "pixels_ok": pix_ok,
+                    "caption_ok": (
+                        pdf["caption"].to_numpy() == exp_caps
+                    ),
+                    "w": pdf["w"],
+                    "h": pdf["h"],
+                    "phash": hashes,
+                }
+            )
+
+    return images.mapInPandas(verify, VERIFY_SCHEMA)
+
+
+FEATURES_SCHEMA = (
+    "image_id string, mean_lum double, std_lum double, edge_energy double, "
+    "phash long, w int, h int"
+)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Feature extraction: mean/std luminance, gradient edge energy,
+    recomputed phash. The downstream dedup/ANN layers consume these
+    metadata rows — not the payload."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            mean_l = np.empty(n)
+            std_l = np.empty(n)
+            edge = np.empty(n)
+            hashes = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                px = decode_image(pdf["bytes"].iloc[i], pdf["fmt"].iloc[i])
+                gray = px.astype(np.float64).mean(axis=2)
+                mean_l[i] = gray.mean()
+                std_l[i] = gray.std()
+                gx = np.abs(np.diff(gray, axis=1)).mean() if gray.shape[1] > 1 else 0
+                gy = np.abs(np.diff(gray, axis=0)).mean() if gray.shape[0] > 1 else 0
+                edge[i] = gx + gy
+                hashes[i] = phash64(px)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "mean_lum": mean_l,
+                    "std_lum": std_l,
+                    "edge_energy": edge,
+                    "phash": hashes,
+                    "w": pdf["w"],
+                    "h": pdf["h"],
+                }
+            )
+
+    return images.mapInPandas(feats, FEATURES_SCHEMA)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize; re-encodes with the row's own fmt.
+    Returns the full image schema with updated bytes/w/h."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, hashes = [], []
+            for i in range(len(pdf)):
+                px = decode_image(pdf["bytes"].iloc[i], pdf["fmt"].iloc[i])
+                h, w, _ = px.shape
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                small = px[ys][:, xs]
+                blobs.append(_ENCODERS[pdf["fmt"].iloc[i]](small))
+                hashes.append(phash64(small))
+            out = pdf.copy()
+            out["bytes"] = blobs
+            out["w"] = np.full(len(pdf), out_w, dtype=np.int32)
+            out["h"] = np.full(len(pdf), out_h, dtype=np.int32)
+            out["phash"] = np.array(hashes, dtype=np.int64)
+            yield out[["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]]
+
+    return images.mapInPandas(rz, IMAGE_SCHEMA)
+
+
+def hamming64(a, b):
+    """Column expr: Hamming distance between two int64 phashes —
+    bit_count(xor) stays in whole-stage codegen."""
+    return F.bit_count(F.expr(f"{a} ^ {b}") if isinstance(a, str) else a.bitwiseXOR(b))
+
+
+def phash_near_dup_pairs(meta: DataFrame, max_hamming: int = 6, band_bits: int = 16) -> DataFrame:
+    """Near-duplicate image pairs by phash banding (LSH on bit-bands):
+    two hashes within ``max_hamming`` of each other must agree exactly on
+    at least one of the 64/band_bits bands (pigeonhole, if
+    max_hamming < #bands), so candidate generation is an equi-join per
+    band — no cross product. Input: metadata projection only (image_id,
+    phash); the payload column must NOT be in ``meta`` (keeps bytes out
+    of the shuffle)."""
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(nbands)
+        ]
+    )
+    exploded = meta.select(
+        F.col("image_id"), F.col("phash"), F.explode(bands).alias("bk")
+    ).select("image_id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = exploded.alias("a")
+    right = exploded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("id_a"),
+            F.col("b.image_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs

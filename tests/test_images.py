@@ -1,0 +1,135 @@
+"""Image payload layer: codecs, determinism, per-row invariants
+(decoded-pixel PSNR >= 40 dB / exact for lossless, caption equality),
+features, resize, phash near-dup LSH."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_legal_default_speeds_spark.payload.images import (
+    caption_for,
+    decode_and_verify,
+    decode_image,
+    decode_png,
+    decode_q6,
+    decode_raw,
+    encode_png,
+    encode_q6,
+    encode_raw,
+    image_features,
+    phash64,
+    phash_near_dup_pairs,
+    psnr,
+    reference_pixels,
+    resize_images,
+    synth_image_table,
+)
+
+
+# ---------------------------------------------------------------- codecs
+
+def test_png_roundtrip_exact():
+    px = reference_pixels(7, 40, 24)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_raw_roundtrip_exact():
+    px = reference_pixels(3, 24, 16)
+    assert np.array_equal(decode_raw(encode_raw(px)), px)
+
+
+def test_q6_lossy_psnr_over_40():
+    px = reference_pixels(11, 56, 64)
+    got = decode_q6(encode_q6(px))
+    p = psnr(px, got)
+    assert 40.0 <= p < 60.0  # quantized: high but not lossless
+    assert (np.abs(px.astype(int) - got.astype(int)) <= 3).all()
+
+
+def test_unknown_fmt_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", "jpeg")
+
+
+def test_phash_deterministic_and_locality():
+    px = reference_pixels(5, 32, 32)
+    assert phash64(px) == phash64(px.copy())
+    # small perturbation -> small hamming distance
+    noisy = px.copy()
+    noisy[0, 0, 0] ^= 3
+    d = bin(
+        (phash64(px) ^ phash64(noisy)) & 0xFFFFFFFFFFFFFFFF
+    ).count("1")
+    assert d <= 4
+
+
+def test_caption_vector():
+    caps = caption_for(np.array([0, 1]))
+    assert caps[0] == "red road in berlin"
+    assert caps[1] == "green bridge in paris"
+
+
+# ------------------------------------------------------------- operators
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return synth_image_table(spark, 60, parts=4).cache()
+
+
+def test_synth_schema_and_determinism(spark, images):
+    assert images.columns == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    a = {r["image_id"]: r["phash"] for r in images.collect()}
+    b = {
+        r["image_id"]: r["phash"]
+        for r in synth_image_table(spark, 60, parts=7).collect()
+    }
+    assert a == b  # partitioning must not affect content
+
+
+def test_decode_and_verify_invariants(images):
+    v = decode_and_verify(images)
+    rows = v.collect()
+    assert len(rows) == 60
+    assert all(r["pixels_ok"] for r in rows)
+    assert all(r["caption_ok"] for r in rows)
+    for r in rows:
+        if r["fmt"] in ("png", "raw"):
+            assert r["psnr"] == float("inf")
+        else:
+            assert r["psnr"] >= 40.0
+    # phash recomputed from lossless decode matches the stored one
+    stored = {r["image_id"]: r["phash"] for r in images.collect()}
+    for r in rows:
+        if r["fmt"] in ("png", "raw"):
+            assert r["phash"] == stored[r["image_id"]]
+
+
+def test_image_features(images):
+    f = image_features(images).collect()
+    assert len(f) == 60
+    for r in f:
+        assert 0.0 < r["mean_lum"] < 255.0
+        assert r["std_lum"] > 0.0
+        assert r["edge_energy"] > 0.0
+
+
+def test_resize(images):
+    small = resize_images(images, 16, 12)
+    v = decode_and_verify(small)  # captions still intact
+    rows = v.collect()
+    assert all(r["caption_ok"] for r in rows)
+    assert all(r["w"] == 16 and r["h"] == 12 for r in rows)
+    # resized pixels no longer match full-size reference -> psnr low for most
+    got = small.select("image_id", "w", "h").collect()
+    assert all(r["w"] == 16 for r in got)
+
+
+def test_phash_near_dup_pairs(spark, images):
+    meta = images.select("image_id", "phash")
+    # inject an exact-phash duplicate pair
+    dup = meta.limit(1).select(
+        F.lit("img-dup").alias("image_id"), F.col("phash")
+    )
+    pairs = phash_near_dup_pairs(meta.unionAll(dup), max_hamming=0)
+    hit = [r for r in pairs.collect() if r["id_b"] == "img-dup"]
+    assert len(hit) == 1 and hit[0]["hamming"] == 0

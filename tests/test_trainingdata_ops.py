@@ -1,0 +1,228 @@
+"""Training-data pipeline operators: text analysis, dedup
+(exact/MinHash/SimHash/Jaccard), embedding similarity search."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_legal_default_speeds_spark.operators.dedup import (
+    estimated_jaccard,
+    exact_dedup_groups,
+    drop_exact_dups,
+    minhash_dedup_pairs,
+    minhash_signature,
+    ngram_jaccard,
+    shingles,
+    simhash_near_dup_pairs,
+)
+from osm_legal_default_speeds_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dup_pairs,
+    hyperplanes,
+    lsh_topk,
+)
+from osm_legal_default_speeds_spark.operators.textops import (
+    bpe_token_count,
+    distinct_ratio,
+    fingerprint,
+    lang_id,
+    quality_score,
+    rolling_hash,
+    simhash,
+    stopword_ratio,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog sat too"),
+        (1, "the cat sat on the mat and the dog sat too"),  # exact dup of 0
+        (2, "the cat sat on the mat and the dog stood up"),  # near dup of 0
+        (3, "der hund und die katze sind nicht ein problem"),
+        (4, "completely different words entirely here now"),
+        (5, "zz zz zz zz zz zz zz zz"),  # degenerate
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+# ------------------------------------------------------------------ text
+
+def test_token_counts(spark, docs):
+    r = {x["doc_id"]: x for x in docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("tc"),
+        bpe_token_count(F.col("text")).alias("bc"),
+    ).collect()}
+    assert r[0]["tc"] == 11
+    assert r[5]["tc"] == 8
+    assert r[4]["bc"] == 6
+
+
+def test_distinct_and_stopword_ratio(docs):
+    r = {x["doc_id"]: x for x in docs.select(
+        "doc_id",
+        distinct_ratio(F.col("text")).alias("dr"),
+        stopword_ratio(F.col("text"), "en").alias("sr"),
+    ).collect()}
+    assert r[5]["dr"] == pytest.approx(1 / 8)
+    # tokens: the cat sat on the mat and the dog sat too
+    # en stopwords hit: the,the,the,and = 4
+    assert r[0]["sr"] == pytest.approx(4 / 11)
+
+
+def test_lang_id(docs):
+    r = {x["doc_id"]: x["lid"] for x in docs.select(
+        "doc_id", lang_id(F.col("text")).alias("lid")
+    ).collect()}
+    assert r[0] == "en"
+    assert r[3] == "de"
+    assert r[5] == "und"
+
+
+def test_quality_score_ordering(docs):
+    r = {x["doc_id"]: x["q"] for x in docs.select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    ).collect()}
+    assert r[0] > r[5]  # natural text beats degenerate repetition
+    assert 0.0 <= min(r.values()) and max(r.values()) <= 1.0
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "b a c"), (1, "c b a a"), (2, "a b d")], "id long, text string"
+    )
+    r = [x["fp"] for x in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert r[0] == r[1] != r[2]
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame([(0, "a b"), (1, "b a")], "id long, text string")
+    r = [x["rh"] for x in df.select(rolling_hash(F.col("text")).alias("rh")).collect()]
+    assert r[0] != r[1]
+
+
+def test_simhash_locality(spark, docs):
+    out = {x["doc_id"]: x["sh"] for x in docs.select(
+        "doc_id", simhash(F.col("text")).alias("sh")
+    ).collect()}
+    assert out[0] == out[1]
+    d_near = bin(out[0] ^ out[2]).count("1")
+    d_far = bin(out[0] ^ out[4]).count("1")
+    assert d_near < d_far
+
+
+# ----------------------------------------------------------------- dedup
+
+def test_exact_dedup(docs):
+    g = exact_dedup_groups(docs).collect()
+    sizes = sorted(r["n_dups"] for r in g)
+    assert sizes == [1, 1, 1, 1, 2]
+    kept = drop_exact_dups(docs)
+    assert kept.count() == 5
+    assert kept.where(F.col("doc_id") == 1).count() == 0  # rep is min id
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(0, "a b c d")], "id long, text string")
+    sh = df.select(shingles(F.col("text"), 3).alias("s")).first()["s"]
+    assert sh == ["a b c", "b c d"]
+    short = spark.createDataFrame([(0, "a b")], "id long, text string")
+    sh2 = short.select(shingles(F.col("text"), 3).alias("s")).first()["s"]
+    assert sh2 == ["a b"]
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_minhash_pairs(docs, portable):
+    pairs = minhash_dedup_pairs(
+        docs, threshold=0.35, portable=portable
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert got[(0, 1)] == 1.0  # exact dup: identical signatures
+    assert (0, 2) in got or (1, 2) in got  # near dup surfaces
+    assert all(a < b for a, b in got)
+    assert (0, 4) not in got  # unrelated never passes
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e", "a b c d e"), (1, "a b c d e", "a b c x y")],
+        "id long, ta string, tb string",
+    )
+    r = {x["id"]: x["j"] for x in df.select(
+        "id", ngram_jaccard(F.col("ta"), F.col("tb"), 3).alias("j")
+    ).collect()}
+    assert r[0] == 1.0
+    assert r[1] == pytest.approx(1 / 5)  # {abc} of {abc,bcd,cde,bcx,cxy}
+
+
+def test_simhash_band_pairs(docs):
+    with_sh = docs.withColumn("simhash", simhash(F.col("text")))
+    pairs = simhash_near_dup_pairs(with_sh, max_hamming=3).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in ids
+
+
+# ------------------------------------------------------------ similarity
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_cosine_identity(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 2.0], [1.0, 0.0, 2.0]), ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    r = [x["c"] for x in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert r[0] == pytest.approx(1.0)
+    assert r[1] == pytest.approx(0.0)
+
+
+def test_brute_force_topk_self_is_best(vectors):
+    queries = vectors.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(vectors, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["vec_id"] == qid  # self-similarity = 1.0 wins
+        assert best["sim"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_subset_quality(vectors):
+    dim = len(vectors.first()["embedding"])
+    planes = hyperplanes(dim, 4)
+    queries = vectors.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(vectors, queries, planes, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["vec_id"] == qid  # same bucket as itself, sim 1.0
+
+
+def test_embedding_near_dups(spark, vectors):
+    # inject an exact duplicate vector under a new id
+    first = vectors.limit(1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.col("embedding"),
+        F.col("label"),
+    )
+    dim = len(vectors.first()["embedding"])
+    planes = hyperplanes(dim, 4)
+    pairs = embedding_near_dup_pairs(
+        vectors.unionAll(first), planes, min_cosine=0.9999
+    ).collect()
+    assert any(r["id_b"] == r["id_a"] + 100000 for r in pairs)
