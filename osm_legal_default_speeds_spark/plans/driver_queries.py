@@ -507,6 +507,11 @@ GROUP BY 1
 """
 
 
+from osm_legal_default_speeds_spark.plans.trainingdata_queries import (  # noqa: E402
+    TRAININGDATA_ORACLES,
+    TRAININGDATA_QUERIES,
+)
+
 QUERIES = {
     "tagfilter_atoms": q_tagfilter_atoms,
     "units_normalize": q_units_normalize,
@@ -519,6 +524,7 @@ QUERIES = {
     "pip_jurisdiction": q_pip_jurisdiction,
     "knn_nearest": q_knn_nearest,
     "tile_rollup": q_tile_rollup,
+    **TRAININGDATA_QUERIES,
 }
 
 ORACLES = {
@@ -533,4 +539,5 @@ ORACLES = {
     "pip_jurisdiction": SQL_PIP_JURISDICTION,
     "knn_nearest": SQL_KNN_NEAREST,
     "tile_rollup": SQL_TILE_ROLLUP,
+    **TRAININGDATA_ORACLES,
 }

@@ -1,0 +1,572 @@
+"""Driver-contract queries for the training-data pipeline operators
+(dedup, similarity search, text analysis, image payload, streaming) —
+each with a DuckDB oracle-SQL twin generated from the *same* Python
+parameters the Spark side uses, so both engines compute the identical
+algorithm on the identical deterministic inputs.
+
+Coverage added on top of plans.driver_queries:
+
+  exact_dedup        hash-groupBy exact deduplication (documents)
+  minhash_near_dup   MinHash+LSH near-dup pairs (shingle->sig->band->join)
+  simhash_near_dup   SimHash bit-band LSH near-dup pairs
+  ngram_jaccard      exact word-3-gram Jaccard on consecutive doc pairs
+  text_quality       lang-ID, quality score, token counts, fingerprints
+  ann_topk           brute-force cosine top-k over embeddings
+  ann_lsh_topk       random-hyperplane LSH bucketed approximate top-k
+  embedding_near_dup embedding-cosine near-dup pairs via LSH self-join
+  events_rollup      6-hour bucketed per-type event aggregation
+  image_verify       (rows-only; no SQL twin) codec decode + PSNR/caption
+                     invariant over the synthesized image payload table
+
+Oracle-portability notes (why every step is engine-exact):
+
+- Hashes are md5 hex (both engines identical); numeric hashes are hex
+  prefixes cast to BIGINT (< 2^60, positive, so arithmetic shifts agree).
+- Every float reduction is a sequential left fold seeded with 0.0
+  (``F.aggregate`` / ``list_reduce([0.0] || ...)``) so IEEE-754 ops run
+  in the identical order and produce bit-identical doubles — rank
+  ordering in top-k is therefore deterministic across engines.
+- Integer folds (simhash bit balance, rolling hash) are mod-preserving
+  left folds; sums of ints are associative so ``list_sum`` is safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from osm_legal_default_speeds_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard,
+    simhash_near_dup_pairs,
+)
+from osm_legal_default_speeds_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    hyperplanes,
+    lsh_topk,
+)
+from osm_legal_default_speeds_spark.operators.textops import (
+    LANG_STOPWORDS,
+    BPE_TOKEN_REGEX,
+    bpe_token_count,
+    distinct_ratio,
+    fingerprint,
+    lang_id,
+    quality_score,
+    rolling_hash,
+    simhash,
+    stopword_ratio,
+    token_count,
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Deterministic augmented fixtures: the driver's documents table has no
+# duplicates, so both engines synthesize the same dup/near-dup rows from
+# it (exact copies every 20th doc; one-token-prepended copies every 25th).
+# --------------------------------------------------------------------------
+
+EXACT_DUP_MOD = 20
+NEAR_DUP_MOD = 25
+
+
+def _docs_exact_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % EXACT_DUP_MOD == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return d.unionAll(dups)
+
+
+SQL_DOCS_EXACT_AUG = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents
+  WHERE doc_id % {EXACT_DUP_MOD} = 0
+"""
+
+
+def _docs_near_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.where(F.col("doc_id") % NEAR_DUP_MOD == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("xx "), F.col("text")).alias("text"),
+    )
+    return d.unionAll(near)
+
+
+SQL_DOCS_NEAR_AUG = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, 'xx ' || text AS text FROM documents
+  WHERE doc_id % {NEAR_DUP_MOD} = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# exact_dedup
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_docs_exact_aug(spark, sf_dir))
+
+
+SQL_EXACT_DEDUP = f"""
+WITH aug AS ({SQL_DOCS_EXACT_AUG})
+SELECT md5(text) AS digest,
+       min(doc_id) AS rep_id,
+       count(*) AS n_dups
+FROM aug GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# minhash_near_dup — portable-mode MinHash LSH
+# --------------------------------------------------------------------------
+
+MH_NUM_HASHES = 16
+MH_NUM_BANDS = 8
+MH_SHINGLE_N = 3
+MH_THRESHOLD = 0.5
+_MH_ROWS = MH_NUM_HASHES // MH_NUM_BANDS
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dedup_pairs(
+        _docs_near_aug(spark, sf_dir),
+        num_hashes=MH_NUM_HASHES,
+        num_bands=MH_NUM_BANDS,
+        shingle_n=MH_SHINGLE_N,
+        threshold=MH_THRESHOLD,
+        portable=True,
+    )
+
+
+def _sql_shingles(n: int) -> str:
+    """tok -> sh CTE chain (word n-gram shingles, short-text truncation
+    identical to operators.dedup.shingles)."""
+    return f"""
+tok AS (
+  SELECT doc_id AS doc, string_split(lower(text), ' ') AS t FROM aug
+),
+sh AS (
+  SELECT doc,
+    list_transform(
+      range(0, greatest(len(t) - {n - 1}, 1)),
+      i -> array_to_string(list_slice(t, i + 1, i + {n}), ' ')
+    ) AS sh
+  FROM tok
+)"""
+
+
+def _sql_minhash() -> str:
+    sig_terms = ",\n      ".join(
+        f"list_min(list_transform(sh, s -> substring(md5('{j}:' || s), 1, 16)))"
+        for j in range(MH_NUM_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT doc, sig, {b} AS band,
+    md5(array_to_string(list_slice(sig, {b * _MH_ROWS + 1}, {(b + 1) * _MH_ROWS}), '|')) AS key
+  FROM sig"""
+        for b in range(MH_NUM_BANDS)
+    )
+    return f"""
+WITH aug AS ({SQL_DOCS_NEAR_AUG}),
+{_sql_shingles(MH_SHINGLE_N)},
+sig AS (
+  SELECT doc, [
+      {sig_terms}
+  ] AS sig
+  FROM sh
+),
+banded AS (
+{band_selects}
+),
+pairs AS (
+  SELECT a.doc AS id_a, b.doc AS id_b,
+    (len(list_filter(list_transform(range(1, {MH_NUM_HASHES + 1}),
+         i -> a.sig[i] = b.sig[i]), v -> v))::DOUBLE) / {float(MH_NUM_HASHES)} AS est_jaccard
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+)
+SELECT DISTINCT id_a, id_b, est_jaccard
+FROM pairs WHERE est_jaccard >= {MH_THRESHOLD}
+"""
+
+
+SQL_MINHASH_NEAR_DUP = _sql_minhash()
+
+
+# --------------------------------------------------------------------------
+# simhash_near_dup — bit-band LSH on the 16-bit md5-based simhash
+# --------------------------------------------------------------------------
+
+SH_BITS = 16
+SH_NUM_BANDS = 4
+SH_MAX_HAMMING = 3
+_SH_BAND_BITS = SH_BITS // SH_NUM_BANDS
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _docs_near_aug(spark, sf_dir)
+    with_sh = aug.select(
+        "doc_id", simhash(F.col("text"), SH_BITS).alias("simhash")
+    )
+    return simhash_near_dup_pairs(
+        with_sh,
+        bits=SH_BITS,
+        num_bands=SH_NUM_BANDS,
+        max_hamming=SH_MAX_HAMMING,
+    )
+
+
+def _sql_simhash() -> str:
+    bit_terms = "\n      + ".join(
+        f"CASE WHEN list_sum(list_transform(wh, h -> ((h >> {k}) & 1) * 2 - 1)) > 0"
+        f" THEN {1 << k} ELSE 0 END"
+        for k in range(SH_BITS)
+    )
+    mask = (1 << _SH_BAND_BITS) - 1
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc, sh, {b} AS band, (sh >> {b * _SH_BAND_BITS}) & {mask} AS key FROM shh"
+        for b in range(SH_NUM_BANDS)
+    )
+    return f"""
+WITH aug AS ({SQL_DOCS_NEAR_AUG}),
+wh AS (
+  SELECT doc_id AS doc,
+    list_transform(string_split(lower(text), ' '),
+                   w -> ('0x' || substring(md5(w), 1, 15))::BIGINT) AS wh
+  FROM aug
+),
+shh AS (
+  SELECT doc, ({bit_terms})::BIGINT AS sh FROM wh
+),
+banded AS (
+{band_selects}
+),
+pairs AS (
+  SELECT a.doc AS id_a, b.doc AS id_b,
+         bit_count(xor(a.sh, b.sh)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+)
+SELECT DISTINCT id_a, id_b, hamming
+FROM pairs WHERE hamming <= {SH_MAX_HAMMING}
+"""
+
+
+SQL_SIMHASH_NEAR_DUP = _sql_simhash()
+
+
+# --------------------------------------------------------------------------
+# ngram_jaccard — exact verification-grade Jaccard on consecutive docs
+# --------------------------------------------------------------------------
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = a.join(b, a.id_a + 1 == b.id_b)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        ngram_jaccard(F.col("text_a"), F.col("text_b"), 3).alias("jaccard"),
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH aug AS (SELECT doc_id, text FROM documents),
+{_sql_shingles(3)},
+ds AS (SELECT doc, list_distinct(sh) AS s FROM sh)
+SELECT a.doc AS id_a, b.doc AS id_b,
+  (len(list_intersect(a.s, b.s))::DOUBLE)
+    / (len(list_distinct(a.s || b.s))::DOUBLE) AS jaccard
+FROM ds a JOIN ds b ON a.doc + 1 = b.doc
+"""
+
+
+# --------------------------------------------------------------------------
+# text_quality — the full text-analysis projection
+# --------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        distinct_ratio(t).alias("distinct_ratio"),
+        stopword_ratio(t, "en").alias("stopword_ratio_en"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+        rolling_hash(t).alias("rolling_hash"),
+    )
+
+
+def _sql_text_quality() -> str:
+    def hits(lang: str) -> str:
+        lit = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        return f"len(list_filter(t, w -> list_contains([{lit}], w)))"
+
+    langs = sorted(LANG_STOPWORDS)
+    hit_cols = ",\n    ".join(f"{hits(lang)} AS h_{lang}" for lang in langs)
+    max_expr = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    lang_case = " ".join(
+        f"WHEN h_{lang} = m THEN '{lang}'" for lang in langs
+    )
+    # BPE regex single-quoted for SQL
+    bpe = BPE_TOKEN_REGEX.replace("'", "''")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents
+),
+feat AS (
+  SELECT doc_id, text, t,
+    len(t) AS n_tokens,
+    len(regexp_extract_all(lower(text), '{bpe}')) AS n_bpe_tokens,
+    (len(list_distinct(t))::DOUBLE) / len(t) AS distinct_ratio,
+    {hit_cols},
+    (list_sum(list_transform(t, w -> len(w)))::DOUBLE) / len(t) AS wl
+  FROM tok
+),
+scored AS (
+  SELECT *, (h_en::DOUBLE) / n_tokens AS stopword_ratio_en,
+    {max_expr} AS m
+  FROM feat
+)
+SELECT doc_id, n_tokens, n_bpe_tokens, distinct_ratio, stopword_ratio_en,
+  CASE WHEN m = 0 THEN 'und' {lang_case} END AS lang_pred,
+  (least(stopword_ratio_en * 4.0, 1.0::DOUBLE) + distinct_ratio
+     + CASE WHEN wl >= 2.0 AND wl <= 12.0 THEN 1.0 ELSE 0.0 END) / 3.0
+    AS quality,
+  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint,
+  list_reduce(
+    [0::BIGINT] || list_transform(t, w -> ('0x' || substring(md5(w), 1, 8))::BIGINT),
+    (acc, h) -> (acc * 31 + h) % 1000000007
+  ) AS rolling_hash
+FROM scored
+"""
+
+
+SQL_TEXT_QUALITY = _sql_text_quality()
+
+
+# --------------------------------------------------------------------------
+# ANN: brute-force cosine top-k + LSH-bucketed variant + near-dup pairs
+# --------------------------------------------------------------------------
+
+ANN_K = 5
+ANN_NUM_QUERIES = 4
+EMB_DIM = 64
+LSH_PLANES = hyperplanes(EMB_DIM, 6, seed=1)
+LSH_K = 3
+ND_MIN_COS = 0.9
+ND_DUP_MOD = 50
+
+
+def _sql_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Sequential-fold dot product, identical order to similarity.dot."""
+    return (
+        f"list_reduce([0.0::DOUBLE] || list_transform(range(1, {dim + 1}), "
+        f"i -> ({a}[i])::DOUBLE * ({b}[i])::DOUBLE), (x, y) -> x + y)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"({_sql_dot(a, b)}) / "
+        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+    )
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "embeddings")
+    return e.where(F.col("vec_id") < ANN_NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(
+        _read(spark, sf_dir, "embeddings"),
+        _queries_df(spark, sf_dir),
+        k=ANN_K,
+    )
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+    {_sql_cosine('v.embedding', 'q.query_vec')} AS sim
+  FROM embeddings v, q
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)
+      AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def _sql_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+
+
+def _sql_bucket(vec: str) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {_sql_dot(vec, _sql_plane_literal(plane))} > 0 "
+        f"THEN {1 << p} ELSE 0 END"
+        for p, plane in enumerate(LSH_PLANES)
+    )
+    return f"({terms})::BIGINT"
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_topk(
+        _read(spark, sf_dir, "embeddings"),
+        _queries_df(spark, sf_dir),
+        LSH_PLANES,
+        k=LSH_K,
+    )
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH v AS (
+  SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec,
+         {_sql_bucket('embedding')} AS bucket
+  FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+    {_sql_cosine('v.embedding', 'q.query_vec')} AS sim
+  FROM v JOIN q ON v.bucket = q.bucket
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)
+      AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {LSH_K}
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "embeddings")
+    dups = e.where(F.col("vec_id") % ND_DUP_MOD == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    aug = e.select("vec_id", "embedding", "label").unionAll(dups)
+    return embedding_near_dup_pairs(aug, LSH_PLANES, min_cosine=ND_MIN_COS)
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % {ND_DUP_MOD} = 0
+),
+v AS (
+  SELECT vec_id AS vid, embedding AS vec, {_sql_bucket('embedding')} AS bucket
+  FROM aug
+)
+SELECT a.vid AS id_a, b.vid AS id_b,
+  {_sql_cosine('a.vec', 'b.vec')} AS cos_sim
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vid < b.vid
+WHERE {_sql_cosine('a.vec', 'b.vec')} >= {ND_MIN_COS}
+"""
+
+
+# --------------------------------------------------------------------------
+# events_rollup — 6-hour epoch-aligned buckets per event type
+# --------------------------------------------------------------------------
+
+BUCKET_S = 6 * 3600
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    bucket = (
+        F.floor(F.unix_timestamp(F.col("ts")) / BUCKET_S) * BUCKET_S
+    ).alias("bucket_s")
+    return (
+        ev.select(bucket, "event_type", "value")
+        .groupBy("bucket_s", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = f"""
+SELECT (FLOOR(epoch(ts) / {BUCKET_S}) * {BUCKET_S})::BIGINT AS bucket_s,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(value) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# image_verify — rows-only (codec decode is not SQL-expressible)
+# --------------------------------------------------------------------------
+
+def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_legal_default_speeds_spark.payload.images import (
+        decode_and_verify,
+        synth_image_table,
+    )
+
+    images = synth_image_table(spark, 256, parts=8)
+    return decode_and_verify(images).select(
+        "image_id", "fmt", "pixels_ok", "caption_ok"
+    )
+
+
+TRAININGDATA_QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_near_dup": q_simhash_near_dup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "text_quality": q_text_quality,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "events_rollup": q_events_rollup,
+    "image_verify": q_image_verify,
+}
+
+TRAININGDATA_ORACLES = {
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
+    "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "text_quality": SQL_TEXT_QUALITY,
+    "ann_topk": SQL_ANN_TOPK,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "events_rollup": SQL_EVENTS_ROLLUP,
+    # image_verify intentionally absent: codec decode + PSNR is not
+    # SQL-expressible; the driver records a rows-only check.
+}
