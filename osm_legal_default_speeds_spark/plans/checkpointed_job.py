@@ -1,0 +1,176 @@
+"""Resumable partitioned batch job: per-partition checkpoint manifests
+with lineage + row-count/latency metrics.
+
+North-rule contract (BASELINE.json ``north_rule``): the tiling job over
+the image/road table must be *resumable from per-partition checkpoints*
+with *lineage + row-count/latency metrics written per H3 partition*.
+The reference library is a pure function with no I/O
+(``LegalDefaultSpeeds.kt:151-156`` returns a value); resumability is a
+graft-layer requirement, so the design is Spark-batch-incremental, not
+Structured Streaming (SURVEY.md §2.9, §7.6):
+
+- The job space is split into ``num_buckets`` partition buckets by a
+  deterministic key expression (e.g. ``tile_id % num_buckets`` — a
+  proxy for H3 cell prefix at scale). Buckets are processed in batches
+  of ``batch_size`` buckets per Spark job, so driver overhead is
+  O(buckets/batch_size), not O(buckets); at 10^12 rows you'd run e.g.
+  4096 buckets in batches of 64.
+- Each batch writes ``pid=<bucket>/`` parquet partitions via dynamic
+  partition overwrite (only the touched buckets are replaced — crash
+  mid-batch + rerun is idempotent), then writes one manifest JSON per
+  bucket. **Manifest presence is the commit marker**: a bucket with
+  data but no manifest is re-processed on resume, so a kill between
+  data-write and manifest-write cannot produce wrong output.
+- The manifest records lineage (input paths, transform label, input
+  row fingerprint) and metrics (row count, batch wall-clock seconds,
+  Spark application id), satisfying the per-partition
+  lineage + row-count/latency requirement. Row counts come from a
+  metadata-only scan of the freshly written parquet (no recompute).
+
+Scale notes: the partition column must be derived *before* the write
+shuffle so dynamic overwrite maps buckets to files 1:1; skew across
+buckets is bounded because the bucket key hashes the tile id (hot tiles
+spread across buckets, and within a batch AQE splits oversized
+partitions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MANIFEST_DIR = "_manifests"
+PID_COL = "pid"
+
+
+def _manifest_path(output_dir: str, pid: int) -> str:
+    return os.path.join(output_dir, MANIFEST_DIR, f"pid-{pid}.json")
+
+
+def completed_buckets(output_dir: str) -> set[int]:
+    """Buckets whose manifest (the commit marker) exists."""
+    mdir = os.path.join(output_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for name in os.listdir(mdir):
+        if name.startswith("pid-") and name.endswith(".json"):
+            out.add(int(name[4:-5]))
+    return out
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    make_df: Callable[[SparkSession], DataFrame],
+    output_dir: str,
+    bucket_expr: str,
+    num_buckets: int,
+    batch_size: int = 8,
+    input_paths: list[str] | None = None,
+    transform_label: str = "pipeline",
+    lineage_id_col: str | None = None,
+    fail_after_batches: int | None = None,
+) -> dict:
+    """Run ``make_df(spark)`` partitioned into ``num_buckets`` buckets
+    of ``bucket_expr`` (a SQL expression over the output columns),
+    writing each bucket under ``output_dir/pid=<b>/`` exactly once.
+
+    Already-committed buckets (manifest present) are skipped, so a
+    killed run resumes where it stopped and the final output is
+    identical to a single uninterrupted run.
+
+    ``fail_after_batches`` injects a crash after N batches (test hook
+    for the kill/rerun-identical-output invariant).
+
+    Returns ``{"completed": [...], "skipped": [...], "rows": int}``.
+    """
+    df = make_df(spark).withColumn(
+        PID_COL, F.pmod(F.hash(F.expr(bucket_expr)), F.lit(num_buckets)).cast("int")
+    )
+
+    done = completed_buckets(output_dir)
+    todo = [b for b in range(num_buckets) if b not in done]
+    skipped = sorted(done)
+    completed: list[int] = []
+    total_rows = 0
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        batches = [
+            todo[i : i + batch_size] for i in range(0, len(todo), batch_size)
+        ]
+        for batch_no, batch in enumerate(batches):
+            if fail_after_batches is not None and batch_no >= fail_after_batches:
+                raise RuntimeError(
+                    f"injected failure before batch {batch_no} (test hook)"
+                )
+            t0 = time.monotonic()
+            part = df.where(F.col(PID_COL).isin(batch))
+
+            # lineage fingerprint of the batch input (order-insensitive)
+            fingerprint = None
+            if lineage_id_col is not None:
+                agg = part.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr(f"bit_xor(xxhash64({lineage_id_col}))").alias("fp"),
+                ).collect()[0]
+                fingerprint = {"input_rows": agg["n"], "id_hash_xor": str(agg["fp"])}
+
+            (
+                part.write.mode("overwrite")
+                .partitionBy(PID_COL)
+                .parquet(output_dir)
+            )
+            wall_s = time.monotonic() - t0
+
+            # per-bucket row counts: metadata-only scan of what we wrote
+            counts = {
+                r[PID_COL]: r["cnt"]
+                for r in spark.read.parquet(output_dir)
+                .where(F.col(PID_COL).isin(batch))
+                .groupBy(PID_COL)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+
+            os.makedirs(os.path.join(output_dir, MANIFEST_DIR), exist_ok=True)
+            for b in batch:
+                rows = int(counts.get(b, 0))
+                total_rows += rows
+                manifest = {
+                    "pid": b,
+                    "rows": rows,
+                    "batch_wall_s": round(wall_s, 4),
+                    "batch_buckets": batch,
+                    "lineage": {
+                        "transform": transform_label,
+                        "inputs": input_paths or [],
+                        "bucket_expr": bucket_expr,
+                        "num_buckets": num_buckets,
+                        "batch_fingerprint": fingerprint,
+                    },
+                    "app_id": spark.sparkContext.applicationId,
+                }
+                tmp = _manifest_path(output_dir, b) + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f, indent=1)
+                os.replace(tmp, _manifest_path(output_dir, b))
+                completed.append(b)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    return {"completed": completed, "skipped": skipped, "rows": total_rows}
+
+
+def read_manifests(output_dir: str) -> list[dict]:
+    """All committed per-partition manifests, ordered by pid."""
+    out = []
+    for b in sorted(completed_buckets(output_dir)):
+        with open(_manifest_path(output_dir, b)) as f:
+            out.append(json.load(f))
+    return out

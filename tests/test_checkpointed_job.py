@@ -1,0 +1,137 @@
+"""Resumable partitioned job: kill/rerun must produce identical output,
+manifests must carry per-partition lineage + metrics, and completed
+partitions must be skipped on resume (BASELINE.json north_rule)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_legal_default_speeds_spark.plans.checkpointed_job import (
+    MANIFEST_DIR,
+    completed_buckets,
+    read_manifests,
+    run_checkpointed,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SF_DIR), reason="driver testdata missing"
+)
+
+NUM_BUCKETS = 8
+
+
+def _pipeline(spark):
+    """Small deterministic stand-in for the flagship pipeline: tile
+    assignment over derived road rows."""
+    from osm_legal_default_speeds_spark.operators.spatial import assign_tiles
+    from osm_legal_default_speeds_spark.plans.driver_queries import _roads_df
+
+    roads = _roads_df(spark, SF_DIR).select("road_id", "lon", "lat")
+    return assign_tiles(roads, tile_res=6)
+
+
+def _collect_output(spark, out_dir):
+    df = spark.read.parquet(out_dir)
+    return sorted(
+        (r["road_id"], r["tile_id"], r["pid"]) for r in df.collect()
+    )
+
+
+def test_full_run_writes_all_manifests(spark, tmp_path):
+    out = str(tmp_path / "full")
+    res = run_checkpointed(
+        spark,
+        _pipeline,
+        out,
+        bucket_expr="tile_id",
+        num_buckets=NUM_BUCKETS,
+        batch_size=3,
+        input_paths=[f"{SF_DIR}/orders.parquet"],
+        transform_label="tile_assign",
+        lineage_id_col="road_id",
+    )
+    assert sorted(res["completed"]) == list(range(NUM_BUCKETS))
+    assert res["skipped"] == []
+    manifests = read_manifests(out)
+    assert len(manifests) == NUM_BUCKETS
+    total = sum(m["rows"] for m in manifests)
+    assert total == res["rows"] > 0
+    for m in manifests:
+        assert m["batch_wall_s"] > 0
+        assert m["lineage"]["transform"] == "tile_assign"
+        assert m["lineage"]["inputs"] == [f"{SF_DIR}/orders.parquet"]
+        assert m["lineage"]["batch_fingerprint"]["input_rows"] > 0
+        assert m["app_id"]
+
+
+def test_kill_and_resume_identical_output(spark, tmp_path):
+    ref_dir = str(tmp_path / "ref")
+    run_checkpointed(
+        spark, _pipeline, ref_dir, "tile_id", NUM_BUCKETS, batch_size=3
+    )
+    expected = _collect_output(spark, ref_dir)
+
+    # killed run: crashes after the first batch of 3 buckets
+    out = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(
+            spark, _pipeline, out, "tile_id", NUM_BUCKETS,
+            batch_size=3, fail_after_batches=1,
+        )
+    first = completed_buckets(out)
+    assert len(first) == 3
+
+    # resume: completes the rest, skips the committed buckets
+    res = run_checkpointed(
+        spark, _pipeline, out, "tile_id", NUM_BUCKETS, batch_size=3
+    )
+    assert sorted(res["skipped"]) == sorted(first)
+    assert sorted(res["completed"]) == sorted(
+        set(range(NUM_BUCKETS)) - first
+    )
+    assert _collect_output(spark, out) == expected
+
+
+def test_resume_on_complete_dir_is_noop(spark, tmp_path):
+    out = str(tmp_path / "noop")
+    run_checkpointed(spark, _pipeline, out, "tile_id", NUM_BUCKETS, batch_size=8)
+    res = run_checkpointed(
+        spark, _pipeline, out, "tile_id", NUM_BUCKETS, batch_size=8
+    )
+    assert res["completed"] == []
+    assert sorted(res["skipped"]) == list(range(NUM_BUCKETS))
+    assert res["rows"] == 0
+
+
+def test_data_without_manifest_is_reprocessed(spark, tmp_path):
+    """Manifest presence is the commit marker: deleting a manifest (the
+    crash-between-write-and-commit case) forces reprocessing of exactly
+    that bucket, and output stays identical."""
+    out = str(tmp_path / "torn")
+    run_checkpointed(spark, _pipeline, out, "tile_id", NUM_BUCKETS, batch_size=8)
+    expected = _collect_output(spark, out)
+    os.remove(os.path.join(out, MANIFEST_DIR, "pid-5.json"))
+
+    res = run_checkpointed(
+        spark, _pipeline, out, "tile_id", NUM_BUCKETS, batch_size=8
+    )
+    assert res["completed"] == [5]
+    assert _collect_output(spark, out) == expected
+
+
+def test_manifest_json_shape(spark, tmp_path):
+    out = str(tmp_path / "shape")
+    run_checkpointed(
+        spark, _pipeline, out, "tile_id", num_buckets=4, batch_size=2,
+        lineage_id_col="road_id",
+    )
+    with open(os.path.join(out, MANIFEST_DIR, "pid-0.json")) as f:
+        m = json.load(f)
+    assert set(m) == {
+        "pid", "rows", "batch_wall_s", "batch_buckets", "lineage", "app_id"
+    }
+    assert m["lineage"]["num_buckets"] == 4
