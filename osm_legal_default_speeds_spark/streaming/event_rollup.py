@@ -1,0 +1,280 @@
+"""Structured Streaming operators: watermarked windowed rollup,
+stateful sessionization, and streaming speed-limit inference.
+
+The reference is a pure function over static inputs — it has no
+streaming surface (SURVEY.md §2.9) — but the engine's operators are all
+expressed as DataFrame transformations, so they lift onto unbounded
+inputs unchanged: ``readStream -> transform -> writeStream``. This
+module provides the three canonical shapes:
+
+1. ``streaming_event_rollup`` — event-time windowed aggregation with a
+   watermark (late-data bound). With ``Trigger.AvailableNow`` it drains
+   a static directory incrementally and must equal the batch rollup on
+   the same input — that equivalence is the test oracle.
+2. ``sessionize`` — custom stateful operator via
+   ``applyInPandasWithState`` (gap-based user sessions with timeout),
+   the Spark-native shape for operators Spark's built-ins can't
+   express.
+3. ``streaming_speed_inference`` — the rule-inference cascade applied
+   to a stream of road rows: broadcast-compiled rules are closed over
+   by the same Arrow UDF the batch path uses; per micro-batch the plan
+   is identical to the batch plan (stateless map), demonstrating that
+   the core engine is execution-mode agnostic.
+
+Scale notes: the rollup's shuffle is keyed by (window, event_type) —
+time-bucketed keys are naturally balanced; state store size is bounded
+by the watermark horizon. Sessionization state is per-user and evicted
+on timeout, so memory is O(active users), not O(events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over the driver's events table directory.
+    ``maxFilesPerTrigger`` keeps micro-batches bounded at scale."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(src_dir)
+    )
+
+
+def windowed_rollup(
+    events: DataFrame, window: str = "6 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Event-time windowed per-type aggregation; works identically on a
+    static or streaming DataFrame (the streaming plan adds the
+    watermark-bounded state store)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("bucket_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_event_rollup(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    sink_table: str = "stream_rollup",
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drain ``src_dir`` with Trigger.AvailableNow through the
+    watermarked rollup into a memory sink; returns the sink as a
+    DataFrame. Restarting with the same checkpoint resumes from the
+    committed offset log (exactly-once per micro-batch)."""
+    stream = read_event_stream(spark, src_dir)
+    rolled = windowed_rollup(stream, window, watermark)
+    q = (
+        rolled.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
+# ---------------------------------------------------------------------------
+# Stateful sessionization (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events int, total_value double"
+)
+_STATE_SCHEMA = "start long, end long, n int, total double"
+
+
+GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+class _SessionProcessor(StatefulProcessor):
+    """Gap-based user sessions: events within GAP_US of each other
+    merge; a larger gap closes the running session (emitted) and opens
+    a new one. The open session stays in ValueState across
+    micro-batches — O(1) state per user. Timestamps are tracked as
+    epoch microseconds."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("session", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        start, end, n, total = (
+            self._state.get() if self._state.exists() else (None, None, 0, 0.0)
+        )
+        ts_all, vals = [], []
+        for pdf in rows:
+            ts_all.append(pdf["ts"].astype("int64") // 1000)  # ns -> us
+            vals.append(pdf["value"])
+        ts = pd.concat(ts_all).to_numpy()
+        vv = pd.concat(vals).to_numpy()
+        order = ts.argsort(kind="stable")
+
+        closed: list[tuple] = []
+        for t, v in zip(ts[order].tolist(), vv[order].tolist()):
+            if start is None:
+                start, end, n, total = t, t, 1, v
+            elif t - end <= GAP_US:
+                end, n, total = max(end, t), n + 1, total + v
+            else:
+                closed.append((start, end, n, total))
+                start, end, n, total = t, t, 1, v
+        self._state.update((start, end, int(n), float(total)))
+
+        if closed:
+            s, e, cn, tv = zip(*closed)
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([key[0]] * len(closed), dtype="int64"),
+                    "session_start": pd.to_datetime(list(s), unit="us"),
+                    "session_end": pd.to_datetime(list(e), unit="us"),
+                    "n_events": pd.Series(cn, dtype="int32"),
+                    "total_value": pd.Series(tv, dtype="float64"),
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def _session_fn(key, pdfs, state):
+    """applyInPandasWithState twin of _SessionProcessor (Spark 4 also
+    ships transformWithStateInPandas, but its driver worker needs the
+    protobuf package; this classic API is dependency-free)."""
+    start, end, n, total = state.get if state.exists else (None, None, 0, 0.0)
+    ts_all, vals = [], []
+    for pdf in pdfs:
+        ts_all.append(pdf["ts"].astype("int64") // 1000)  # ns -> us
+        vals.append(pdf["value"])
+    ts = pd.concat(ts_all).to_numpy()
+    vv = pd.concat(vals).to_numpy()
+    order = ts.argsort(kind="stable")
+
+    closed = []
+    for t, v in zip(ts[order].tolist(), vv[order].tolist()):
+        if start is None:
+            start, end, n, total = t, t, 1, v
+        elif t - end <= GAP_US:
+            end, n, total = max(end, t), n + 1, total + v
+        else:
+            closed.append((start, end, n, total))
+            start, end, n, total = t, t, 1, v
+    state.update((int(start), int(end), int(n), float(total)))
+
+    if closed:
+        s, e, cn, tv = zip(*closed)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]] * len(closed), dtype="int64"),
+                "session_start": pd.to_datetime(list(s), unit="us"),
+                "session_end": pd.to_datetime(list(e), unit="us"),
+                "n_events": pd.Series(cn, dtype="int32"),
+                "total_value": pd.Series(tv, dtype="float64"),
+            }
+        )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user gap sessions via
+    ``applyInPandasWithState`` (Arrow-batched; state = one 4-tuple per
+    user)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch oracle for ``sessionize``: classic gap-and-island windows.
+    Used by tests to pin the stateful operator's semantics."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = gap_minutes * 60
+    marked = events.select(
+        "user_id", "ts", "value",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w)) > gap_s,
+            1,
+        ).otherwise(0).alias("new_session"),
+    ).withColumn(
+        "session_no", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return marked.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    ).drop("session_no")
+
+
+# ---------------------------------------------------------------------------
+# Streaming speed-limit inference
+# ---------------------------------------------------------------------------
+
+def streaming_speed_inference(
+    spark: SparkSession,
+    roads_stream: DataFrame,
+    ruleset,
+    checkpoint_dir: str,
+    sink_table: str = "stream_inference",
+) -> DataFrame:
+    """Apply the batch inference transformation to a stream of road
+    rows (stateless per-row map — no watermark/state needed) and drain
+    with AvailableNow into a memory sink."""
+    from osm_legal_default_speeds_spark.operators.inference import (
+        infer_speed_limits,
+    )
+
+    out = infer_speed_limits(roads_stream, ruleset)
+    q = (
+        out.select(
+            "road_id",
+            F.col("speed_limit.road_type_name").alias("road_type_name"),
+            F.col("speed_limit.certitude").alias("certitude"),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

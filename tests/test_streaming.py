@@ -1,0 +1,145 @@
+"""Structured Streaming layer: streaming/batch equivalence for the
+watermarked rollup, stateful sessionization semantics, and streaming
+speed-limit inference parity with the batch cascade."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_legal_default_speeds_spark.streaming import (
+    sessionize,
+    streaming_event_rollup,
+    streaming_speed_inference,
+)
+from osm_legal_default_speeds_spark.streaming.event_rollup import (
+    EVENTS_SCHEMA,
+    batch_sessions,
+    read_event_stream,
+    windowed_rollup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SF_DIR), reason="driver testdata missing"
+)
+
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """File-source streams read directories; stage the driver's events
+    table into one (several files -> several micro-batches)."""
+    d = str(tmp_path_factory.mktemp("events_src"))
+    spark.read.parquet(EVENTS).repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _rollup_rows(df):
+    return sorted(
+        (r["bucket_s"], r["event_type"], r["n_events"], round(r["total_value"], 6))
+        for r in df.collect()
+    )
+
+
+def test_streaming_rollup_equals_batch(spark, tmp_path, events_dir):
+    got = streaming_event_rollup(
+        spark, events_dir, str(tmp_path / "ckpt"), sink_table="t_rollup"
+    )
+    batch = windowed_rollup(spark.read.parquet(EVENTS))
+    assert _rollup_rows(got) == _rollup_rows(batch)
+    assert got.count() > 0
+
+
+def test_streaming_rollup_resume_is_noop(spark, tmp_path, events_dir):
+    ckpt = str(tmp_path / "ckpt2")
+    first = streaming_event_rollup(spark, events_dir, ckpt, sink_table="t_r1")
+    rows1 = _rollup_rows(first)
+    # restart on the same checkpoint: offsets committed, no new data
+    second = streaming_event_rollup(spark, events_dir, ckpt, sink_table="t_r2")
+    assert _rollup_rows(second) in ([], rows1)  # complete-mode state replay
+    # original results unchanged
+    assert _rollup_rows(spark.table("t_r1")) == rows1
+
+
+def test_sessionize_matches_batch_oracle(spark, tmp_path, events_dir):
+    """Closed sessions emitted by the stateful operator must equal the
+    batch gap-and-island oracle minus each user's final (still-open)
+    session, which stays in state when the stream drains."""
+    stream = read_event_stream(spark, events_dir)
+    q = (
+        sessionize(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in spark.table("t_sessions").collect()
+    )
+
+    oracle = batch_sessions(spark.read.parquet(EVENTS))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("session_start").desc())
+    closed = (
+        oracle.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)  # drop each user's open (latest) session
+        .drop("rn")
+    )
+    want = sorted(
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in closed.collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_inference_matches_batch(spark, tmp_path):
+    from osm_legal_default_speeds_spark.operators.inference import (
+        infer_speed_limits,
+    )
+    from osm_legal_default_speeds_spark.plans.driver_queries import (
+        _roads_df,
+        mini_ruleset,
+    )
+
+    ruleset = mini_ruleset()
+    roads = _roads_df(spark, SF_DIR)
+    roads_dir = str(tmp_path / "roads")
+    roads.write.parquet(roads_dir)
+
+    stream = (
+        spark.readStream.schema(roads.schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(roads_dir)
+    )
+    got = streaming_speed_inference(
+        spark, stream, ruleset, str(tmp_path / "ickpt"), sink_table="t_inf"
+    )
+    batch = infer_speed_limits(roads, ruleset).select(
+        "road_id",
+        F.col("speed_limit.road_type_name").alias("road_type_name"),
+        F.col("speed_limit.certitude").alias("certitude"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
