@@ -126,6 +126,47 @@ def estimated_jaccard(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
     return F.size(F.filter(eq, lambda b: b)).cast("double") / F.lit(float(num_hashes))
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-doc MinHash signatures as ``(doc, sig array)`` via the
+    scale-correct explode -> groupBy formulation: one shingle row per
+    (doc, shingle), one native hash call per (shingle, seed), then
+    ``num_hashes`` ``min`` aggregates with map-side partial combine.
+
+    This beats the pure-Column formulation (array of ``num_hashes``
+    ``array_min(transform(shingles, ...))`` expressions) by orders of
+    magnitude: higher-order functions evaluate interpreted (outside
+    codegen) and Catalyst does not CSE the duplicated shingle subtree,
+    so that shape re-tokenizes every document ``num_hashes`` times —
+    and again on each side of the LSH self-join. Here the signature is
+    *data* after the aggregation: it crosses the join shuffle as bytes,
+    never recomputed. Identical results to ``minhash_signature``."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
+    )
+    if portable:
+        mins = [
+            F.min(F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))), 1, 16)).alias(f"m{j}")
+            for j in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"m{j}")
+            for j in range(num_hashes)
+        ]
+    agg = sh.groupBy("doc").agg(*mins)
+    return agg.select(
+        "doc", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -141,10 +182,8 @@ def minhash_dedup_pairs(
     filter. Returns (id_a, id_b, est_jaccard), id_a < id_b, deduped
     across bands."""
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, portable)
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        sig.alias("sig"),
+    base = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, portable
     ).withColumn("bk", F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)))
     a, b = base.alias("a"), base.alias("b")
     pairs = (

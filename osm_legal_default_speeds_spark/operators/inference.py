@@ -46,6 +46,7 @@ RESULT_SCHEMA = StructType(
 
 _RELATIONS_TYPE = "array<map<string,string>>"
 _OVERRIDES_TYPE = "map<string,boolean>"
+_MISS = object()
 
 
 def prune_relevant_tags(ruleset: CompiledRuleSet, tags_col: Column | str) -> Column:
@@ -74,6 +75,7 @@ def infer_speed_limits(
     overrides_col: str | None = None,
     result_col: str = "speed_limit",
     prune_keys: bool = False,
+    dedup_inputs: bool = False,
 ) -> DataFrame:
     """Append a ``result_col`` struct column
     (road_type_name, tags, certitude) — null when no rule matched
@@ -89,7 +91,20 @@ def infer_speed_limits(
     only reads ``maxspeed``-family keys — but those ARE relevant keys in
     any real dataset; enable only if your rule set references maxspeed
     (checked at runtime) or you don't need R1 input-echo semantics.
+    ``dedup_inputs``: evaluate the (pure) cascade once per distinct
+    (country, canonical tags [, relations, overrides]) combination and
+    join results back, instead of once per row. At 10^12-row scale the
+    distinct-combination cardinality is orders of magnitude below the
+    row count, so the Python/Arrow cost collapses to the distinct set;
+    the cost is one dropDuplicates + one equi-join shuffle on narrow
+    key columns (AQE picks broadcast when the distinct set is small).
+    Results are identical by purity of the cascade.
     """
+    if dedup_inputs:
+        return _infer_dedup(
+            df, ruleset, country_col, tags_col, relations_col,
+            overrides_col, result_col, prune_keys,
+        )
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(ruleset)
 
@@ -133,6 +148,13 @@ def infer_speed_limits(
             rels.tolist(),
             ovr.tolist(),
         )
+        # Per-batch memo: real road data repeats the same
+        # (country, relevant-tags) combination across huge numbers of
+        # rows, and get_speed_limits is a pure function of its inputs —
+        # distinct-combination cardinality, not row count, pays the
+        # Python cost. (The engine itself runs ~30k rows/s/core; at
+        # 10^12 rows only the memoized shape survives.)
+        memo: dict = {}
         for i in range(n):
             country = cc_l[i]
             if country is None:
@@ -141,11 +163,20 @@ def infer_speed_limits(
             r = rels_l[i]
             relations = list(r) if r is not None and len(r) else ()
             o = ovr_l[i]
-            result = get(country, t, relations, overrides=o)
-            if result is not None:
-                names[i] = result.road_type_name
-                out_tags[i] = result.tags
-                certs[i] = result.certitude
+            key = (
+                country,
+                tuple(sorted(t.items())),
+                tuple(tuple(sorted(m.items())) for m in relations),
+                tuple(sorted(o.items())) if o else None,
+            )
+            hit = memo.get(key, _MISS)
+            if hit is _MISS:
+                hit = get(country, t, relations, overrides=o)
+                memo[key] = hit
+            if hit is not None:
+                names[i] = hit.road_type_name
+                out_tags[i] = hit.tags
+                certs[i] = hit.certitude
         return pd.DataFrame(
             {"road_type_name": names, "tags": out_tags, "certitude": certs}
         )
@@ -160,6 +191,75 @@ def infer_speed_limits(
         result_col,
         F.when(F.col(f"{result_col}.certitude").isNotNull(), F.col(result_col)),
     )
+
+
+def _canonical_map_key(col: Column) -> Column:
+    """Deterministic digest of a map column: sorted entry array ->
+    JSON -> md5. Equal dicts (any storage order) get equal keys."""
+    entries = F.array_sort(
+        F.map_entries(F.coalesce(col, F.create_map().cast("map<string,string>")))
+    )
+    return F.md5(F.to_json(entries))
+
+
+def _infer_dedup(
+    df: DataFrame,
+    ruleset: CompiledRuleSet,
+    country_col: str,
+    tags_col: str,
+    relations_col: str | None,
+    overrides_col: str | None,
+    result_col: str,
+    prune_keys: bool,
+) -> DataFrame:
+    """distinct -> infer -> join-back plan (see infer_speed_limits)."""
+    key_col = "__infer_key"
+    work_tags = tags_col
+    keyed = df
+    if prune_keys:
+        work_tags = "__pruned_tags"
+        keyed = keyed.withColumn(
+            work_tags, prune_relevant_tags(ruleset, F.col(tags_col))
+        )
+
+    key = _canonical_map_key(F.col(work_tags))
+    if relations_col is not None:
+        rel_canon = F.transform(
+            F.coalesce(
+                F.col(relations_col), F.array().cast(_RELATIONS_TYPE)
+            ),
+            lambda m: F.array_sort(F.map_entries(m)),
+        )
+        key = F.md5(F.concat(key, F.to_json(rel_canon)))
+    if overrides_col is not None:
+        ovr_canon = F.array_sort(
+            F.map_entries(
+                F.coalesce(F.col(overrides_col), F.create_map().cast(_OVERRIDES_TYPE))
+            )
+        )
+        key = F.md5(F.concat(key, F.to_json(ovr_canon)))
+    keyed = keyed.withColumn(key_col, key)
+
+    sel = [country_col, key_col, work_tags]
+    if relations_col is not None:
+        sel.append(relations_col)
+    if overrides_col is not None:
+        sel.append(overrides_col)
+    distinct = keyed.select(*sel).dropDuplicates([country_col, key_col])
+
+    inferred = infer_speed_limits(
+        distinct,
+        ruleset,
+        country_col=country_col,
+        tags_col=work_tags,
+        relations_col=relations_col,
+        overrides_col=overrides_col,
+        result_col=result_col,
+    ).select(country_col, key_col, result_col)
+
+    out = keyed.join(inferred, [country_col, key_col], "left")
+    drop = [key_col] + ([work_tags] if prune_keys else [])
+    return out.drop(*drop)
 
 
 def is_relevant_tag_key_col(ruleset: CompiledRuleSet, key_col: Column | str) -> Column:

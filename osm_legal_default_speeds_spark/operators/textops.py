@@ -2,18 +2,24 @@
 quality scoring, language ID, token counting, document fingerprinting.
 
 Everything is native ``pyspark.sql.functions`` Column algebra — string
-splits, higher-order array functions, regexes — so the whole layer stays
-inside whole-stage codegen (no Python in the hot path) and is
+splits, higher-order array functions, regexes — so the whole layer is
 SQL-portable for the DuckDB differential oracle.
 
-Scale notes: all operators are narrow (per-row) projections — zero
-shuffles; they compose with the dedup/similarity layers which do the
-wide work on these compact derived columns instead of raw text.
+Scale design: higher-order array functions evaluate *interpreted*
+(outside whole-stage codegen) and Catalyst does not common-subexpression
+-eliminate duplicated subtrees, so composing many metrics directly over
+``tokens(text)`` re-tokenizes the document once per metric. Every
+operator therefore has a ``*_from_tokens`` core that consumes a
+prepared token-array Column, and ``with_text_features`` stages the
+token / word-hash arrays once per row in a separate projection
+(CollapseProject keeps non-cheap expressions that are referenced more
+than once in their own project, so the arrays are computed once). All
+operators are narrow per-row projections — zero shuffles.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # Tiny per-language stopword anchors for the n-gram/stopword language-ID
 # heuristic. Deliberately small + literal so the oracle SQL can embed
@@ -35,59 +41,61 @@ def tokens(text: Column) -> Column:
     return F.split(F.lower(text), " ")
 
 
-def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+def word_hashes(t: Column, hex_chars: int = 15) -> Column:
+    """Per-token numeric hashes (md5 hex prefix -> long): the shared
+    input of rolling_hash and simhash. Engine-portable, unlike
+    murmur/xxhash."""
+    return F.transform(
+        t, lambda w: F.conv(F.substring(F.md5(w), 1, hex_chars), 16, 10).cast("long")
+    )
 
 
-def bpe_token_count(text: Column) -> Column:
-    """Count of BPE-ish pre-tokens (letter runs, digit runs, single
-    symbols) — the standard proxy for LLM token budgeting."""
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_REGEX), 0))
+# ---------------------------------------------------------------------------
+# Token-array cores
+# ---------------------------------------------------------------------------
+
+def token_count_from_tokens(t: Column) -> Column:
+    return F.size(t)
 
 
-def distinct_ratio(text: Column) -> Column:
+def distinct_ratio_from_tokens(t: Column) -> Column:
     """Unique-token fraction — near 0 for degenerate repeated text."""
-    t = tokens(text)
     return F.size(F.array_distinct(t)).cast("double") / F.size(t)
 
 
-def stopword_hits(text: Column, lang: str) -> Column:
+def stopword_hits_from_tokens(t: Column, lang: str) -> Column:
     words = LANG_STOPWORDS[lang]
-    t = tokens(text)
     return F.size(F.filter(t, lambda w: w.isin(*words)))
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    return stopword_hits(text, lang).cast("double") / token_count(text)
+def stopword_ratio_from_tokens(t: Column, lang: str = "en") -> Column:
+    return stopword_hits_from_tokens(t, lang).cast("double") / F.size(t)
 
 
-def mean_word_len(text: Column) -> Column:
-    t = tokens(text)
-    total = F.aggregate(
-        t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
+def mean_word_len_from_tokens(t: Column) -> Column:
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
     return total.cast("double") / F.size(t)
 
 
-def quality_score(text: Column, lang: str = "en") -> Column:
+def quality_score_from_tokens(t: Column, lang: str = "en") -> Column:
     """Composite quality heuristic in [0,1]: rewards stopword presence
     (natural language), lexical diversity, and sane word lengths.
     Deliberately simple arithmetic so the oracle can replicate it."""
-    sw = F.least(stopword_ratio(text, lang) * 4.0, F.lit(1.0))
-    dr = distinct_ratio(text)
-    wl = mean_word_len(text)
+    sw = F.least(stopword_ratio_from_tokens(t, lang) * 4.0, F.lit(1.0))
+    dr = distinct_ratio_from_tokens(t)
+    wl = mean_word_len_from_tokens(t)
     len_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
     return (sw + dr + len_ok) / F.lit(3.0)
 
 
-def lang_id(text: Column) -> Column:
+def lang_id_from_tokens(t: Column) -> Column:
     """Heuristic language ID: the language with the most stopword hits
     wins; ties break lexicographically (deterministic); zero hits
     everywhere -> 'und' (undetermined)."""
     scored = F.array(
         *[
             F.struct(
-                (-stopword_hits(text, lang)).alias("neg_hits"),
+                (-stopword_hits_from_tokens(t, lang)).alias("neg_hits"),
                 F.lit(lang).alias("lang"),
             )
             for lang in sorted(LANG_STOPWORDS)
@@ -99,44 +107,34 @@ def lang_id(text: Column) -> Column:
     )
 
 
-def fingerprint(text: Column) -> Column:
+def fingerprint_from_tokens(t: Column) -> Column:
     """Bag-of-words document fingerprint: md5 of the sorted distinct
     token set — canonical-form hash invariant to word order and
     repetition (the classic dedup fingerprint)."""
-    canon = F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
-    return F.md5(canon)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(t)), " "))
 
 
-def rolling_hash(text: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
-    """Polynomial rolling hash over token md5-prefixes — an
-    order-sensitive counterpart to ``fingerprint`` (distinguishes
-    permutations). Native left-to-right fold."""
-    t = tokens(text)
-    word_h = F.transform(
-        t, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
-    )
+def rolling_hash_from_hashes(
+    wh: Column, base: int = 31, mod: int = 1_000_000_007
+) -> Column:
+    """Polynomial rolling hash over token hashes — an order-sensitive
+    counterpart to ``fingerprint`` (distinguishes permutations). Native
+    left-to-right fold. ``wh`` must be ``word_hashes(t, hex_chars=8)``."""
     return F.aggregate(
-        word_h,
-        F.lit(0).cast("long"),
-        lambda acc, h: (acc * base + h) % mod,
+        wh, F.lit(0).cast("long"), lambda acc, h: (acc * base + h) % mod
     )
 
 
-def simhash(text: Column, bits: int = 16) -> Column:
-    """SimHash fingerprint over whitespace tokens: per bit position k,
-    the sign of sum(+-1) across token hashes decides bit k. Token hash =
-    first 15 hex chars of md5 (engine-portable, unlike murmur/xxhash).
-    Native expressions only — the token-hash array is computed once and
-    folded per bit."""
-    t = tokens(text)
-    word_h = F.transform(
-        t, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
-    )
+def simhash_from_hashes(wh: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint: per bit position k, the sign of sum(+-1)
+    across token hashes decides bit k. ``wh`` must be
+    ``word_hashes(t, hex_chars=15)`` — computed ONCE by the caller (the
+    16 per-bit folds all reference it)."""
     def bit_balance(k: int) -> Column:
         # NB: PySpark derives HOF arity from the lambda's parameter
         # count — extra default args would become lambda variables.
         return F.aggregate(
-            word_h,
+            wh,
             F.lit(0).cast("long"),
             lambda acc, h: acc + F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1,
         )
@@ -147,5 +145,83 @@ def simhash(text: Column, bits: int = 16) -> Column:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Text-column wrappers (one-shot convenience; for multi-metric
+# projections use with_text_features so tokenization happens once)
+# ---------------------------------------------------------------------------
+
+def token_count(text: Column) -> Column:
+    return token_count_from_tokens(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs, digit runs, single
+    symbols) — the standard proxy for LLM token budgeting."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_REGEX), 0))
+
+
+def distinct_ratio(text: Column) -> Column:
+    return distinct_ratio_from_tokens(tokens(text))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    return stopword_hits_from_tokens(tokens(text), lang)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return stopword_ratio_from_tokens(tokens(text), lang)
+
+
+def mean_word_len(text: Column) -> Column:
+    return mean_word_len_from_tokens(tokens(text))
+
+
+def quality_score(text: Column, lang: str = "en") -> Column:
+    return quality_score_from_tokens(tokens(text), lang)
+
+
+def lang_id(text: Column) -> Column:
+    return lang_id_from_tokens(tokens(text))
+
+
+def fingerprint(text: Column) -> Column:
+    return fingerprint_from_tokens(tokens(text))
+
+
+def rolling_hash(text: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    return rolling_hash_from_hashes(word_hashes(tokens(text), 8), base, mod)
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    return simhash_from_hashes(word_hashes(tokens(text), 15), bits)
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def with_text_features(
+    df: DataFrame, text_col: str = "text", lang: str = "en", bits: int = 16
+) -> DataFrame:
+    """All text metrics in one pass: stages the token and word-hash
+    arrays in their own projections (computed once per row, shared by
+    every metric), then projects the full feature set."""
+    t = F.col("__tokens")
+    staged = (
+        df.withColumn("__tokens", tokens(F.col(text_col)))
+        .withColumn("__wh8", word_hashes(t, 8))
+        .withColumn("__wh15", word_hashes(t, 15))
+    )
+    out = staged.select(
+        "*",
+        token_count_from_tokens(t).alias("n_tokens"),
+        bpe_token_count(F.col(text_col)).alias("n_bpe_tokens"),
+        distinct_ratio_from_tokens(t).alias("distinct_ratio"),
+        stopword_ratio_from_tokens(t, lang).alias(f"stopword_ratio_{lang}"),
+        lang_id_from_tokens(t).alias("lang_pred"),
+        quality_score_from_tokens(t, lang).alias("quality"),
+        fingerprint_from_tokens(t).alias("fingerprint"),
+        rolling_hash_from_hashes(F.col("__wh8")).alias("rolling_hash"),
+        simhash_from_hashes(F.col("__wh15"), bits).alias("simhash"),
+    )
+    return out.drop("__tokens", "__wh8", "__wh15")

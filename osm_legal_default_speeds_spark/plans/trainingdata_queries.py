@@ -49,15 +49,7 @@ from osm_legal_default_speeds_spark.operators.similarity import (
 from osm_legal_default_speeds_spark.operators.textops import (
     LANG_STOPWORDS,
     BPE_TOKEN_REGEX,
-    bpe_token_count,
-    distinct_ratio,
-    fingerprint,
-    lang_id,
-    quality_score,
-    rolling_hash,
     simhash,
-    stopword_ratio,
-    token_count,
 )
 
 
@@ -213,9 +205,17 @@ _SH_BAND_BITS = SH_BITS // SH_NUM_BANDS
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_legal_default_speeds_spark.operators.textops import (
+        simhash_from_hashes,
+        tokens,
+        word_hashes,
+    )
+
     aug = _docs_near_aug(spark, sf_dir)
-    with_sh = aug.select(
-        "doc_id", simhash(F.col("text"), SH_BITS).alias("simhash")
+    # stage the word-hash array once: the 16 per-bit folds share it
+    staged = aug.withColumn("__wh", word_hashes(tokens(F.col("text")), 15))
+    with_sh = staged.select(
+        "doc_id", simhash_from_hashes(F.col("__wh"), SH_BITS).alias("simhash")
     )
     return simhash_near_dup_pairs(
         with_sh,
@@ -296,18 +296,21 @@ FROM ds a JOIN ds b ON a.doc + 1 = b.doc
 # --------------------------------------------------------------------------
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_legal_default_speeds_spark.operators.textops import (
+        with_text_features,
+    )
+
     d = _read(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
+    return with_text_features(d, "text", lang="en").select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
-        bpe_token_count(t).alias("n_bpe_tokens"),
-        distinct_ratio(t).alias("distinct_ratio"),
-        stopword_ratio(t, "en").alias("stopword_ratio_en"),
-        lang_id(t).alias("lang_pred"),
-        quality_score(t).alias("quality"),
-        fingerprint(t).alias("fingerprint"),
-        rolling_hash(t).alias("rolling_hash"),
+        "n_tokens",
+        "n_bpe_tokens",
+        "distinct_ratio",
+        "stopword_ratio_en",
+        "lang_pred",
+        "quality",
+        "fingerprint",
+        "rolling_hash",
     )
 
 

@@ -399,3 +399,83 @@ def test_prune_and_relevant_key_col(spark):
         "imagination:1": True,
         "{urban}": False,
     }
+
+
+def test_infer_dedup_inputs_identical_results(spark):
+    """The distinct -> infer -> join-back plan must produce exactly the
+    per-row results of the direct plan (cascade purity), including null
+    results, relations, and overrides."""
+    road_types, rules = za_defs()
+    ruleset = compile_ruleset(road_types, rules)
+    rows = [
+        Row(
+            road_id=f"r{i}",
+            country_code=cc,
+            tags=tags,
+            relations_tags=rels,
+            overrides=ovr,
+        )
+        for i, (cc, tags, rels, ovr) in enumerate(ZA_CASES)
+    ]
+    # duplicate every case several times so dedup actually collapses
+    rows = rows + [r.asDict() for r in rows for _ in range(3)]
+    rows = [Row(**r) if isinstance(r, dict) else r for r in rows]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA).repartition(4)
+
+    kw = dict(relations_col="relations_tags", overrides_col="overrides")
+    direct = infer_speed_limits(df, ruleset, **kw)
+    dedup = infer_speed_limits(df, ruleset, dedup_inputs=True, **kw)
+
+    def norm(out):
+        return sorted(
+            (
+                r["road_id"],
+                None
+                if r["speed_limit"] is None
+                else (
+                    r["speed_limit"].road_type_name,
+                    tuple(sorted((r["speed_limit"].tags or {}).items())),
+                    r["speed_limit"].certitude,
+                ),
+            )
+            for r in out.collect()
+        )
+
+    assert norm(direct) == norm(dedup)
+
+
+def test_infer_dedup_inputs_full_dataset(spark):
+    """Dedup plan == direct plan over the full 1206-rule dataset on
+    driver-derived roads (no relations/overrides columns)."""
+    if not os.path.exists(REFERENCE_DATASET_PATH):
+        pytest.skip("reference dataset missing")
+    from osm_legal_default_speeds_spark.plans.driver_queries import _roads_df
+
+    _, road_types, speed_limits, _ = load_rules_json(REFERENCE_DATASET_PATH)
+    ruleset = compile_ruleset(road_types, speed_limits)
+    roads = _roads_df(spark, "/root/testdata/sf0.001")
+    ccs = sorted(speed_limits.keys())
+    cc = F.element_at(
+        F.array(*[F.lit(c) for c in ccs]),
+        (F.col("road_id") % len(ccs) + 1).cast("int"),
+    )
+    roads = roads.withColumn("country_code", cc)
+
+    def norm(out):
+        return sorted(
+            (
+                r["road_id"],
+                None
+                if r["speed_limit"] is None
+                else (
+                    r["speed_limit"].road_type_name,
+                    tuple(sorted((r["speed_limit"].tags or {}).items())),
+                    r["speed_limit"].certitude,
+                ),
+            )
+            for r in out.collect()
+        )
+
+    direct = infer_speed_limits(roads, ruleset)
+    dedup = infer_speed_limits(roads, ruleset, dedup_inputs=True)
+    assert norm(direct) == norm(dedup)
