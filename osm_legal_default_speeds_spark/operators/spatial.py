@@ -219,21 +219,32 @@ def pip_region_column(
     return best
 
 
+def _rect_dist(b: RectBoundary, lon: Column, lat: Column) -> Column:
+    dx = F.greatest(F.lit(b.lon_min) - lon, lon - F.lit(b.lon_max), F.lit(0.0))
+    dy = F.greatest(F.lit(b.lat_min) - lat, lat - F.lit(b.lat_max), F.lit(0.0))
+    return dx * dx + dy * dy
+
+
 def knn_region_column(
     boundaries: list[RectBoundary], lon: Column, lat: Column
 ) -> Column:
     """Nearest boundary by clamped point-to-rectangle distance
     (exact argmin over the broadcast dim — map-side, no shuffle).
-    Distance ties break by region_code ascending for determinism."""
-    candidates = []
-    for b in boundaries:
-        dx = F.greatest(F.lit(b.lon_min) - lon, lon - F.lit(b.lon_max), F.lit(0.0))
-        dy = F.greatest(F.lit(b.lat_min) - lat, lat - F.lit(b.lat_max), F.lit(0.0))
-        dist = dx * dx + dy * dy
-        candidates.append(F.struct(dist.alias("d"), F.lit(b.region_code).alias("r")))
-    arr = F.array(*candidates)
-    best = F.array_min(arr)
-    return best.getField("r")
+    Distance ties break by region_code ascending for determinism.
+
+    Implemented as a right-to-left ``when`` fold over regions sorted by
+    code DESCENDING with a ``<=`` comparison against the running
+    minimum — allocation-free (no per-row struct array; array_min over
+    structs allocates 13 structs + an array per row, which is DRAM-
+    bandwidth-bound at scale) and equivalent to min-by-(d, region)."""
+    ordered = sorted(boundaries, key=lambda b: b.region_code)
+    dists = [_rect_dist(b, lon, lat) for b in ordered]
+    min_d = dists[0] if len(dists) == 1 else F.least(*dists)
+    # first region (ascending code order) whose distance equals the min
+    best: Column = F.lit(None).cast("string")
+    for b, d in zip(reversed(ordered), reversed(dists)):
+        best = F.when(d == min_d, F.lit(b.region_code)).otherwise(best)
+    return best
 
 
 def resolve_jurisdiction_column(
@@ -243,6 +254,114 @@ def resolve_jurisdiction_column(
     return F.coalesce(
         pip_region_column(boundaries, lon, lat),
         knn_region_column(boundaries, lon, lat),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cell-indexed kNN (the scale path for large boundary sets)
+# --------------------------------------------------------------------------
+
+def _cell_rect(cell: int, res: int) -> tuple[float, float, float, float]:
+    nx, ny = grid_nx(res), grid_ny(res)
+    x, y = divmod(cell, ny)
+    lon0 = -180.0 + x * 360.0 / nx
+    lat0 = -90.0 + y * 180.0 / ny
+    return lon0, lat0, lon0 + 360.0 / nx, lat0 + 180.0 / ny
+
+
+def _rect_rect_min_d2(a, b: RectBoundary) -> float:
+    dx = max(b.lon_min - a[2], a[0] - b.lon_max, 0.0)
+    dy = max(b.lat_min - a[3], a[1] - b.lat_max, 0.0)
+    return dx * dx + dy * dy
+
+
+def _rect_rect_max_d2(a, b: RectBoundary) -> float:
+    """Max over points p in cell-rect a of min distance from p to
+    boundary rect b: per axis, the farthest cell edge from the rect's
+    span (0 when the rect spans the whole cell on that axis)."""
+    dx = max(b.lon_min - a[0], a[2] - b.lon_max, 0.0)
+    dy = max(b.lat_min - a[1], a[3] - b.lat_max, 0.0)
+    return dx * dx + dy * dy
+
+
+def knn_cell_index(
+    boundaries: list[RectBoundary], res: int
+) -> dict[int, list[RectBoundary]]:
+    """Driver-side exact-kNN pruning index: per grid cell, the
+    boundaries that can be nearest for SOME point in the cell —
+    candidates whose lower-bound distance <= the best upper bound
+    (ball-cover pruning). The per-point argmin over this candidate
+    list equals the global argmin for every point in the cell.
+
+    Cost is O(cells x boundaries) on the driver at a coarse res
+    (res 6 = 8,192 cells); the per-row cost becomes O(|candidates|)
+    (typically 1-4) instead of O(|boundaries|) — the difference
+    between 13 rectangles and 10^5 admin polygons at 10^12 rows."""
+    nx, ny = grid_nx(res), grid_ny(res)
+    index: dict[int, list[RectBoundary]] = {}
+    for cell in range(nx * ny):
+        rect = _cell_rect(cell, res)
+        best_ub = min(_rect_rect_max_d2(rect, b) for b in boundaries)
+        cands = [b for b in boundaries if _rect_rect_min_d2(rect, b) <= best_ub]
+        # deterministic tie-break order matches knn_region_column
+        index[cell] = sorted(cands, key=lambda b: b.region_code)
+    return index
+
+
+def knn_assign_via_index(
+    points: DataFrame,
+    boundaries: list[RectBoundary],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    out_col: str = "nearest_region",
+    index_res: int = 6,
+) -> DataFrame:
+    """Broadcast cell->candidates equi-join + exact argmin within the
+    (tiny) candidate array. Identical results to ``knn_region_column``;
+    scales to large boundary sets where the flat per-row scan cannot.
+    The fact side stays map-only (one broadcast join, no shuffle)."""
+    spark = points.sparkSession
+    idx = knn_cell_index(boundaries, index_res)
+    rows = [
+        (
+            cell,
+            [
+                (b.region_code, b.lon_min, b.lat_min, b.lon_max, b.lat_max)
+                for b in cands
+            ],
+        )
+        for cell, cands in idx.items()
+    ]
+    idx_df = F.broadcast(
+        spark.createDataFrame(
+            rows,
+            "cell long, cands array<struct<r:string, lon_min:double, "
+            "lat_min:double, lon_max:double, lat_max:double>>",
+        )
+    )
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    pts = points.withColumn("_knn_cell", grid_cell(lon, lat, index_res))
+    joined = pts.join(idx_df, pts["_knn_cell"] == idx_df["cell"], "left").drop(
+        "cell"
+    )
+
+    def dist(c: Column) -> Column:
+        dx = F.greatest(
+            c.getField("lon_min") - lon, lon - c.getField("lon_max"), F.lit(0.0)
+        )
+        dy = F.greatest(
+            c.getField("lat_min") - lat, lat - c.getField("lat_max"), F.lit(0.0)
+        )
+        return dx * dx + dy * dy
+
+    best = F.array_min(
+        F.transform(
+            F.col("cands"),
+            lambda c: F.struct(dist(c).alias("d"), c.getField("r").alias("r")),
+        )
+    )
+    return joined.withColumn(out_col, best.getField("r")).drop(
+        "cands", "_knn_cell"
     )
 
 

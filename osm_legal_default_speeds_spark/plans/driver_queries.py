@@ -540,4 +540,7 @@ ORACLES = {
     "knn_nearest": SQL_KNN_NEAREST,
     "tile_rollup": SQL_TILE_ROLLUP,
     **TRAININGDATA_ORACLES,
+    # the cell index is an exact pruning of the flat argmin scan, so
+    # the indexed path shares the full-scan oracle
+    "knn_indexed": SQL_KNN_NEAREST,
 }

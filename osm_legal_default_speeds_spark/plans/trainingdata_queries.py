@@ -547,6 +547,52 @@ def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> feature-extract over the payload table; metadata-only
+    output (bytes never shuffle). Rows-only contract (codec path)."""
+    from osm_legal_default_speeds_spark.payload.images import (
+        image_features,
+        synth_image_table,
+    )
+
+    images = synth_image_table(spark, 256, parts=8)
+    return image_features(images).select(
+        "image_id", "phash", "w", "h",
+        F.round(F.col("mean_lum"), 3).alias("mean_lum"),
+        F.round(F.col("edge_energy"), 3).alias("edge_energy"),
+    )
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize (nearest-neighbor re-encode with the row's own codec)
+    then re-decode: output carries the new dims + recomputed phash.
+    Rows-only contract (codec path)."""
+    from osm_legal_default_speeds_spark.payload.images import (
+        image_features,
+        resize_images,
+        synth_image_table,
+    )
+
+    images = synth_image_table(spark, 128, parts=4)
+    small = resize_images(images, 16, 12)
+    return image_features(small).select("image_id", "w", "h", "phash")
+
+
+def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate image groups planted every 4 consecutive ids
+    (dup_group) -> phash bit-band LSH self-join on the metadata
+    projection. Rows-only contract (phash comes from the codec path)."""
+    from osm_legal_default_speeds_spark.payload.images import (
+        images_from_ids,
+        phash_near_dup_pairs,
+    )
+
+    ids = spark.range(0, 128, 1, 4).select(F.col("id"))
+    images = images_from_ids(ids, dup_group=4)
+    meta = images.select("image_id", "phash")
+    return phash_near_dup_pairs(meta, max_hamming=2, band_bits=16)
+
+
 TRAININGDATA_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
@@ -558,7 +604,32 @@ TRAININGDATA_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "events_rollup": q_events_rollup,
     "image_verify": q_image_verify,
+    "image_features": q_image_features,
+    "image_resize": q_image_resize,
+    "image_phash_near_dup": q_image_phash_near_dup,
+    "knn_indexed": None,  # placeholder replaced below
 }
+
+
+def q_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-indexed kNN (the large-boundary-set scale path): broadcast
+    cell->candidate join + argmin in the tiny candidate array. Oracle:
+    the same full-scan argmin SQL as knn_nearest — the index is an
+    exact pruning, so results are identical."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        knn_assign_via_index,
+    )
+    from osm_legal_default_speeds_spark.plans.driver_queries import (
+        _roads_df,
+        synth_boundaries,
+    )
+
+    roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
+    out = knn_assign_via_index(roads, synth_boundaries(), index_res=6)
+    return out.select("road_id", "nearest_region")
+
+
+TRAININGDATA_QUERIES["knn_indexed"] = q_knn_indexed
 
 TRAININGDATA_ORACLES = {
     "exact_dedup": SQL_EXACT_DEDUP,

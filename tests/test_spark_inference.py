@@ -479,3 +479,32 @@ def test_infer_dedup_inputs_full_dataset(spark):
     direct = infer_speed_limits(roads, ruleset)
     dedup = infer_speed_limits(roads, ruleset, dedup_inputs=True)
     assert norm(direct) == norm(dedup)
+
+
+def test_knn_indexed_matches_flat_scan(spark):
+    """Cell-indexed kNN (broadcast candidate join) must equal the flat
+    per-row argmin over all boundaries, including deep-ocean points
+    far from every rectangle and tie cells."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        knn_assign_via_index,
+        knn_region_column,
+    )
+    from osm_legal_default_speeds_spark.plans.driver_queries import (
+        _roads_df,
+        synth_boundaries,
+    )
+
+    bs = synth_boundaries()
+    roads = _roads_df(spark, "/root/testdata/sf0.001").select(
+        "road_id", "lon", "lat"
+    )
+    flat = roads.select(
+        "road_id",
+        knn_region_column(bs, F.col("lon"), F.col("lat")).alias("r"),
+    )
+    indexed = knn_assign_via_index(roads, bs, index_res=6).select(
+        "road_id", F.col("nearest_region").alias("r")
+    )
+    assert sorted(map(tuple, flat.collect())) == sorted(
+        map(tuple, indexed.collect())
+    )
