@@ -411,6 +411,155 @@ FROM orders
 """
 
 
+def relations_ruleset():
+    road_types = {
+        "euro road": RoadTypeFilterDef(relation_filter="network=e-road"),
+        "urban": RoadTypeFilterDef("lit=yes"),
+    }
+    rules = {
+        "AB": [
+            RoadTypeDef("euro road", {"maxspeed": "90"}),
+            RoadTypeDef("urban", {"maxspeed": "50"}),
+            RoadTypeDef(None, {"maxspeed": "100"}),
+        ]
+    }
+    return compile_ruleset(road_types, rules)
+
+
+def q_relation_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: EXISTS over the road's relations array — a rule whose
+    relationFilter matches ANY relation tag-map wins at Exact
+    certitude; array-local, no shuffle."""
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    rel = F.when(
+        k % 3 == 0,
+        F.array(F.create_map(F.lit("type"), F.lit("route"),
+                             F.lit("network"), F.lit("e-road"))),
+    ).when(
+        k % 3 == 1,
+        F.array(F.create_map(F.lit("type"), F.lit("route"),
+                             F.lit("network"), F.lit("lcn"))),
+    ).otherwise(F.array().cast("array<map<string,string>>"))
+    lit_v = F.when(k % 2 == 0, "yes").otherwise("no")
+    roads = o.select(
+        k.alias("road_id"),
+        F.lit("AB").alias("country_code"),
+        F.create_map(F.lit("lit"), lit_v).alias("tags"),
+        rel.alias("relations_tags"),
+    )
+    out = infer_speed_limits(
+        roads, relations_ruleset(), relations_col="relations_tags"
+    )
+    r = F.col("speed_limit")
+    return out.select(
+        "road_id",
+        r.getField("road_type_name").alias("road_type_name"),
+        r.getField("certitude").alias("certitude"),
+        F.element_at(r.getField("tags"), F.lit("maxspeed")).alias("out_maxspeed"),
+    )
+
+
+SQL_RELATION_SEMIJOIN = """
+SELECT o_orderkey AS road_id,
+  CASE WHEN o_orderkey % 3 = 0 THEN 'euro road'
+       WHEN o_orderkey % 2 = 0 THEN 'urban' END AS road_type_name,
+  CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 2 = 0 THEN 'Exact'
+       ELSE 'Fallback' END AS certitude,
+  CASE WHEN o_orderkey % 3 = 0 THEN '90'
+       WHEN o_orderkey % 2 = 0 THEN '50'
+       ELSE '100' END AS out_maxspeed
+FROM orders
+"""
+
+
+def q_override_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: the replacer hook as a per-row overrides map column — a
+    true entry forces the named road type's predicate regardless of
+    tags (e.g. an is-urban signal from the spatial layer)."""
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    overrides = F.when(
+        k % 5 == 0, F.create_map(F.lit("urban"), F.lit(True))
+    ).when(
+        k % 5 == 1, F.create_map(F.lit("urban"), F.lit(False))
+    )
+    lit_v = F.when(k % 2 == 0, "yes").otherwise("no")
+    roads = o.select(
+        k.alias("road_id"),
+        F.lit("AB").alias("country_code"),
+        F.create_map(F.lit("lit"), lit_v).alias("tags"),
+        overrides.cast("map<string,boolean>").alias("overrides"),
+    )
+    out = infer_speed_limits(
+        roads, relations_ruleset(), overrides_col="overrides"
+    )
+    r = F.col("speed_limit")
+    return out.select(
+        "road_id",
+        r.getField("road_type_name").alias("road_type_name"),
+        r.getField("certitude").alias("certitude"),
+    )
+
+
+SQL_OVERRIDE_COLUMN = """
+SELECT o_orderkey AS road_id,
+  CASE WHEN o_orderkey % 5 = 0 THEN 'urban'
+       WHEN o_orderkey % 5 = 1 THEN NULL
+       WHEN o_orderkey % 2 = 0 THEN 'urban' END AS road_type_name,
+  CASE WHEN o_orderkey % 5 = 0 THEN 'Exact'
+       WHEN o_orderkey % 5 = 1 THEN 'Fallback'
+       WHEN o_orderkey % 2 = 0 THEN 'Exact'
+       ELSE 'Fallback' END AS certitude
+FROM orders
+"""
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-island sessionization semantics (the batch oracle the
+    stateful streaming operator is pinned against), oracle-checked in
+    SQL. Timestamps exported as epoch seconds; value sums rounded (the
+    two engines fold doubles in different orders)."""
+    from osm_legal_default_speeds_spark.streaming.event_rollup import (
+        batch_sessions,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    s = batch_sessions(ev, gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("start_s"),
+        F.unix_timestamp("session_end").alias("end_s"),
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+SQL_SESSIONIZE_BATCH = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER w)) > 1800 THEN 1 ELSE 0 END
+      AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_no
+  FROM marked
+)
+SELECT user_id,
+  FLOOR(epoch(MIN(ts)))::BIGINT AS start_s,
+  FLOOR(epoch(MAX(ts)))::BIGINT AS end_s,
+  COUNT(*)::INT AS n_events,
+  ROUND(SUM(value), 4) AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
 def q_grid_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     roads = _roads_df(spark, sf_dir)
     cell7 = grid_cell(F.col("lon"), F.col("lat"), 7)
@@ -524,6 +673,9 @@ QUERIES = {
     "pip_jurisdiction": q_pip_jurisdiction,
     "knn_nearest": q_knn_nearest,
     "tile_rollup": q_tile_rollup,
+    "relation_semijoin": q_relation_semijoin,
+    "override_column": q_override_column,
+    "sessionize_batch": q_sessionize_batch,
     **TRAININGDATA_QUERIES,
 }
 
@@ -539,6 +691,9 @@ ORACLES = {
     "pip_jurisdiction": SQL_PIP_JURISDICTION,
     "knn_nearest": SQL_KNN_NEAREST,
     "tile_rollup": SQL_TILE_ROLLUP,
+    "relation_semijoin": SQL_RELATION_SEMIJOIN,
+    "override_column": SQL_OVERRIDE_COLUMN,
+    "sessionize_batch": SQL_SESSIONIZE_BATCH,
     **TRAININGDATA_ORACLES,
     # the cell index is an exact pruning of the flat argmin scan, so
     # the indexed path shares the full-scan oracle
