@@ -516,7 +516,9 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_s", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # rounded: double-sum order differs between engines (and
+            # between Spark's partial/final aggregation splits)
+            F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
 
@@ -525,10 +527,36 @@ SQL_EVENTS_ROLLUP = f"""
 SELECT (FLOOR(epoch(ts) / {BUCKET_S}) * {BUCKET_S})::BIGINT AS bucket_s,
        event_type,
        COUNT(*) AS n_events,
-       SUM(value) AS total_value
+       ROUND(SUM(value), 4) AS total_value
 FROM events
 GROUP BY 1, 2
 """
+
+
+def q_events_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME rollup through Structured Streaming: stage the events
+    table as a file-source directory, drain it with
+    Trigger.AvailableNow through the watermarked windowed aggregation,
+    and return the sink. Shares the batch SQL oracle — streaming/batch
+    equivalence IS the check."""
+    import tempfile
+
+    from osm_legal_default_speeds_spark.streaming.event_rollup import (
+        streaming_event_rollup,
+    )
+
+    d = tempfile.mkdtemp(prefix="ev_src_")
+    ck = tempfile.mkdtemp(prefix="ev_ck_")
+    _read(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(d)
+    out = streaming_event_rollup(
+        spark, d, ck, sink_table="q_stream_rollup", window="6 hours"
+    )
+    return out.select(
+        "bucket_s",
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -603,6 +631,7 @@ TRAININGDATA_QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "events_rollup": q_events_rollup,
+    "events_rollup_streaming": q_events_rollup_streaming,
     "image_verify": q_image_verify,
     "image_features": q_image_features,
     "image_resize": q_image_resize,
@@ -641,6 +670,8 @@ TRAININGDATA_ORACLES = {
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "events_rollup": SQL_EVENTS_ROLLUP,
-    # image_verify intentionally absent: codec decode + PSNR is not
-    # SQL-expressible; the driver records a rows-only check.
+    "events_rollup_streaming": SQL_EVENTS_ROLLUP,
+    # image_verify/image_features/image_resize/image_phash_near_dup
+    # intentionally absent: codec decode + PSNR is not SQL-expressible;
+    # the driver records rows-only checks for them.
 }

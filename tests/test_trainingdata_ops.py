@@ -226,3 +226,32 @@ def test_embedding_near_dups(spark, vectors):
         vectors.unionAll(first), planes, min_cosine=0.9999
     ).collect()
     assert any(r["id_b"] == r["id_a"] + 100000 for r in pairs)
+
+
+def test_brute_force_topk_np_matches_fold_path(spark):
+    """NumPy matmul ANN fast path must agree with the sequential-fold
+    exact path on ids/ranks, and on sims within float tolerance."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qrows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, query_vec array<float>"
+    )
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        brute_force_topk_np,
+    )
+
+    exact = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in brute_force_topk_np(emb, qrows, k=5).collect()
+    }
+    assert set(exact) == set(fast)
+    for key in exact:
+        assert exact[key][0] == fast[key][0], key
+        assert exact[key][1] == pytest.approx(fast[key][1], abs=1e-9)
