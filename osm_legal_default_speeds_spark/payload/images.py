@@ -448,3 +448,57 @@ def phash_near_dup_pairs(meta: DataFrame, max_hamming: int = 6, band_bits: int =
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
+
+
+PATCH_SCHEMA = (
+    "image_id string, patch_id int, x int, y int, pw int, ph int, "
+    "bytes binary, fmt string, phash long"
+)
+
+
+def sample_patches(
+    images: DataFrame, grid: int = 2, pw: int = 8, ph: int = 8
+) -> DataFrame:
+    """Deterministic patch sampling — the still-image analogue of
+    video frame-sampling: a ``grid x grid`` lattice of ``pw x ph``
+    crops per image, each re-encoded with the row's own codec. One
+    expanding ``mapInPandas`` pass (1 -> grid^2 rows); patch offsets
+    are pure functions of the image dims, so any engine reproduces the
+    exact crops. Output carries per-patch phash for downstream dedup/
+    ANN over patches instead of whole images."""
+
+    def patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "image_id", "patch_id", "x", "y", "pw", "ph",
+                "bytes", "fmt", "phash",
+            )}
+            for i in range(len(pdf)):
+                px = decode_image(pdf["bytes"].iloc[i], pdf["fmt"].iloc[i])
+                h, w, _ = px.shape
+                pid = 0
+                for gy in range(grid):
+                    for gx in range(grid):
+                        x0 = (gx * max(w - pw, 0)) // max(grid - 1, 1)
+                        y0 = (gy * max(h - ph, 0)) // max(grid - 1, 1)
+                        crop = px[y0 : y0 + ph, x0 : x0 + pw]
+                        rows["image_id"].append(pdf["image_id"].iloc[i])
+                        rows["patch_id"].append(pid)
+                        rows["x"].append(x0)
+                        rows["y"].append(y0)
+                        rows["pw"].append(crop.shape[1])
+                        rows["ph"].append(crop.shape[0])
+                        rows["bytes"].append(
+                            _ENCODERS[pdf["fmt"].iloc[i]](crop)
+                        )
+                        rows["fmt"].append(pdf["fmt"].iloc[i])
+                        rows["phash"].append(phash64(crop))
+                        pid += 1
+            out = pd.DataFrame(rows)
+            out["patch_id"] = out["patch_id"].astype("int32")
+            for c in ("x", "y", "pw", "ph"):
+                out[c] = out[c].astype("int32")
+            out["phash"] = out["phash"].astype("int64")
+            yield out
+
+    return images.mapInPandas(patches, PATCH_SCHEMA)

@@ -133,3 +133,38 @@ def test_phash_near_dup_pairs(spark, images):
     pairs = phash_near_dup_pairs(meta.unionAll(dup), max_hamming=0)
     hit = [r for r in pairs.collect() if r["id_b"] == "img-dup"]
     assert len(hit) == 1 and hit[0]["hamming"] == 0
+
+
+def test_sample_patches_deterministic_and_decodable(spark):
+    from osm_legal_default_speeds_spark.payload.images import (
+        decode_image,
+        reference_pixels,
+        sample_patches,
+        synth_image_table,
+        _image_num,
+    )
+    import numpy as np
+
+    images = synth_image_table(spark, 12, parts=3)
+    patches = sample_patches(images, grid=2, pw=8, ph=8)
+    rows = patches.collect()
+    assert len(rows) == 12 * 4
+    # every patch decodes and (for lossless fmts) equals the reference
+    # crop at its recorded offset
+    for r in rows[:16]:
+        px = decode_image(bytes(r["bytes"]), r["fmt"])
+        assert px.shape == (r["ph"], r["pw"], 3)
+        if r["fmt"] in ("png", "raw"):
+            num = int(r["image_id"][4:])
+            # regenerate the full reference image and crop
+            import pandas as pd
+            from osm_legal_default_speeds_spark.payload.images import image_dims
+            w, h = image_dims(np.array([num]))
+            ref = reference_pixels(num, int(w[0]), int(h[0]))
+            crop = ref[r["y"]: r["y"] + r["ph"], r["x"]: r["x"] + r["pw"]]
+            assert np.array_equal(px, crop)
+    # second run identical (deterministic)
+    again = sorted((r["image_id"], r["patch_id"], r["phash"]) for r in
+                   sample_patches(images, grid=2, pw=8, ph=8).collect())
+    first = sorted((r["image_id"], r["patch_id"], r["phash"]) for r in rows)
+    assert first == again

@@ -508,3 +508,28 @@ def test_knn_indexed_matches_flat_scan(spark):
     assert sorted(map(tuple, flat.collect())) == sorted(
         map(tuple, indexed.collect())
     )
+
+
+def test_tile_rollup_plan_is_two_phase(spark):
+    """Plan-shape pin: the salted rollup must show partial aggregation
+    by (tile, salt) BEFORE the exchange and a merge by tile after —
+    the shuffle carries one row per (tile, salt), never per input row
+    (SURVEY §2.7 A5 / hard-part 5)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        assign_tiles,
+        tile_rollup,
+    )
+    from osm_legal_default_speeds_spark.plans.driver_queries import _roads_df
+
+    roads = _roads_df(spark, "/root/testdata/sf0.001").select(
+        "road_id", "lon", "lat"
+    )
+    df = tile_rollup(assign_tiles(roads, tile_res=5), salt_buckets=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two aggregation levels around one exchange
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 phases
+    assert "Exchange" in plan
+    first_exchange = plan.index("Exchange")
+    # a partial aggregate keyed by the salt must appear BELOW (after in
+    # the printed tree) the exchange — i.e. map-side combine exists
+    assert "_salt" in plan[first_exchange:]
