@@ -322,7 +322,9 @@ def run_scaling(sf_dir: str) -> None:
             "  re-pay);\n"
             "- the action is a **noop sink** materializing every column\n"
             "  (a count() action lets Catalyst prune the operators under\n"
-            "  measurement).\n\n"
+            "  measurement);\n"
+            "- wall times are **min-of-3** (the host shows large\n"
+            "  run-to-run variance from noisy neighbors / turbo).\n\n"
             "Workload: flagship pipeline (grid encode -> PIP jurisdiction ->\n"
             "kNN fallback -> tile assignment -> full-ruleset [242 countries /\n"
             "1206 rules, broadcast] speed-limit inference cascade), input\n"
