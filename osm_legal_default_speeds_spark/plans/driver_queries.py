@@ -8,18 +8,27 @@ operators) and the independent hand-written DuckDB SQL must agree
 bit-for-bit. Column names are aliased identically on both sides (the
 driver's comparator sorts columns by name before hashing).
 
-Query -> SURVEY §2 coverage:
+Query -> SURVEY §2 coverage (full inventory-to-query map: COVERAGE.md):
   tagfilter_atoms    F1-F12 native Column compilation
   units_normalize    F13 native unit normalization
   bool_precedence    B1-B4, B7/B8 combinators
   effective_country  F14 subdivision -> country fallback
   relevant_keys      F16 map-internal key pruning
   cascade_infer      C1-C5 match cascade + A1 first-match (Arrow UDF path)
+  relation_semijoin  C6 EXISTS over the relations array
+  override_column    C7 replacer hook as per-row overrides map
   result_assembly    R1-R4 result map algebra incl. conditional capping
   grid_encode        graft: hierarchical grid encode + parent rollup
   pip_jurisdiction   graft: broadcast PIP join (cell index -> exact test)
   knn_nearest        graft: kNN border resolution (argmin over dim)
+  knn_indexed        graft: cell-indexed kNN (ball-cover pruning)
   tile_rollup        graft: salted two-phase per-tile aggregation (A5)
+  sessionize_batch   gap-and-island sessions (stateful-op batch oracle)
+plus the training-data set from plans.trainingdata_queries:
+  exact_dedup minhash_near_dup simhash_near_dup ngram_jaccard
+  text_quality ann_topk ann_lsh_topk embedding_near_dup events_rollup
+  events_rollup_streaming image_verify image_features image_resize
+  image_phash_near_dup (image_* are rows-only: real codecs)
 """
 
 from __future__ import annotations
