@@ -135,3 +135,24 @@ def test_manifest_json_shape(spark, tmp_path):
         "pid", "rows", "batch_wall_s", "batch_buckets", "lineage", "app_id"
     }
     assert m["lineage"]["num_buckets"] == 4
+
+
+def test_output_layout_supports_partition_pruning(spark, tmp_path):
+    """The pid=<bucket> hive layout must let Spark prune partitions on
+    a bucket filter: reading one bucket touches one directory (the
+    Iceberg-style read path at 10^12 rows: tile-bucket predicates never
+    scan the full table)."""
+    out = str(tmp_path / "pruned")
+    run_checkpointed(spark, _pipeline, out, "tile_id", NUM_BUCKETS, batch_size=8)
+
+    df = spark.read.parquet(out).where(F.col("pid") == 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the pid predicate must reach the scan as a PartitionFilter (a
+    # post-scan Filter node would mean the full table is read)
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "pid" in pf[1][:80], plan
+    # and the pruned read returns exactly the bucket-3 rows
+    full = spark.read.parquet(out)
+    assert df.count() == full.where(F.col("pid") == 3).count() > 0
+    manifests = {m["pid"]: m["rows"] for m in read_manifests(out)}
+    assert df.count() == manifests[3]
