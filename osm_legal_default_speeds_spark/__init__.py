@@ -34,4 +34,25 @@ from osm_legal_default_speeds_spark.plans.reference_engine import (  # noqa: F40
     LegalDefaultSpeedsEngine,
 )
 
+
+def __getattr__(name):
+    # Lazy re-exports of the Spark-dependent surface so importing the
+    # package for the pure-Python engine never touches pyspark.
+    if name in ("infer_speed_limits", "prune_relevant_tags",
+                "is_relevant_tag_key_col"):
+        from osm_legal_default_speeds_spark.operators import inference
+
+        return getattr(inference, name)
+    if name in ("assign_jurisdiction", "assign_tiles", "tile_rollup",
+                "knn_assign_via_index", "resolve_jurisdiction_column"):
+        from osm_legal_default_speeds_spark.operators import spatial
+
+        return getattr(spatial, name)
+    if name == "load_rules_json":
+        from osm_legal_default_speeds_spark.sources import rules_json
+
+        return rules_json.load_rules_json
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"
