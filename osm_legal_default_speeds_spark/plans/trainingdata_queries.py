@@ -563,6 +563,43 @@ def q_events_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 # image_verify — rows-only (codec decode is not SQL-expressible)
 # --------------------------------------------------------------------------
 
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-source metadata oracle: run the REAL payload generator
+    (mapInPandas, codecs and all) over ids drawn from orders and expose
+    the metadata columns — which are pure integer/string functions of
+    the id, so DuckDB recomputes them exactly. Pins the source's schema
+    and derivations; the pixel side is covered by image_verify."""
+    from osm_legal_default_speeds_spark.payload.images import images_from_ids
+
+    o = _read(spark, sf_dir, "orders")
+    ids = o.where(F.col("o_orderkey") < 400).select(
+        F.col("o_orderkey").alias("id")
+    )
+    imgs = images_from_ids(ids)
+    return imgs.select(
+        "image_id", "w", "h", "fmt", "caption",
+        (F.length("bytes") > 0).alias("has_payload"),
+    )
+
+
+def _sql_image_meta() -> str:
+    from osm_legal_default_speeds_spark.payload.images import CAPTION_SQL
+
+    cap = CAPTION_SQL.format(id="o_orderkey")
+    return f"""
+SELECT 'img-' || o_orderkey AS image_id,
+       (24 + (o_orderkey % 5) * 8)::INT AS w,
+       (16 + (o_orderkey % 7) * 8)::INT AS h,
+       ['png','raw','q6'][(o_orderkey % 3 + 1)::INT] AS fmt,
+       {cap} AS caption,
+       TRUE AS has_payload
+FROM orders WHERE o_orderkey < 400
+"""
+
+
+SQL_IMAGE_META = _sql_image_meta()
+
+
 def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_legal_default_speeds_spark.payload.images import (
         decode_and_verify,
@@ -632,6 +669,7 @@ TRAININGDATA_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "events_rollup": q_events_rollup,
     "events_rollup_streaming": q_events_rollup_streaming,
+    "image_meta": q_image_meta,
     "image_verify": q_image_verify,
     "image_features": q_image_features,
     "image_resize": q_image_resize,
@@ -671,6 +709,7 @@ TRAININGDATA_ORACLES = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_rollup_streaming": SQL_EVENTS_ROLLUP,
+    "image_meta": SQL_IMAGE_META,
     # image_verify/image_features/image_resize/image_phash_near_dup
     # intentionally absent: codec decode + PSNR is not SQL-expressible;
     # the driver records rows-only checks for them.
