@@ -48,6 +48,15 @@ _RELATIONS_TYPE = "array<map<string,string>>"
 _OVERRIDES_TYPE = "map<string,boolean>"
 _MISS = object()
 
+# Worker-global inference caches, keyed by broadcast id: pyspark
+# workers are long-lived (spark.python.worker.reuse), so results and
+# the deserialized engine survive across Arrow batches AND tasks —
+# at scale each worker sees thousands of batches drawn from the same
+# skewed distribution of (country, relevant-tags) combinations.
+_WORKER_MEMO_CAP = 1_000_000
+_worker_memo: dict = {}
+_worker_engines: dict = {}
+
 
 def prune_relevant_tags(ruleset: CompiledRuleSet, tags_col: Column | str) -> Column:
     """Native map-internal column pruning: keep only tag keys any rule
@@ -132,11 +141,22 @@ def infer_speed_limits(
         else F.lit(None).cast(_OVERRIDES_TYPE)
     )
 
+    # per-operator token namespacing the worker-global caches (PySpark
+    # Broadcast exposes no stable id); batches/tasks of the same query
+    # share it, distinct rulesets never collide
+    import uuid
+
+    bc_id = uuid.uuid4().hex
+
     @F.pandas_udf(RESULT_SCHEMA)
     def _match_rules(
         cc: pd.Series, tags: pd.Series, rels: pd.Series, ovr: pd.Series
     ) -> pd.DataFrame:
-        engine = LegalDefaultSpeedsEngine(ruleset=bc.value)
+        engine = _worker_engines.get(bc_id)
+        if engine is None:
+            engine = LegalDefaultSpeedsEngine(ruleset=bc.value)
+            _worker_engines.clear()  # one live ruleset per worker is typical
+            _worker_engines[bc_id] = engine
         get = engine.get_speed_limits
         n = len(cc)
         names: list = [None] * n
@@ -148,13 +168,15 @@ def infer_speed_limits(
             rels.tolist(),
             ovr.tolist(),
         )
-        # Per-batch memo: real road data repeats the same
+        # Worker-global memo: real road data repeats the same
         # (country, relevant-tags) combination across huge numbers of
         # rows, and get_speed_limits is a pure function of its inputs —
         # distinct-combination cardinality, not row count, pays the
         # Python cost. (The engine itself runs ~30k rows/s/core; at
         # 10^12 rows only the memoized shape survives.)
-        memo: dict = {}
+        memo = _worker_memo
+        if len(memo) > _WORKER_MEMO_CAP:
+            memo.clear()
         for i in range(n):
             country = cc_l[i]
             if country is None:
@@ -164,6 +186,7 @@ def infer_speed_limits(
             relations = list(r) if r is not None and len(r) else ()
             o = ovr_l[i]
             key = (
+                bc_id,
                 country,
                 tuple(sorted(t.items())),
                 tuple(tuple(sorted(m.items())) for m in relations),
@@ -211,8 +234,17 @@ def _infer_dedup(
     overrides_col: str | None,
     result_col: str,
     prune_keys: bool,
+    broadcast_results: bool = True,
 ) -> DataFrame:
-    """distinct -> infer -> join-back plan (see infer_speed_limits)."""
+    """distinct -> infer -> join-back plan (see infer_speed_limits).
+
+    ``broadcast_results``: broadcast the (distinct-combination ->
+    result) side of the join-back. Distinct tag-combination cardinality
+    is orders of magnitude below row count, so this is almost always
+    right — without it Spark sorts the full fact side for a sort-merge
+    join (the UDF output has no size statistics), which spills and
+    anti-scales. Disable only if distinct combos approach driver
+    memory."""
     key_col = "__infer_key"
     work_tags = tags_col
     keyed = df
@@ -256,6 +288,8 @@ def _infer_dedup(
         overrides_col=overrides_col,
         result_col=result_col,
     ).select(country_col, key_col, result_col)
+    if broadcast_results:
+        inferred = F.broadcast(inferred)
 
     out = keyed.join(inferred, [country_col, key_col], "left")
     drop = [key_col] + ([work_tags] if prune_keys else [])
