@@ -250,6 +250,33 @@ def scaling_job(spark: SparkSession, sf_dir: str, replicate: int) -> int:
     return _run(sel)
 
 
+def _find_spark_submit() -> str | None:
+    import shutil
+
+    try:
+        import pyspark
+
+        cand = os.path.join(
+            os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+        )
+        if os.path.exists(cand):
+            return cand
+    except Exception:
+        pass
+    return shutil.which("spark-submit")
+
+
+def _ensure_pyfiles_zip() -> str:
+    import tempfile
+
+    from osm_legal_default_speeds_spark.jobs.pipeline_job import (
+        build_pyfiles_zip,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), "osm_speeds_pyfiles.zip")
+    return build_pyfiles_zip(path)
+
+
 def run_scaling(sf_dir: str) -> None:
     """Run the fixed-size scaling job at local[8] and local[32] in
     clean subprocess JVMs; print one JSON line with throughput at both
@@ -271,7 +298,21 @@ def run_scaling(sf_dir: str) -> None:
             # GC — i.e. the reported efficiency is conservative
             SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
-        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker"]
+        # Submit each measurement through real `spark-submit --py-files`
+        # (north rule: the job runs via spark-submit at two cluster
+        # sizes); falls back to a plain python driver if unavailable.
+        submit = _find_spark_submit()
+        if submit:
+            zip_path = _ensure_pyfiles_zip()
+            cmd = [
+                submit, "--master", f"local[{cpus}]",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zip_path,
+                os.path.abspath(__file__), "--scaling-worker",
+            ]
+            env["PYSPARK_PYTHON"] = sys.executable
+        else:
+            cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker"]
         # Pin the process to exactly N cores: without pinning, the
         # local[8] run's JVM threads AND its 8 Python UDF workers
         # spread over all 32 physical cores, inflating the "8-core"
