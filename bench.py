@@ -176,6 +176,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
             )
 
         queries["minhash_near_dup"] = q_minhash_prod
+
     except Exception:
         pass
 

@@ -221,6 +221,88 @@ def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Connected components: near-dup pairs -> duplicate groups
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Duplicate groups from a pair list: ``(node, component)`` where
+    ``component`` is the minimum node id reachable through the pair
+    graph — the canonical representative real dedup pipelines keep.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the min of its own label and its neighbors' labels; stop when
+    no label changes (checked with one count per round). Rounds needed
+    = graph diameter ≈ O(log n) for near-dup clusters (they are small
+    and dense); each round is one join + one aggregation, all keyed
+    shuffles on node ids, so the plan scales out and AQE handles skew
+    from giant components. The per-round convergence count is the only
+    driver-side action (no collect of data).
+
+    For 100 TB runs cache/checkpoint ``labels`` between rounds (done
+    here via localCheckpoint every few rounds to cut lineage growth).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+
+    for it in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst2"),
+                edges["dst"] == F.col("dst2"),
+            )
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min, labels["node"] == neighbor_min["src"], "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component"))
+                 < F.col("component")).alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # truncate lineage
+        changed = updated.where(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_groups_from_pairs(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """(component, member_count) group summary over the pair graph —
+    singletons (docs with no near-dup) are not part of the pair list
+    and therefore not emitted."""
+    cc = connected_components(pairs, a_col, b_col)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("rep_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash banding
 # ---------------------------------------------------------------------------
 

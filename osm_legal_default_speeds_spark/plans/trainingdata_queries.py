@@ -195,6 +195,45 @@ SQL_MINHASH_NEAR_DUP = _sql_minhash()
 
 
 # --------------------------------------------------------------------------
+# dup_components — near-dup pairs -> duplicate groups (connected
+# components via iterative min-label propagation; oracle = recursive
+# transitive closure over the same pair SQL)
+# --------------------------------------------------------------------------
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_legal_default_speeds_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = minhash_dedup_pairs(
+        _docs_near_aug(spark, sf_dir),
+        num_hashes=MH_NUM_HASHES,
+        num_bands=MH_NUM_BANDS,
+        shingle_n=MH_SHINGLE_N,
+        threshold=MH_THRESHOLD,
+        portable=True,
+    )
+    return connected_components(pairs).select("node", "component")
+
+
+SQL_DUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_NEAR_DUP}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+walks(node, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT w.node, e.d FROM walks w JOIN edges e ON w.r = e.s
+)
+SELECT node, least(node, min(r)) AS component
+FROM walks GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
 # simhash_near_dup — bit-band LSH on the 16-bit md5-based simhash
 # --------------------------------------------------------------------------
 
@@ -661,6 +700,7 @@ def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRAININGDATA_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
+    "dup_components": q_dup_components,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
@@ -701,6 +741,7 @@ TRAININGDATA_QUERIES["knn_indexed"] = q_knn_indexed
 TRAININGDATA_ORACLES = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
+    "dup_components": SQL_DUP_COMPONENTS,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "text_quality": SQL_TEXT_QUALITY,

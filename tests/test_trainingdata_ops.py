@@ -255,3 +255,95 @@ def test_brute_force_topk_np_matches_fold_path(spark):
     for key in exact:
         assert exact[key][0] == fast[key][0], key
         assert exact[key][1] == pytest.approx(fast[key][1], abs=1e-9)
+
+
+def _uf_components(pairs):
+    """Union-find oracle for connected_components."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    from osm_legal_default_speeds_spark.operators.dedup import (
+        connected_components,
+        dup_groups_from_pairs,
+    )
+
+    # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21,
+    # star 30-(31,32,33)
+    pairs = [
+        (1, 2), (2, 3), (3, 4),
+        (10, 11), (11, 12), (10, 12),
+        (20, 21),
+        (30, 31), (30, 32), (30, 33),
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _uf_components(pairs)
+
+    groups = {
+        r["component"]: r["n_members"]
+        for r in dup_groups_from_pairs(df).collect()
+    }
+    assert groups == {1: 4, 10: 3, 20: 2, 30: 4}
+
+
+def test_connected_components_on_minhash_pairs(spark, docs):
+    """End-to-end: minhash near-dup pairs -> dup groups; the planted
+    near-dups (docs 0,1,2 of the fixture) form one component."""
+    from osm_legal_default_speeds_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = minhash_dedup_pairs(
+        docs, num_hashes=32, num_bands=16, threshold=0.4
+    )
+    pair_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert pair_list  # fixture plants near-dups
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == _uf_components(pair_list)
+    assert got[0] == got[1] == got[2] == 0
+
+
+def test_text_features_python_twin_parity(spark):
+    """The independent Python twin must reproduce the Column path bit-for-bit
+    on every feature (same md5 hashes, same double-division order)."""
+    from osm_legal_default_speeds_spark.operators.textops import (
+        with_text_features,
+        with_text_features_python,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = [
+        "doc_id", "n_tokens", "n_bpe_tokens", "distinct_ratio",
+        "stopword_ratio_en", "lang_pred", "quality", "fingerprint",
+        "rolling_hash", "simhash",
+    ]
+    slow = sorted(
+        tuple(r[c] for c in cols)
+        for r in with_text_features(d).select(cols).collect()
+    )
+    fast = sorted(
+        tuple(r[c] for c in cols)
+        for r in with_text_features_python(d).select(cols).collect()
+    )
+    assert slow == fast
+    assert len(fast) == d.count()
