@@ -112,14 +112,18 @@ def run_checkpointed(
             t0 = time.monotonic()
             part = df.where(F.col(PID_COL).isin(batch))
 
-            # lineage fingerprint of the batch input (order-insensitive)
-            fingerprint = None
+            # lineage fingerprint rides the write as an observation —
+            # one pass, no separate aggregation job
+            obs = None
             if lineage_id_col is not None:
-                agg = part.agg(
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                part = part.observe(
+                    obs,
                     F.count(F.lit(1)).alias("n"),
                     F.expr(f"bit_xor(xxhash64({lineage_id_col}))").alias("fp"),
-                ).collect()[0]
-                fingerprint = {"input_rows": agg["n"], "id_hash_xor": str(agg["fp"])}
+                )
 
             (
                 part.write.mode("overwrite")
@@ -127,6 +131,13 @@ def run_checkpointed(
                 .parquet(output_dir)
             )
             wall_s = time.monotonic() - t0
+            fingerprint = None
+            if obs is not None:
+                got = obs.get
+                fingerprint = {
+                    "input_rows": got["n"],
+                    "id_hash_xor": str(got["fp"]),
+                }
 
             # per-bucket row counts: metadata-only scan of what we wrote
             counts = {
