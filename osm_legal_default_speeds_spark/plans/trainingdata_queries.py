@@ -402,6 +402,46 @@ SQL_TEXT_QUALITY = _sql_text_quality()
 
 
 # --------------------------------------------------------------------------
+# source_stats — aggregation over derived text features
+# --------------------------------------------------------------------------
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics over the derived features: doc
+    count, exact-distinct fingerprints (dedup rate), language mix, and
+    quality aggregate (rounded: double-sum order differs between
+    engines)."""
+    from osm_legal_default_speeds_spark.operators.textops import (
+        with_text_features,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    feats = with_text_features(d, "text", lang="en")
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_distinct_fp"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0)).alias(
+            "n_pred_en"
+        ),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+SQL_SOURCE_STATS = f"""
+WITH tq AS ({SQL_TEXT_QUALITY}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT s.source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT t.fingerprint) AS n_distinct_fp,
+       ROUND(AVG(t.quality), 4) AS avg_quality,
+       SUM(CASE WHEN t.lang_pred = 'en' THEN 1 ELSE 0 END) AS n_pred_en,
+       MAX(t.n_tokens) AS max_tokens
+FROM tq t JOIN src s ON t.doc_id = s.doc_id
+GROUP BY s.source
+"""
+
+
+# --------------------------------------------------------------------------
 # ANN: brute-force cosine top-k + LSH-bucketed variant + near-dup pairs
 # --------------------------------------------------------------------------
 
@@ -704,6 +744,7 @@ TRAININGDATA_QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
+    "source_stats": q_source_stats,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -745,6 +786,7 @@ TRAININGDATA_ORACLES = {
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "text_quality": SQL_TEXT_QUALITY,
+    "source_stats": SQL_SOURCE_STATS,
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
