@@ -51,7 +51,6 @@ def drop_exact_dups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep one representative (min id) per content digest."""
-    w = F.min(F.col(id_col)).over
     reps = exact_dedup_groups(df, text_col, id_col).select(
         F.col("rep_id").alias(id_col)
     )
