@@ -85,6 +85,28 @@ def grid_cell_py(lon: float, lat: float, res: int) -> int:
     return x * ny + y
 
 
+def neighbor_cells(cell: Column, res: int, k: int = 1) -> Column:
+    """Native k-ring: sorted distinct neighbor cell ids (including the
+    cell itself); longitude wraps, latitude clamps (edge rows simply
+    have fewer neighbors). Pure integer Column algebra — the
+    'explode of precomputed neighbor array' candidate generator for
+    neighborhood joins (adjacent-tile lookups, border smoothing)
+    without any library or UDF. Matches ``grid_neighbors_py``."""
+    nx, ny = grid_nx(res), grid_ny(res)
+    x = F.floor(cell / F.lit(ny)).cast("long")
+    y = (cell - x * ny).cast("long")
+    exprs = []
+    for dx in range(-k, k + 1):
+        for dy in range(-k, k + 1):
+            yy = y + dy
+            xx = F.pmod(x + dx, F.lit(nx))
+            nid = (xx * ny + yy).cast("long")
+            exprs.append(F.when((yy >= 0) & (yy < ny), nid))
+    return F.array_sort(
+        F.array_distinct(F.filter(F.array(*exprs), lambda c: c.isNotNull()))
+    )
+
+
 def grid_neighbors_py(cell: int, res: int, k: int = 1) -> list[int]:
     """k-ring neighborhood (including the cell itself); lon wraps,
     lat clamps."""

@@ -649,6 +649,58 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY road_id ORDER BY d, region_code) = 1
 """
 
 
+def q_tile_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring neighbor expansion (native Column algebra): one row per
+    (road, neighbor cell of its tile) — the candidate generator for
+    neighborhood joins."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        neighbor_cells,
+    )
+
+    roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
+    tiled = assign_tiles(roads, tile_res=4)
+    return tiled.select(
+        "road_id",
+        F.col("tile_id"),
+        F.explode(neighbor_cells(F.col("tile_id"), 4, 1)).alias("neighbor_cell"),
+    )
+
+
+def _sql_tile_neighbors() -> str:
+    # mirror neighbor_cells arithmetic at res 4 (nx=32, ny=16)
+    nx, ny = 32, 16
+    terms = []
+    for dx in range(-1, 2):
+        for dy in range(-1, 2):
+            terms.append(
+                f"CASE WHEN y + {dy} >= 0 AND y + {dy} < {ny} "
+                f"THEN ((((x + {dx}) % {nx}) + {nx}) % {nx}) * {ny} + (y + {dy}) END"
+            )
+    arr = "[" + ", ".join(terms) + "]"
+    return f"""
+WITH roads AS ({_ROADS_SQL}),
+tiled AS (
+  SELECT road_id,
+    (LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * {nx}), 0), {nx - 1})::BIGINT * {ny}
+     + LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * {ny}), 0), {ny - 1})::BIGINT)
+      AS tile_id
+  FROM roads
+),
+xy AS (
+  SELECT road_id, tile_id,
+         (tile_id // {ny})::BIGINT AS x, (tile_id % {ny})::BIGINT AS y
+  FROM tiled
+)
+SELECT road_id, tile_id, u.neighbor_cell
+FROM xy,
+  UNNEST(list_sort(list_distinct(list_filter({arr}, c -> c IS NOT NULL))))
+    AS u(neighbor_cell)
+"""
+
+
+SQL_TILE_NEIGHBORS = _sql_tile_neighbors()
+
+
 def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
     tiled = assign_tiles(roads, tile_res=5)
@@ -682,6 +734,7 @@ QUERIES = {
     "pip_jurisdiction": q_pip_jurisdiction,
     "knn_nearest": q_knn_nearest,
     "tile_rollup": q_tile_rollup,
+    "tile_neighbors": q_tile_neighbors,
     "relation_semijoin": q_relation_semijoin,
     "override_column": q_override_column,
     "sessionize_batch": q_sessionize_batch,
@@ -700,6 +753,7 @@ ORACLES = {
     "pip_jurisdiction": SQL_PIP_JURISDICTION,
     "knn_nearest": SQL_KNN_NEAREST,
     "tile_rollup": SQL_TILE_ROLLUP,
+    "tile_neighbors": SQL_TILE_NEIGHBORS,
     "relation_semijoin": SQL_RELATION_SEMIJOIN,
     "override_column": SQL_OVERRIDE_COLUMN,
     "sessionize_batch": SQL_SESSIONIZE_BATCH,

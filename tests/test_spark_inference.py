@@ -533,3 +533,27 @@ def test_tile_rollup_plan_is_two_phase(spark):
     # a partial aggregate keyed by the salt must appear BELOW (after in
     # the printed tree) the exchange — i.e. map-side combine exists
     assert "_salt" in plan[first_exchange:]
+
+
+def test_neighbor_cells_matches_python(spark):
+    """Native k-ring Column == pure-Python grid_neighbors_py on a
+    sample of cells incl. poles and the antimeridian wrap."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        grid_neighbors_py,
+        grid_nx,
+        grid_ny,
+        neighbor_cells,
+    )
+
+    res, k = 4, 1
+    nx, ny = grid_nx(res), grid_ny(res)
+    cells = [0, 1, ny - 1, ny, 7 * ny + 5, (nx - 1) * ny, nx * ny - 1]
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+    got = {
+        r["cell"]: list(r["nbrs"])
+        for r in df.select(
+            "cell", neighbor_cells(F.col("cell"), res, k).alias("nbrs")
+        ).collect()
+    }
+    for c in cells:
+        assert got[c] == grid_neighbors_py(c, res, k), c
