@@ -318,7 +318,13 @@ def knn_cell_index(
     Cost is O(cells x boundaries) on the driver at a coarse res
     (res 6 = 8,192 cells); the per-row cost becomes O(|candidates|)
     (typically 1-4) instead of O(|boundaries|) — the difference
-    between 13 rectangles and 10^5 admin polygons at 10^12 rows."""
+    between 13 rectangles and 10^5 admin polygons at 10^12 rows.
+    For boundary sets large enough that cells x boundaries hurts on
+    the driver, build the index per-boundary instead: expand each
+    boundary's covering cells ring-by-ring (grid_neighbors_py) until
+    every cell has a candidate whose upper bound beats the ring's
+    lower bound — O(sum of covered cells), embarrassingly driver-
+    parallel, same resulting index."""
     nx, ny = grid_nx(res), grid_ny(res)
     index: dict[int, list[RectBoundary]] = {}
     for cell in range(nx * ny):
