@@ -408,21 +408,34 @@ SQL_TEXT_QUALITY = _sql_text_quality()
 def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus statistics over the derived features: doc
     count, exact-distinct fingerprints (dedup rate), language mix, and
-    quality aggregate (rounded: double-sum order differs between
-    engines)."""
+    quality aggregate.
+
+    Cross-engine determinism: a double SUM/AVG depends on addition
+    order (Spark partial/final splits vs DuckDB's scan order), so the
+    quality average is computed over per-doc *integer micro-units*
+    (``floor(q*1e6 + 0.5)``, identical semantics in both engines) —
+    BIGINT summation is exact and order-independent, and the single
+    final IEEE division is bit-deterministic."""
     from osm_legal_default_speeds_spark.operators.textops import (
         with_text_features,
     )
 
     d = _read(spark, sf_dir, "documents")
     feats = with_text_features(d, "text", lang="en")
+    q_micro = F.floor(F.col("quality") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
     return feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("fingerprint").alias("n_distinct_fp"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
-        F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0)).alias(
-            "n_pred_en"
-        ),
+        (
+            F.sum(q_micro).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("avg_quality"),
+        F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pred_en"),
         F.max("n_tokens").alias("max_tokens"),
     )
 
@@ -433,8 +446,10 @@ src AS (SELECT doc_id, source FROM documents)
 SELECT s.source,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT t.fingerprint) AS n_distinct_fp,
-       ROUND(AVG(t.quality), 4) AS avg_quality,
-       SUM(CASE WHEN t.lang_pred = 'en' THEN 1 ELSE 0 END) AS n_pred_en,
+       CAST(SUM(CAST(floor(t.quality * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) / 1e6 AS avg_quality,
+       CAST(SUM(CASE WHEN t.lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred_en,
        MAX(t.n_tokens) AS max_tokens
 FROM tq t JOIN src s ON t.doc_id = s.doc_id
 GROUP BY s.source
