@@ -386,6 +386,26 @@ FROM resolved
 """
 
 
+def q_cascade_infer_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C5 on the all-native Column plan (plans.native_cascade): same
+    inputs, same oracle as cascade_infer — no Python eval nodes, no
+    shuffle (pinned by tests/test_native_cascade.py)."""
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
+    )
+
+    ruleset = mini_ruleset()
+    roads = _roads_df(spark, sf_dir)
+    out = infer_speed_limits_native(roads, ruleset)
+    r = F.col("speed_limit")
+    return out.select(
+        "road_id",
+        r.getField("road_type_name").alias("road_type_name"),
+        r.getField("certitude").alias("certitude"),
+        F.element_at(r.getField("tags"), F.lit("maxspeed")).alias("out_maxspeed"),
+    )
+
+
 def q_result_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ruleset = assembly_ruleset()
     o = _read(spark, sf_dir, "orders")
@@ -418,6 +438,34 @@ SELECT o_orderkey AS road_id,
        ELSE '40 @ (snow)' END AS out_cond
 FROM orders
 """
+
+
+def q_result_assembly_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-R4 as native map algebra (plans.native_cascade): same inputs
+    and oracle as result_assembly."""
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
+    )
+
+    ruleset = assembly_ruleset()
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    maxspeed = F.when(k % 3 == 1, "60").when(k % 3 == 2, "90")
+    tags = F.when(
+        maxspeed.isNotNull(), F.create_map(F.lit("maxspeed"), maxspeed)
+    ).otherwise(F.create_map().cast("map<string,string>"))
+    roads = o.select(
+        k.alias("road_id"), F.lit("AB").alias("country_code"), tags.alias("tags")
+    )
+    out = infer_speed_limits_native(roads, ruleset)
+    t = F.col("speed_limit").getField("tags")
+    return out.select(
+        "road_id",
+        F.col("speed_limit").getField("certitude").alias("certitude"),
+        F.element_at(t, F.lit("maxspeed")).alias("out_maxspeed"),
+        F.element_at(t, F.lit("maxspeed:hgv")).alias("out_hgv"),
+        F.element_at(t, F.lit("maxspeed:conditional")).alias("out_cond"),
+    )
 
 
 def relations_ruleset():
@@ -729,7 +777,9 @@ QUERIES = {
     "effective_country": q_effective_country,
     "relevant_keys": q_relevant_keys,
     "cascade_infer": q_cascade_infer,
+    "cascade_infer_native": q_cascade_infer_native,
     "result_assembly": q_result_assembly,
+    "result_assembly_native": q_result_assembly_native,
     "grid_encode": q_grid_encode,
     "pip_jurisdiction": q_pip_jurisdiction,
     "knn_nearest": q_knn_nearest,
@@ -748,7 +798,10 @@ ORACLES = {
     "effective_country": SQL_EFFECTIVE_COUNTRY,
     "relevant_keys": SQL_RELEVANT_KEYS,
     "cascade_infer": SQL_CASCADE_INFER,
+    # the native Column plan answers the same contract as the Arrow path
+    "cascade_infer_native": SQL_CASCADE_INFER,
     "result_assembly": SQL_RESULT_ASSEMBLY,
+    "result_assembly_native": SQL_RESULT_ASSEMBLY,
     "grid_encode": SQL_GRID_ENCODE,
     "pip_jurisdiction": SQL_PIP_JURISDICTION,
     "knn_nearest": SQL_KNN_NEAREST,

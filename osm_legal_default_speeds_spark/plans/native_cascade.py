@@ -1,0 +1,559 @@
+"""Fully native (JVM/codegen) Column compilation of the match cascade.
+
+This is the SURVEY.md §2.4 C1 mapping assembled end-to-end: the whole
+``getSpeedLimits`` pipeline (``LegalDefaultSpeeds.kt:151-304``) as pure
+Catalyst expressions — no Python workers, no Arrow transfer, no shuffle.
+The plan shape:
+
+1. **Hoisted match predicates with manual CSE.** For every road-type
+   name reachable from any country's rule list, compile
+   ``anyRelationMatches(relationFilter) OR filter [OR fuzzyFilter]``
+   (``LegalDefaultSpeeds.kt:213-223``) to a boolean column via
+   ``functions.sql_exprs.filter_to_column``. Placeholders (B5/B6)
+   resolve to *column references* of the referenced name's boolean —
+   staged in topological DAG order — so each predicate is evaluated
+   once per row no matter how many placeholders reference it (Catalyst
+   does not CSE duplicated subtrees; staging shared columns is the
+   documented workaround). Names whose placeholder closure contains no
+   fuzzyFilter share one column between the exact and fuzzy stages.
+2. **Boolean match arrays.** The per-name booleans are packed into two
+   ``array<boolean>`` columns indexed by a global ``name_idx``, so rule
+   evaluation is an O(1) array read instead of a name dispatch.
+3. **Broadcast country dim + unrolled first-match.** A 242-row dim
+   carries each country's rules in C1 scan-priority order
+   (``_scan_order``, ``LegalDefaultSpeeds.kt:186-205``) as an array of
+   (name, tags) structs plus one flattened ``name_idx``/``maxspeed``
+   column per scan slot (≤13 per the shipped dataset). ``min(priority)
+   among matches`` then unrolls into a short-circuiting CASE over the
+   slots — whole-stage-codegen friendly, no interpreted higher-order
+   function in the match path.
+4. **Cascade + native result assembly.** Certitude = first non-null of
+   Exact / FromMaxSpeed / Fuzzy / Fallback positions
+   (``LegalDefaultSpeeds.kt:161-183``); R1-R4 result map algebra
+   (``:250-304``) is native map expressions (see
+   ``create_result_tags_native``).
+
+Scale: map-only — the fact table never shuffles and never crosses into
+Python. Per-row cost is dominated by evaluating the hoisted predicate
+columns (~2x191 small codegen'd map probes for the full dataset); the
+``dedup_inputs`` plan composes with this path too, bounding even that
+by distinct-combination cardinality.
+
+Known bounded deviation: speed-cap recursion (R3) is unrolled to
+``max_cap_depth`` key-nesting levels (default 4; the shipped dataset's
+deepest key, ``maxspeed:hgv:conditional``, is level 2). Inputs with
+deeper ``maxspeed:*`` chains should use the Arrow-UDF path
+(``operators.inference.infer_speed_limits``), which recurses without
+bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from osm_legal_default_speeds_spark.functions.sql_exprs import (
+    filter_to_column,
+    number_with_unit_to_double,
+)
+from osm_legal_default_speeds_spark.plans.rules_compiler import (
+    CompiledRuleSet,
+    all_placeholder_names,
+)
+
+_EMPTY_TAGS = "map<string,string>"
+
+
+# --------------------------------------------------------------------------
+# R1-R4 result assembly as native map algebra
+# --------------------------------------------------------------------------
+
+def _parse(v: Column) -> Column:
+    return number_with_unit_to_double(v)
+
+
+def _is_implicit(k: Column, v: Column) -> Column:
+    """R2 (LegalDefaultSpeeds.kt:260-261): an input maxspeed whose value
+    does not unit-parse (e.g. RO:urban) is implicit."""
+    return (k == F.lit("maxspeed")) & _parse(v).isNull()
+
+
+def _cap_level(m: Column, level: int) -> Column:
+    """One unrolled recursion level of limitSpeedsTo
+    (LegalDefaultSpeeds.kt:263-304): cap every ``maxspeed:...`` key at
+    exactly ``level`` segments below the root with the running minimum
+    of its parsable ancestor values (the chain min equals the reference
+    recursion's effect because caps only shrink down the chain), prune
+    ``:conditional`` list entries, and drop keys at/over the cap.
+
+    Ancestors are read from ``m`` itself — levels above ``level`` were
+    finalized by earlier calls, so survivors' values are final."""
+    entries = F.map_entries(m)
+
+    def pass1(e: Column) -> Column:
+        k = e.getField("key")
+        at_level = k.startswith("maxspeed:") & (
+            F.size(F.split(k, ":")) == F.lit(level + 1)
+        )
+        segs = F.split(k, ":")
+        prefixes = F.transform(
+            F.sequence(F.lit(1), F.lit(level)),
+            lambda i: F.array_join(F.slice(segs, F.lit(1), i), ":"),
+        )
+        chain_min = F.aggregate(
+            prefixes,
+            F.lit(None).cast("double"),
+            lambda acc, p: F.least(acc, _parse(F.element_at(m, p))),
+        )
+        return F.struct(
+            k.alias("key"),
+            e.getField("value").alias("value"),
+            F.when(at_level, chain_min).alias("cm"),
+        )
+
+    def pass2(s: Column) -> Column:
+        k = s.getField("key")
+        v = s.getField("value")
+        cm = s.getField("cm")
+        # conditional-list pruning (R4, LegalDefaultSpeeds.kt:274-287):
+        # keep entries whose speed-before-" @ " is unparsable or < cap
+        pruned = F.array_join(
+            F.filter(
+                F.split(v, "; "),
+                lambda item: _parse(F.split(item, " @ ").getItem(0)).isNull()
+                | (_parse(F.split(item, " @ ").getItem(0)) < cm),
+            ),
+            "; ",
+        )
+        return F.struct(
+            k.alias("key"),
+            v.alias("value"),
+            cm.alias("cm"),
+            F.when(cm.isNotNull() & k.endswith(":conditional"), pruned).alias(
+                "pv"
+            ),
+        )
+
+    def pass3(s: Column) -> Column:
+        k = s.getField("key")
+        v = s.getField("value")
+        cm = s.getField("cm")
+        pv = s.getField("pv")
+        new_v = (
+            F.when(cm.isNull(), v)
+            .when(
+                pv.isNotNull(),
+                # empty after pruning, or remnant parses >= cap -> drop
+                F.when(pv == F.lit(""), F.lit(None).cast("string")).when(
+                    _parse(pv) >= cm, F.lit(None).cast("string")
+                ).otherwise(pv),
+            )
+            .when(_parse(v) >= cm, F.lit(None).cast("string"))
+            .otherwise(v)
+        )
+        return F.struct(k.alias("key"), new_v.alias("value"))
+
+    staged = F.transform(F.transform(entries, pass1), pass2)
+    capped = F.filter(
+        F.transform(staged, pass3), lambda e: e.getField("value").isNotNull()
+    )
+    return F.map_from_entries(capped)
+
+
+def create_result_tags_native(
+    input_tags: Column, rule_tags: Column, max_cap_depth: int = 4
+) -> Column:
+    """Native createResultTags (R1-R4, LegalDefaultSpeeds.kt:250-304):
+    merge rule tags with non-implicit input tags (input wins), cap
+    ``maxspeed:*`` subtags/conditionals against the effective maxspeed
+    with per-subkey running minima, then subtract the non-implicit input
+    keys so only *additional* tags remain.
+
+    NOTE: this single-Column form nests each cap level inside the next,
+    which multiplies plan-conversion cost per level — fine for tests and
+    small fixtures. The operator path uses ``stage_result_tags``, which
+    stages every level as its own column (constant-size expressions)."""
+    non_impl = F.map_filter(input_tags, lambda k, v: ~_is_implicit(k, v))
+    merged = F.map_zip_with(
+        rule_tags, non_impl, lambda k, rv, iv: F.coalesce(iv, rv)
+    )
+    m = merged
+    for level in range(1, max_cap_depth + 1):
+        m = _cap_level(m, level)
+    return F.map_filter(m, lambda k, v: ~F.map_contains_key(non_impl, k))
+
+
+def stage_result_tags(
+    df: DataFrame,
+    input_tags: Column,
+    rule_tags: Column,
+    out_col: str,
+    max_cap_depth: int = 4,
+    prefix: str = "__nc_a",
+) -> DataFrame:
+    """R1-R4 with each step staged as a DataFrame column: every
+    expression the planner converts references the previous level by
+    column name, keeping conversion/optimization cost linear in depth
+    (the nested-Column form is super-linear) and evaluating each level
+    once per row (Catalyst does not CSE duplicated subtrees)."""
+    nimp = f"{prefix}_nimp"
+    df = df.withColumn(
+        nimp, F.map_filter(input_tags, lambda k, v: ~_is_implicit(k, v))
+    )
+    df = df.withColumn(
+        f"{prefix}_m0",
+        F.map_zip_with(
+            rule_tags, F.col(nimp), lambda k, rv, iv: F.coalesce(iv, rv)
+        ),
+    )
+    for level in range(1, max_cap_depth + 1):
+        df = df.withColumn(
+            f"{prefix}_m{level}",
+            _cap_level(F.col(f"{prefix}_m{level - 1}"), level),
+        )
+    return df.withColumn(
+        out_col,
+        F.map_filter(
+            F.col(f"{prefix}_m{max_cap_depth}"),
+            lambda k, v: ~F.map_contains_key(F.col(nimp), k),
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# hoisted match-predicate columns (manual CSE over the placeholder DAG)
+# --------------------------------------------------------------------------
+
+def _reachable_names(ruleset: CompiledRuleSet) -> list[str]:
+    """Names appearing in any country's scan order, plus their
+    placeholder closures, in deterministic order."""
+    in_rules = set()
+    for cc, rules in ruleset.speed_limits_by_country.items():
+        for i in ruleset.scan_order_by_country[cc]:
+            in_rules.add(rules[i].name)
+    seen: set[str] = set()
+    frontier = set(in_rules)
+    while frontier:
+        seen |= frontier
+        nxt: set[str] = set()
+        for n in frontier:
+            cf = ruleset.road_type_filters.get(n)
+            if cf is not None:
+                nxt |= all_placeholder_names(cf)
+        frontier = nxt - seen
+    return sorted(seen)
+
+
+def _topo_levels(ruleset: CompiledRuleSet, names: list[str]) -> dict[str, int]:
+    """Placeholder-DAG depth per name (cycles were rejected at compile
+    time, rules_compiler._check_for_circular_placeholders)."""
+    memo: dict[str, int] = {}
+
+    def level(n: str) -> int:
+        if n in memo:
+            return memo[n]
+        cf = ruleset.road_type_filters.get(n)
+        deps = all_placeholder_names(cf) if cf is not None else set()
+        memo[n] = 1 + max((level(d) for d in deps), default=-1)
+        return memo[n]
+
+    for n in names:
+        level(n)
+    return memo
+
+
+def _fuzzy_sensitive(ruleset: CompiledRuleSet, names: list[str]) -> set[str]:
+    """Names whose match can differ between the exact and fuzzy stages:
+    a fuzzyFilter anywhere in the placeholder closure (the fuzzy flag
+    propagates into placeholder evaluation, LegalDefaultSpeeds.kt:218,222)."""
+    memo: dict[str, bool] = {}
+
+    def sens(n: str) -> bool:
+        if n in memo:
+            return memo[n]
+        memo[n] = False  # cycle guard (DAG anyway)
+        cf = ruleset.road_type_filters.get(n)
+        out = cf is not None and (
+            cf.fuzzy_filter is not None
+            or any(sens(d) for d in all_placeholder_names(cf))
+        )
+        memo[n] = out
+        return out
+
+    return {n for n in names if sens(n)}
+
+
+def _match_expr(
+    ruleset: CompiledRuleSet,
+    name: str,
+    tags: Column,
+    rels: Column | None,
+    ovr: Column | None,
+    fuzzy: bool,
+    resolve,
+) -> Column:
+    """filtersMatch for one name (LegalDefaultSpeeds.kt:207-223):
+    coalesce(override[name],
+             anyRelationMatches(relationFilter) OR filter
+             [OR fuzzyFilter]).
+    Placeholders inside the relationFilter resolve against the *road's*
+    hoisted columns, not the relation map (kt:218-222)."""
+    cf = ruleset.road_type_filters.get(name)
+    parts: list[Column] = []
+    if cf is not None:
+        if cf.relation_filter is not None and rels is not None:
+            rf = cf.relation_filter
+            parts.append(
+                F.exists(rels, lambda rel: filter_to_column(rf, rel, resolve))
+            )
+        if cf.filter is not None:
+            parts.append(filter_to_column(cf.filter, tags, resolve))
+        if fuzzy and cf.fuzzy_filter is not None:
+            parts.append(filter_to_column(cf.fuzzy_filter, tags, resolve))
+    if parts:
+        expr = parts[0]
+        for p in parts[1:]:
+            expr = expr | p
+        expr = F.coalesce(expr, F.lit(False))
+    else:
+        expr = F.lit(False)
+    if ovr is not None:
+        expr = F.coalesce(F.element_at(ovr, F.lit(name)), expr)
+    return expr
+
+
+# --------------------------------------------------------------------------
+# broadcast country dim
+# --------------------------------------------------------------------------
+
+def _dim_schema(n_slots: int) -> StructType:
+    fields = [
+        StructField("__nc_cc", StringType()),
+        StructField(
+            "__nc_rules",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("name", StringType()),
+                        StructField(
+                            "rtags", MapType(StringType(), StringType())
+                        ),
+                    ]
+                )
+            ),
+        ),
+        StructField("__nc_has_fb", BooleanType()),
+        StructField("__nc_fb_tags", MapType(StringType(), StringType())),
+    ]
+    for j in range(n_slots):
+        fields.append(StructField(f"__nc_s{j}_nidx", IntegerType()))
+        fields.append(StructField(f"__nc_s{j}_ms", StringType()))
+    return StructType(fields)
+
+
+def _build_dim(spark, ruleset: CompiledRuleSet, name_idx: dict[str, int]):
+    n_slots = max(
+        (len(s) for s in ruleset.scan_order_by_country.values()), default=0
+    )
+    rows = []
+    for cc in sorted(ruleset.speed_limits_by_country):
+        rules = ruleset.speed_limits_by_country[cc]
+        scan = ruleset.scan_order_by_country[cc]
+        arr = [(rules[i].name, dict(rules[i].tags)) for i in scan]
+        fb_idx = ruleset.fallback_index_by_country[cc]
+        row: list = [
+            cc,
+            arr,
+            fb_idx is not None,
+            dict(rules[fb_idx].tags) if fb_idx is not None else None,
+        ]
+        for j in range(n_slots):
+            if j < len(scan):
+                r = rules[scan[j]]
+                row.append(name_idx[r.name])
+                row.append(r.tags.get("maxspeed"))
+            else:
+                row.append(None)
+                row.append(None)
+        rows.append(tuple(row))
+    return spark.createDataFrame(rows, _dim_schema(n_slots)), n_slots
+
+
+# --------------------------------------------------------------------------
+# the operator
+# --------------------------------------------------------------------------
+
+def infer_speed_limits_native(
+    df: DataFrame,
+    ruleset: CompiledRuleSet,
+    country_col: str = "country_code",
+    tags_col: str = "tags",
+    relations_col: str | None = None,
+    overrides_col: str | None = None,
+    result_col: str = "speed_limit",
+    prune_keys: bool = False,
+    max_cap_depth: int = 4,
+) -> DataFrame:
+    """Drop-in equivalent of ``operators.inference.infer_speed_limits``
+    on the all-native plan described in the module docstring. Appends
+    ``result_col`` struct (road_type_name, tags, certitude), null when
+    no rule matched."""
+    from osm_legal_default_speeds_spark.operators.inference import (
+        prune_relevant_tags,
+    )
+
+    spark = df.sparkSession
+    names = _reachable_names(ruleset)
+    name_idx = {n: i for i, n in enumerate(names)}
+    levels = _topo_levels(ruleset, names)
+    fuzzy_names = _fuzzy_sensitive(ruleset, names)
+
+    dim, n_slots = _build_dim(spark, ruleset, name_idx)
+
+    tags_expr: Column = F.col(tags_col)
+    if prune_keys:
+        tags_expr = prune_relevant_tags(ruleset, tags_expr)
+    in_tags = "__nc_tags"
+    out = df.withColumn(in_tags, F.coalesce(tags_expr, F.create_map().cast(_EMPTY_TAGS)))
+    t = F.col(in_tags)
+    rels = F.col(relations_col) if relations_col is not None else None
+    ovr = F.col(overrides_col) if overrides_col is not None else None
+
+    # effective country (F14, LegalDefaultSpeeds.kt:157-159)
+    known = sorted(ruleset.speed_limits_by_country)
+    cc = F.col(country_col)
+    eff = (
+        F.when(cc.isin(*known), cc)
+        .otherwise(F.split(cc, "-").getItem(0))
+        if known
+        else F.lit(None).cast("string")
+    )
+    out = out.withColumn("__nc_eff", eff)
+
+    # hoisted match columns, staged per topo level so placeholder
+    # references resolve to already-defined columns (manual CSE)
+    def ecol(n: str) -> str:
+        return f"__nc_e{name_idx[n]}"
+
+    def fcol(n: str) -> str:
+        return f"__nc_f{name_idx[n]}" if n in fuzzy_names else ecol(n)
+
+    max_level = max(levels.values(), default=0)
+    for lvl in range(max_level + 1):
+        batch: dict[str, Column] = {}
+        lvl_names = [n for n in names if levels[n] == lvl]
+        for n in lvl_names:
+            batch[ecol(n)] = _match_expr(
+                ruleset, n, t, rels, ovr, False,
+                lambda ref: F.col(ecol(ref)),
+            )
+            if n in fuzzy_names:
+                batch[fcol(n)] = _match_expr(
+                    ruleset, n, t, rels, ovr, True,
+                    lambda ref: F.col(fcol(ref)),
+                )
+        if batch:
+            out = out.withColumns(batch)
+
+    out = out.withColumns(
+        {
+            "__nc_mex": F.array(*[F.col(ecol(n)) for n in names])
+            if names
+            else F.array().cast("array<boolean>"),
+            "__nc_mfz": F.array(*[F.col(fcol(n)) for n in names])
+            if names
+            else F.array().cast("array<boolean>"),
+            "__nc_tms": F.element_at(t, F.lit("maxspeed")),
+        }
+    )
+
+    out = out.join(
+        F.broadcast(dim), out["__nc_eff"] == dim["__nc_cc"], "left"
+    )
+
+    # unrolled first-match over scan slots (C1 -> min(priority))
+    def first_pos(match_slot) -> Column:
+        pos = F.lit(None).cast("int")
+        whens = None
+        for j in range(n_slots):
+            cond = match_slot(j)
+            whens = (
+                F.when(cond, F.lit(j + 1))
+                if whens is None
+                else whens.when(cond, F.lit(j + 1))
+            )
+        return whens if whens is not None else pos
+
+    mex, mfz = F.col("__nc_mex"), F.col("__nc_mfz")
+    pos_e = first_pos(
+        lambda j: F.coalesce(
+            F.element_at(mex, F.col(f"__nc_s{j}_nidx") + 1), F.lit(False)
+        )
+    ) if n_slots else F.lit(None).cast("int")
+    pos_f = first_pos(
+        lambda j: F.coalesce(
+            F.element_at(mfz, F.col(f"__nc_s{j}_nidx") + 1), F.lit(False)
+        )
+    ) if n_slots else F.lit(None).cast("int")
+    # FromMaxSpeed: plain string equality, NOT unit-normalized (C3,
+    # LegalDefaultSpeeds.kt:225-239; LegalDefaultSpeedsTest.kt:106-111)
+    pos_m = first_pos(
+        lambda j: F.col(f"__nc_s{j}_ms") == F.col("__nc_tms")
+    ) if n_slots else F.lit(None).cast("int")
+
+    out = out.withColumns(
+        {"__nc_pe": pos_e, "__nc_pf": pos_f, "__nc_pm": pos_m}
+    )
+    pe, pf, pm = F.col("__nc_pe"), F.col("__nc_pf"), F.col("__nc_pm")
+
+    cert = (
+        F.when(pe.isNotNull(), F.lit("Exact"))
+        .when(pm.isNotNull(), F.lit("FromMaxSpeed"))
+        .when(pf.isNotNull(), F.lit("Fuzzy"))
+        .when(F.col("__nc_has_fb"), F.lit("Fallback"))
+    )
+    wpos = F.coalesce(pe, pm, pf)
+    out = out.withColumns(
+        {
+            "__nc_cert": cert,
+            "__nc_w": F.element_at(F.col("__nc_rules"), wpos),
+        }
+    )
+    w = F.col("__nc_w")
+    out = out.withColumns(
+        {
+            "__nc_wname": w.getField("name"),
+            "__nc_wtags": F.coalesce(
+                w.getField("rtags"),
+                F.when(
+                    F.col("__nc_cert") == "Fallback", F.col("__nc_fb_tags")
+                ),
+            ),
+        }
+    )
+
+    out = stage_result_tags(
+        out, t, F.col("__nc_wtags"), "__nc_rtags", max_cap_depth
+    )
+    out = out.withColumn(
+        result_col,
+        F.when(
+            F.col("__nc_cert").isNotNull(),
+            F.struct(
+                F.col("__nc_wname").alias("road_type_name"),
+                F.col("__nc_rtags").alias("tags"),
+                F.col("__nc_cert").alias("certitude"),
+            ),
+        ),
+    )
+
+    internal = [c for c in out.columns if c.startswith("__nc_")]
+    return out.drop(*internal)
