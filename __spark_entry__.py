@@ -17,11 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: orders-derived geo-tagged road rows -> grid encode ->
     PIP jurisdiction (broadcast cell-index join) -> kNN fallback ->
-    speed-limit inference (broadcast compiled rules + Arrow cascade
-    UDF) -> result struct. Returns the enriched DataFrame."""
+    speed-limit inference (all-native Column cascade over broadcast
+    compiled rules, plans.native_cascade) -> result struct. Returns the
+    enriched DataFrame."""
     from pyspark.sql import functions as F
 
-    from osm_legal_default_speeds_spark.operators.inference import infer_speed_limits
     from osm_legal_default_speeds_spark.operators.spatial import (
         assign_jurisdiction,
         assign_tiles,
@@ -31,6 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
         _roads_df,
         mini_ruleset,
         synth_boundaries,
+    )
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
     )
     from osm_legal_default_speeds_spark.plans.rules_compiler import compile_ruleset
     from osm_legal_default_speeds_spark.sources.rules_json import (
@@ -59,7 +62,7 @@ def entry(spark: SparkSession) -> DataFrame:
     else:
         ruleset = mini_ruleset()
 
-    out = infer_speed_limits(
+    out = infer_speed_limits_native(
         located, ruleset, country_col="region_code", tags_col="tags"
     )
     return out.select(

@@ -32,6 +32,12 @@ def make_spark(app: str = "bench", cpus: str | None = None) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # whole-stage codegen fuses the native cascade's ~300-predicate
+        # stage into one method over HotSpot's 8000-bytecode JIT limit;
+        # the un-JIT-able fused method runs in the bytecode interpreter
+        # (~5x slower). This limit makes Spark fall back to split
+        # per-expression codegen exactly when the JIT would bail.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -78,8 +84,16 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     full_rules = compile_ruleset(road_types, speed_limits)
     boundaries = synth_boundaries()
 
+    def _par_roads(spark, sf_dir):
+        """The driver parquet is one small file -> ONE scan task, which
+        serializes the whole map-only pipeline onto a single core. At
+        production scale the input has thousands of splits; spread the
+        small bench input the same way (narrow 150k-row shuffle, cheap)."""
+        ncores = spark.sparkContext.defaultParallelism
+        return _roads_df(spark, sf_dir).repartition(ncores * 2)
+
     def _real_cc_roads(spark, sf_dir):
-        roads = _roads_df(spark, sf_dir)
+        roads = _par_roads(spark, sf_dir)
         ccs = sorted(speed_limits.keys())
         cc = F.element_at(
             F.array(*[F.lit(c) for c in ccs]),
@@ -105,9 +119,21 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
             "road_id", F.col("speed_limit.certitude").alias("certitude")
         )
 
+    def q_inference_native(spark, sf_dir):
+        """Same cascade compiled to pure Catalyst expressions — no
+        Python workers, no shuffle (plans.native_cascade)."""
+        from osm_legal_default_speeds_spark.plans.native_cascade import (
+            infer_speed_limits_native,
+        )
+
+        out = infer_speed_limits_native(_real_cc_roads(spark, sf_dir), full_rules)
+        return out.select(
+            "road_id", F.col("speed_limit.certitude").alias("certitude")
+        )
+
     def q_spatial_pipeline(spark, sf_dir):
         """Grid encode -> PIP -> kNN fallback -> tile assignment."""
-        roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
+        roads = _par_roads(spark, sf_dir).select("road_id", "lon", "lat")
         lon, lat = F.col("lon"), F.col("lat")
         region = F.coalesce(
             pip_region_column(boundaries, lon, lat),
@@ -116,19 +142,25 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         return assign_tiles(roads.withColumn("region_code", region), tile_res=7)
 
     def q_tile_rollup(spark, sf_dir):
-        roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
+        roads = _par_roads(spark, sf_dir).select("road_id", "lon", "lat")
         return tile_rollup(assign_tiles(roads, tile_res=7), salt_buckets=16)
 
     def q_flagship(spark, sf_dir):
-        """End-to-end: spatial jurisdiction + inference + tiling."""
-        roads = _roads_df(spark, sf_dir)
+        """End-to-end: spatial jurisdiction + inference + tiling, on
+        the native Column cascade (fastest path, no Python workers —
+        the Arrow-UDF paths stay measured as inference_* above)."""
+        from osm_legal_default_speeds_spark.plans.native_cascade import (
+            infer_speed_limits_native,
+        )
+
+        roads = _par_roads(spark, sf_dir)
         lon, lat = F.col("lon"), F.col("lat")
         region = F.coalesce(
             pip_region_column(boundaries, lon, lat),
             knn_region_column(boundaries, lon, lat),
         )
         roads = assign_tiles(roads.withColumn("region_code", region), tile_res=7)
-        out = infer_speed_limits(
+        out = infer_speed_limits_native(
             roads, full_rules, country_col="region_code"
         )
         return out.select(
@@ -136,11 +168,15 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
             "region_code",
             "tile_id",
             F.col("speed_limit.certitude").alias("certitude"),
+            # keep result-tag assembly in the measured plan (a
+            # certitude-only projection would let Catalyst prune R1-R4)
+            F.col("speed_limit.tags").alias("result_tags"),
         )
 
     queries = {
         "inference_full_rules": q_inference_full,
         "inference_dedup_plan": q_inference_dedup,
+        "inference_native": q_inference_native,
         "spatial_pipeline": q_spatial_pipeline,
         "tile_rollup": q_tile_rollup,
         "flagship_e2e": q_flagship,
@@ -240,13 +276,26 @@ def scaling_job(spark: SparkSession, sf_dir: str, replicate: int) -> int:
         knn_region_column(boundaries, lon, lat),
     )
     roads = assign_tiles(roads.withColumn("region_code", region), tile_res=7)
-    dedup = os.environ.get("SPARK_GRAFT_DEDUP", "0") == "1"
-    out = infer_speed_limits(
-        roads, full_rules, country_col="region_code", dedup_inputs=dedup
-    )
+    engine = os.environ.get("SPARK_GRAFT_ENGINE", "native")
+    if engine == "native":
+        # default: all-Catalyst cascade — no Python workers in the
+        # measured job, so scaling is not dragged by worker fork/IPC
+        from osm_legal_default_speeds_spark.plans.native_cascade import (
+            infer_speed_limits_native,
+        )
+
+        out = infer_speed_limits_native(
+            roads, full_rules, country_col="region_code"
+        )
+    else:
+        dedup = os.environ.get("SPARK_GRAFT_DEDUP", "0") == "1"
+        out = infer_speed_limits(
+            roads, full_rules, country_col="region_code", dedup_inputs=dedup
+        )
     sel = out.select(
         "road_id", "region_code", "tile_id",
         F.col("speed_limit.certitude").alias("certitude"),
+        F.col("speed_limit.tags").alias("result_tags"),
     )
     return _run(sel)
 

@@ -111,25 +111,34 @@ def _cmp_operand(tags: Column, key: str) -> Column:
 
 
 PlaceholderResolver = Callable[[str], Column]
+NumericOperandResolver = Callable[[str], Column]
 
 
 def filter_to_column(
     expr: BooleanExpression | str,
     tags: Column | str,
     resolve_placeholder: PlaceholderResolver | None = None,
+    numeric_operand: NumericOperandResolver | None = None,
 ) -> Column:
     """Compile a tag-filter AST (or DSL string) to a boolean Column over
     a map<string,string> column. Placeholders require a resolver (the
     rule compiler inlines the referenced road type's expression here —
     B5/B6 compile-time DAG substitution, sound because cycles are
-    rejected)."""
+    rejected).
+
+    ``numeric_operand``: optional key -> Column hook for the comparison
+    atoms' unit-normalized operand. The parse tree
+    (``number_with_unit_to_double``) is large; callers compiling many
+    filters over the same input column stage one parsed column per
+    distinct key and resolve to it here — Catalyst does not CSE the
+    duplicated subtrees on its own."""
     if isinstance(expr, str):
         expr = parse_tag_filter(expr)
     t = F.col(tags) if isinstance(tags, str) else tags
 
     def c(node: BooleanExpression) -> Column:
         if isinstance(node, Leaf):
-            return _atom_to_column(node.value, t)
+            return _atom_to_column(node.value, t, numeric_operand)
         if isinstance(node, AllOf):
             out = c(node.nodes[0])
             for n in node.nodes[1:]:
@@ -155,7 +164,14 @@ def filter_to_column(
     return c(expr)
 
 
-def _atom_to_column(atom, tags: Column) -> Column:
+def _atom_to_column(
+    atom, tags: Column, numeric_operand: NumericOperandResolver | None = None
+) -> Column:
+    def cmp_op(key: str) -> Column:
+        if numeric_operand is not None:
+            return numeric_operand(key)
+        return _cmp_operand(tags, key)
+
     if isinstance(atom, HasKey):
         return F.map_contains_key(tags, atom.key)
     if isinstance(atom, NotHasKey):
@@ -186,22 +202,22 @@ def _atom_to_column(atom, tags: Column) -> Column:
         )
     if isinstance(atom, HasTagLessThan):
         return F.coalesce(
-            _cmp_operand(tags, atom.key) < F.lit(atom.value).cast("float"),
+            cmp_op(atom.key) < F.lit(atom.value).cast("float"),
             F.lit(False),
         )
     if isinstance(atom, HasTagGreaterThan):
         return F.coalesce(
-            _cmp_operand(tags, atom.key) > F.lit(atom.value).cast("float"),
+            cmp_op(atom.key) > F.lit(atom.value).cast("float"),
             F.lit(False),
         )
     if isinstance(atom, HasTagLessOrEqualThan):
         return F.coalesce(
-            _cmp_operand(tags, atom.key) <= F.lit(atom.value).cast("float"),
+            cmp_op(atom.key) <= F.lit(atom.value).cast("float"),
             F.lit(False),
         )
     if isinstance(atom, HasTagGreaterOrEqualThan):
         return F.coalesce(
-            _cmp_operand(tags, atom.key) >= F.lit(atom.value).cast("float"),
+            cmp_op(atom.key) >= F.lit(atom.value).cast("float"),
             F.lit(False),
         )
     raise TypeError(f"Unknown atom {type(atom)}")

@@ -191,6 +191,47 @@ def create_result_tags_native(
     return F.map_filter(m, lambda k, v: ~F.map_contains_key(non_impl, k))
 
 
+def _assembly_columns(
+    in_tags: str,
+    rule_tags: str,
+    out_col: str,
+    max_cap_depth: int,
+    prefix: str = "__nc_a",
+) -> list[tuple[str, Column]]:
+    """R1-R4 as an ordered list of (column_name, expression) staging
+    steps over column NAMES — pure expression data, independent of any
+    DataFrame, so it can be compiled once per ruleset and reused."""
+    nimp = f"{prefix}_nimp"
+    cols: list[tuple[str, Column]] = [
+        (nimp, F.map_filter(F.col(in_tags), lambda k, v: ~_is_implicit(k, v))),
+        (
+            f"{prefix}_m0",
+            F.map_zip_with(
+                F.col(rule_tags),
+                F.col(nimp),
+                lambda k, rv, iv: F.coalesce(iv, rv),
+            ),
+        ),
+    ]
+    for level in range(1, max_cap_depth + 1):
+        cols.append(
+            (
+                f"{prefix}_m{level}",
+                _cap_level(F.col(f"{prefix}_m{level - 1}"), level),
+            )
+        )
+    cols.append(
+        (
+            out_col,
+            F.map_filter(
+                F.col(f"{prefix}_m{max_cap_depth}"),
+                lambda k, v: ~F.map_contains_key(F.col(nimp), k),
+            ),
+        )
+    )
+    return cols
+
+
 def stage_result_tags(
     df: DataFrame,
     input_tags: Column,
@@ -204,28 +245,14 @@ def stage_result_tags(
     column name, keeping conversion/optimization cost linear in depth
     (the nested-Column form is super-linear) and evaluating each level
     once per row (Catalyst does not CSE duplicated subtrees)."""
-    nimp = f"{prefix}_nimp"
-    df = df.withColumn(
-        nimp, F.map_filter(input_tags, lambda k, v: ~_is_implicit(k, v))
+    df = df.withColumns(
+        {f"{prefix}_in": input_tags, f"{prefix}_rt": rule_tags}
     )
-    df = df.withColumn(
-        f"{prefix}_m0",
-        F.map_zip_with(
-            rule_tags, F.col(nimp), lambda k, rv, iv: F.coalesce(iv, rv)
-        ),
-    )
-    for level in range(1, max_cap_depth + 1):
-        df = df.withColumn(
-            f"{prefix}_m{level}",
-            _cap_level(F.col(f"{prefix}_m{level - 1}"), level),
-        )
-    return df.withColumn(
-        out_col,
-        F.map_filter(
-            F.col(f"{prefix}_m{max_cap_depth}"),
-            lambda k, v: ~F.map_contains_key(F.col(nimp), k),
-        ),
-    )
+    for name, col in _assembly_columns(
+        f"{prefix}_in", f"{prefix}_rt", out_col, max_cap_depth, prefix
+    ):
+        df = df.withColumn(name, col)
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -291,6 +318,43 @@ def _fuzzy_sensitive(ruleset: CompiledRuleSet, names: list[str]) -> set[str]:
     return {n for n in names if sens(n)}
 
 
+def _numeric_compare_keys(ruleset: CompiledRuleSet, names: list[str]) -> list[str]:
+    """Distinct tag keys used by numeric-comparison atoms in the road
+    and fuzzy filters of the given names (NOT relation filters — those
+    compare against the relation's map, not the road's). One parsed
+    column per key replaces every duplicated unit-parse subtree."""
+    from osm_legal_default_speeds_spark.functions.tagfilter_ast import (
+        HasTagGreaterOrEqualThan,
+        HasTagGreaterThan,
+        HasTagLessOrEqualThan,
+        HasTagLessThan,
+        Leaf,
+    )
+
+    cmp_types = (
+        HasTagGreaterOrEqualThan,
+        HasTagGreaterThan,
+        HasTagLessOrEqualThan,
+        HasTagLessThan,
+    )
+    keys: set[str] = set()
+
+    def walk(e) -> None:
+        if isinstance(e, Leaf) and isinstance(e.value, cmp_types):
+            keys.add(e.value.key)
+        for c in getattr(e, "nodes", ()):
+            walk(c)
+
+    for n in names:
+        cf = ruleset.road_type_filters.get(n)
+        if cf is None:
+            continue
+        for expr in (cf.filter, cf.fuzzy_filter):
+            if expr is not None:
+                walk(expr)
+    return sorted(keys)
+
+
 def _match_expr(
     ruleset: CompiledRuleSet,
     name: str,
@@ -299,13 +363,16 @@ def _match_expr(
     ovr: Column | None,
     fuzzy: bool,
     resolve,
+    numeric_operand=None,
 ) -> Column:
     """filtersMatch for one name (LegalDefaultSpeeds.kt:207-223):
     coalesce(override[name],
              anyRelationMatches(relationFilter) OR filter
              [OR fuzzyFilter]).
     Placeholders inside the relationFilter resolve against the *road's*
-    hoisted columns, not the relation map (kt:218-222)."""
+    hoisted columns, not the relation map (kt:218-222) — but numeric
+    operands inside it do read the relation map, so the staged
+    road-side parse columns must not leak in there."""
     cf = ruleset.road_type_filters.get(name)
     parts: list[Column] = []
     if cf is not None:
@@ -315,9 +382,15 @@ def _match_expr(
                 F.exists(rels, lambda rel: filter_to_column(rf, rel, resolve))
             )
         if cf.filter is not None:
-            parts.append(filter_to_column(cf.filter, tags, resolve))
+            parts.append(
+                filter_to_column(cf.filter, tags, resolve, numeric_operand)
+            )
         if fuzzy and cf.fuzzy_filter is not None:
-            parts.append(filter_to_column(cf.fuzzy_filter, tags, resolve))
+            parts.append(
+                filter_to_column(
+                    cf.fuzzy_filter, tags, resolve, numeric_operand
+                )
+            )
     if parts:
         expr = parts[0]
         for p in parts[1:]:
@@ -355,11 +428,21 @@ def _dim_schema(n_slots: int) -> StructType:
     ]
     for j in range(n_slots):
         fields.append(StructField(f"__nc_s{j}_nidx", IntegerType()))
+        fields.append(StructField(f"__nc_s{j}_fidx", IntegerType()))
         fields.append(StructField(f"__nc_s{j}_ms", StringType()))
     return StructType(fields)
 
 
-def _build_dim(spark, ruleset: CompiledRuleSet, name_idx: dict[str, int]):
+def _dim_data(
+    ruleset: CompiledRuleSet,
+    name_idx: dict[str, int],
+    fuzzy_idx: dict[str, int],
+):
+    """Rows + schema for the broadcast country dim (createDataFrame is
+    done lazily per session by the caller). ``name_idx`` addresses a
+    rule name's exact-stage boolean in the combined match array;
+    ``fuzzy_idx`` its fuzzy-stage boolean (equal to ``name_idx`` for
+    names whose match cannot differ under fuzzy)."""
     n_slots = max(
         (len(s) for s in ruleset.scan_order_by_country.values()), default=0
     )
@@ -379,17 +462,37 @@ def _build_dim(spark, ruleset: CompiledRuleSet, name_idx: dict[str, int]):
             if j < len(scan):
                 r = rules[scan[j]]
                 row.append(name_idx[r.name])
+                row.append(fuzzy_idx[r.name])
                 row.append(r.tags.get("maxspeed"))
             else:
                 row.append(None)
                 row.append(None)
+                row.append(None)
         rows.append(tuple(row))
-    return spark.createDataFrame(rows, _dim_schema(n_slots)), n_slots
+    return rows, _dim_schema(n_slots), n_slots
 
 
 # --------------------------------------------------------------------------
 # the operator
 # --------------------------------------------------------------------------
+
+def _rule_cap_depth(ruleset: CompiledRuleSet) -> int:
+    """Deepest ``maxspeed:*`` nesting among RULE output tags. Sound as
+    the cap-unroll bound: the final result contains only rule-origin
+    keys (non-implicit input keys are subtracted at the end, and the
+    only implicit key is the root ``maxspeed``), so capping levels
+    deeper than any rule key could only delete input-origin keys that
+    are subtracted anyway. Input keys still participate as cap
+    *ancestors* at shallower levels — the chain-min lookup reads the
+    merged map, which includes them."""
+    depth = 0
+    for rules in ruleset.speed_limits_by_country.values():
+        for r in rules:
+            for k in r.tags:
+                if k.startswith("maxspeed:"):
+                    depth = max(depth, k.count(":"))
+    return depth
+
 
 def infer_speed_limits_native(
     df: DataFrame,
@@ -400,30 +503,115 @@ def infer_speed_limits_native(
     overrides_col: str | None = None,
     result_col: str = "speed_limit",
     prune_keys: bool = False,
-    max_cap_depth: int = 4,
+    max_cap_depth: int | None = None,
 ) -> DataFrame:
     """Drop-in equivalent of ``operators.inference.infer_speed_limits``
     on the all-native plan described in the module docstring. Appends
     ``result_col`` struct (road_type_name, tags, certitude), null when
-    no rule matched."""
+    no rule matched. ``max_cap_depth=None`` derives the exact bound
+    from the rule set (``_rule_cap_depth``)."""
     from osm_legal_default_speeds_spark.operators.inference import (
         prune_relevant_tags,
     )
 
     spark = df.sparkSession
-    names = _reachable_names(ruleset)
-    name_idx = {n: i for i, n in enumerate(names)}
-    levels = _topo_levels(ruleset, names)
-    fuzzy_names = _fuzzy_sensitive(ruleset, names)
-
-    dim, n_slots = _build_dim(spark, ruleset, name_idx)
+    cap = max_cap_depth if max_cap_depth is not None else _rule_cap_depth(ruleset)
+    bundle = _get_bundle(ruleset, country_col, relations_col, overrides_col, cap)
 
     tags_expr: Column = F.col(tags_col)
     if prune_keys:
         tags_expr = prune_relevant_tags(ruleset, tags_expr)
     in_tags = "__nc_tags"
-    out = df.withColumn(in_tags, F.coalesce(tags_expr, F.create_map().cast(_EMPTY_TAGS)))
-    t = F.col(in_tags)
+    orig_cols = list(df.columns)
+    out = df.withColumns(
+        {
+            in_tags: F.coalesce(tags_expr, F.create_map().cast(_EMPTY_TAGS)),
+            "__nc_eff": bundle["eff"],
+        }
+    )
+    if bundle["num_batch"]:
+        out = out.withColumns(bundle["num_batch"])
+    for batch in bundle["level_batches"]:
+        out = out.withColumns(batch)
+
+    out = out.select(
+        *orig_cols,
+        in_tags,
+        "__nc_eff",
+        bundle["m_array"].alias("__nc_m"),
+        bundle["tms"].alias("__nc_tms"),
+    )
+
+    dims = bundle["dims"]
+    dim = dims.get(id(spark))
+    if dim is None:
+        dim = spark.createDataFrame(bundle["dim_rows"], bundle["dim_schema"])
+        dims.clear()
+        dims[id(spark)] = dim
+    out = out.join(
+        F.broadcast(dim),
+        F.col("__nc_eff") == F.col("__nc_cc"),
+        "left",
+    )
+
+    # first narrowing projection after the join: slot columns, the
+    # match array, and the per-country rule array are all consumed here
+    # or one step later and never carried further (each surviving stage
+    # re-copies the row)
+    out = out.select(
+        *orig_cols,
+        in_tags,
+        bundle["pos_e"].alias("__nc_pe"),
+        bundle["pos_f"].alias("__nc_pf"),
+        bundle["pos_m"].alias("__nc_pm"),
+        "__nc_has_fb",
+        "__nc_fb_tags",
+        "__nc_rules",
+    )
+    # second narrowing projection: winner extracted, rule array dropped
+    out = out.select(
+        *orig_cols,
+        in_tags,
+        bundle["cert"].alias("__nc_cert"),
+        bundle["wname"].alias("__nc_wname"),
+        bundle["wtags"].alias("__nc_wtags"),
+    )
+
+    for name, col in bundle["assembly"]:
+        out = out.withColumn(name, col)
+    out = out.withColumn(result_col, bundle["result_struct"])
+
+    keep = orig_cols + [result_col]
+    return out.select(*keep)
+
+
+_BUNDLE_CACHE: dict = {}
+
+
+def _get_bundle(
+    ruleset: CompiledRuleSet,
+    country_col: str,
+    relations_col: str | None,
+    overrides_col: str | None,
+    cap_depth: int,
+):
+    """Compile-once bundle of every df-independent Column for this
+    (ruleset, options) pair. Building ~300 predicate expressions plus
+    the assembly HOFs costs seconds of py4j round-trips; Column objects
+    are immutable and bind by name, so they are safely reusable across
+    DataFrames and queries."""
+    key = (id(ruleset), country_col, relations_col, overrides_col, cap_depth)
+    hit = _BUNDLE_CACHE.get(key)
+    if hit is not None and hit[0] is ruleset:
+        return hit[1]
+    if len(_BUNDLE_CACHE) > 8:
+        _BUNDLE_CACHE.clear()
+
+    names = _reachable_names(ruleset)
+    name_idx = {n: i for i, n in enumerate(names)}
+    levels = _topo_levels(ruleset, names)
+    fuzzy_names = _fuzzy_sensitive(ruleset, names)
+    t = F.col("__nc_tags")
     rels = F.col(relations_col) if relations_col is not None else None
     ovr = F.col(overrides_col) if overrides_col is not None else None
 
@@ -431,57 +619,102 @@ def infer_speed_limits_native(
     known = sorted(ruleset.speed_limits_by_country)
     cc = F.col(country_col)
     eff = (
-        F.when(cc.isin(*known), cc)
-        .otherwise(F.split(cc, "-").getItem(0))
+        F.when(cc.isin(*known), cc).otherwise(F.split(cc, "-").getItem(0))
         if known
         else F.lit(None).cast("string")
     )
-    out = out.withColumn("__nc_eff", eff)
 
-    # hoisted match columns, staged per topo level so placeholder
-    # references resolve to already-defined columns (manual CSE)
+    # one unit-parsed column per distinct numeric-comparison key: the
+    # parse tree is ~250 nodes and Catalyst does not CSE duplicates, so
+    # 47 comparison atoms over 3 keys become 3 parses per row
+    num_keys = _numeric_compare_keys(ruleset, names)
+    num_col = {k: f"__nc_n{i}" for i, k in enumerate(num_keys)}
+    num_batch = {
+        num_col[k]: number_with_unit_to_double(
+            F.element_at(t, F.lit(k))
+        ).cast("float")  # float32 like the reference (TagFilter.kt:98)
+        for k in num_keys
+    }
+
+    def numeric_operand(key: str) -> Column:
+        return F.col(num_col[key])
+
+    # Hoist a column ONLY for names that are placeholder-referenced
+    # (transitively): those are the shared subtrees that need manual
+    # CSE. Everything else inlines its predicate straight into the
+    # match-array constructor, evaluated exactly once there. This keeps
+    # every projection under spark.sql.codegen.maxFields (default 100)
+    # — hoisting all ~190 names produced 287-column projections, which
+    # silently lose codegen and fall back to interpreted evaluation.
+    shared: set[str] = set()
+    frontier: set[str] = set()
+    for n in names:
+        cf = ruleset.road_type_filters.get(n)
+        if cf is not None:
+            frontier |= all_placeholder_names(cf)
+    while frontier:
+        shared |= frontier
+        nxt: set[str] = set()
+        for n in frontier:
+            cf = ruleset.road_type_filters.get(n)
+            if cf is not None:
+                nxt |= all_placeholder_names(cf)
+        frontier = nxt - shared
+
     def ecol(n: str) -> str:
         return f"__nc_e{name_idx[n]}"
 
     def fcol(n: str) -> str:
         return f"__nc_f{name_idx[n]}" if n in fuzzy_names else ecol(n)
 
-    max_level = max(levels.values(), default=0)
+    def e_expr(n: str) -> Column:
+        return _match_expr(
+            ruleset, n, t, rels, ovr, False,
+            lambda ref: F.col(ecol(ref)), numeric_operand,
+        )
+
+    def f_expr(n: str) -> Column:
+        return _match_expr(
+            ruleset, n, t, rels, ovr, True,
+            lambda ref: F.col(fcol(ref)), numeric_operand,
+        )
+
+    level_batches: list[dict] = []
+    max_level = max((levels[n] for n in shared), default=0)
     for lvl in range(max_level + 1):
         batch: dict[str, Column] = {}
-        lvl_names = [n for n in names if levels[n] == lvl]
-        for n in lvl_names:
-            batch[ecol(n)] = _match_expr(
-                ruleset, n, t, rels, ovr, False,
-                lambda ref: F.col(ecol(ref)),
-            )
+        for n in sorted(n for n in shared if levels[n] == lvl):
+            batch[ecol(n)] = e_expr(n)
             if n in fuzzy_names:
-                batch[fcol(n)] = _match_expr(
-                    ruleset, n, t, rels, ovr, True,
-                    lambda ref: F.col(fcol(ref)),
-                )
+                batch[fcol(n)] = f_expr(n)
         if batch:
-            out = out.withColumns(batch)
+            level_batches.append(batch)
 
-    out = out.withColumns(
-        {
-            "__nc_mex": F.array(*[F.col(ecol(n)) for n in names])
-            if names
-            else F.array().cast("array<boolean>"),
-            "__nc_mfz": F.array(*[F.col(fcol(n)) for n in names])
-            if names
-            else F.array().cast("array<boolean>"),
-            "__nc_tms": F.element_at(t, F.lit("maxspeed")),
-        }
+    # ONE index-addressed boolean array: exact-stage entries first
+    # (position = name_idx), then one extra entry per fuzzy-SENSITIVE
+    # name (fuzzy-insensitive names share their exact entry via
+    # fuzzy_idx == name_idx, so no predicate is evaluated twice)
+    fz_list = [n for n in names if n in fuzzy_names]
+    fuzzy_idx = {n: name_idx[n] for n in names}
+    for rank, n in enumerate(fz_list):
+        fuzzy_idx[n] = len(names) + rank
+
+    def m_elem(n: str, fuzzy: bool) -> Column:
+        if n in shared:
+            return F.col(fcol(n) if fuzzy else ecol(n))
+        return f_expr(n) if fuzzy else e_expr(n)
+
+    m_entries = [m_elem(n, False) for n in names] + [
+        m_elem(n, True) for n in fz_list
+    ]
+    m_array = (
+        F.array(*m_entries) if m_entries else F.array().cast("array<boolean>")
     )
 
-    out = out.join(
-        F.broadcast(dim), out["__nc_eff"] == dim["__nc_cc"], "left"
-    )
+    dim_rows, dim_schema, n_slots = _dim_data(ruleset, name_idx, fuzzy_idx)
 
     # unrolled first-match over scan slots (C1 -> min(priority))
     def first_pos(match_slot) -> Column:
-        pos = F.lit(None).cast("int")
         whens = None
         for j in range(n_slots):
             cond = match_slot(j)
@@ -490,30 +723,26 @@ def infer_speed_limits_native(
                 if whens is None
                 else whens.when(cond, F.lit(j + 1))
             )
-        return whens if whens is not None else pos
+        return whens if whens is not None else F.lit(None).cast("int")
 
-    mex, mfz = F.col("__nc_mex"), F.col("__nc_mfz")
+    m_arr = F.col("__nc_m")
     pos_e = first_pos(
         lambda j: F.coalesce(
-            F.element_at(mex, F.col(f"__nc_s{j}_nidx") + 1), F.lit(False)
+            F.element_at(m_arr, F.col(f"__nc_s{j}_nidx") + 1), F.lit(False)
         )
-    ) if n_slots else F.lit(None).cast("int")
+    )
     pos_f = first_pos(
         lambda j: F.coalesce(
-            F.element_at(mfz, F.col(f"__nc_s{j}_nidx") + 1), F.lit(False)
+            F.element_at(m_arr, F.col(f"__nc_s{j}_fidx") + 1), F.lit(False)
         )
-    ) if n_slots else F.lit(None).cast("int")
+    )
     # FromMaxSpeed: plain string equality, NOT unit-normalized (C3,
     # LegalDefaultSpeeds.kt:225-239; LegalDefaultSpeedsTest.kt:106-111)
     pos_m = first_pos(
         lambda j: F.col(f"__nc_s{j}_ms") == F.col("__nc_tms")
-    ) if n_slots else F.lit(None).cast("int")
-
-    out = out.withColumns(
-        {"__nc_pe": pos_e, "__nc_pf": pos_f, "__nc_pm": pos_m}
     )
-    pe, pf, pm = F.col("__nc_pe"), F.col("__nc_pf"), F.col("__nc_pm")
 
+    pe, pf, pm = F.col("__nc_pe"), F.col("__nc_pf"), F.col("__nc_pm")
     cert = (
         F.when(pe.isNotNull(), F.lit("Exact"))
         .when(pm.isNotNull(), F.lit("FromMaxSpeed"))
@@ -521,39 +750,40 @@ def infer_speed_limits_native(
         .when(F.col("__nc_has_fb"), F.lit("Fallback"))
     )
     wpos = F.coalesce(pe, pm, pf)
-    out = out.withColumns(
-        {
-            "__nc_cert": cert,
-            "__nc_w": F.element_at(F.col("__nc_rules"), wpos),
-        }
-    )
-    w = F.col("__nc_w")
-    out = out.withColumns(
-        {
-            "__nc_wname": w.getField("name"),
-            "__nc_wtags": F.coalesce(
-                w.getField("rtags"),
-                F.when(
-                    F.col("__nc_cert") == "Fallback", F.col("__nc_fb_tags")
-                ),
-            ),
-        }
+    w = F.element_at(F.col("__nc_rules"), wpos)
+    wname = w.getField("name")
+    wtags = F.coalesce(
+        w.getField("rtags"),
+        F.when(cert == "Fallback", F.col("__nc_fb_tags")),
     )
 
-    out = stage_result_tags(
-        out, t, F.col("__nc_wtags"), "__nc_rtags", max_cap_depth
-    )
-    out = out.withColumn(
-        result_col,
-        F.when(
-            F.col("__nc_cert").isNotNull(),
-            F.struct(
-                F.col("__nc_wname").alias("road_type_name"),
-                F.col("__nc_rtags").alias("tags"),
-                F.col("__nc_cert").alias("certitude"),
-            ),
+    assembly = _assembly_columns("__nc_tags", "__nc_wtags", "__nc_rtags", cap_depth)
+    result_struct = F.when(
+        F.col("__nc_cert").isNotNull(),
+        F.struct(
+            F.col("__nc_wname").alias("road_type_name"),
+            F.col("__nc_rtags").alias("tags"),
+            F.col("__nc_cert").alias("certitude"),
         ),
     )
 
-    internal = [c for c in out.columns if c.startswith("__nc_")]
-    return out.drop(*internal)
+    bundle = {
+        "eff": eff,
+        "num_batch": num_batch,
+        "level_batches": level_batches,
+        "m_array": m_array,
+        "tms": F.element_at(t, F.lit("maxspeed")),
+        "dim_rows": dim_rows,
+        "dim_schema": dim_schema,
+        "dims": {},
+        "pos_e": pos_e,
+        "pos_f": pos_f,
+        "pos_m": pos_m,
+        "cert": cert,
+        "wname": wname,
+        "wtags": wtags,
+        "assembly": assembly,
+        "result_struct": result_struct,
+    }
+    _BUNDLE_CACHE[key] = (ruleset, bundle)
+    return bundle

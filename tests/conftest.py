@@ -12,6 +12,11 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fall back from whole-stage codegen when the fused method would
+        # exceed the JIT's 8000-bytecode compile limit (huge fused spans
+        # execute in the bytecode interpreter, ~5x slower); split
+        # per-expression codegen JITs fine — see plans/native_cascade.py
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .getOrCreate()
     )
     yield spark
