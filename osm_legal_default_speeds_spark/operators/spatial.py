@@ -124,9 +124,10 @@ def grid_neighbors_py(cell: int, res: int, k: int = 1) -> list[int]:
 
 
 # --------------------------------------------------------------------------
-# Boundaries: axis-aligned rectangles (convex polygons degenerate to
-# their bounding box in the synthetic world; the exact-PIP hook below
-# is where a general convex test would slot in).
+# Boundaries: axis-aligned rectangles are the fast path (one comparison
+# per edge); general polygons — concave, holed — live below as
+# PolygonBoundary with a native even-odd ray cast over packed vertex
+# arrays in the same broadcast cell-index join shape.
 # --------------------------------------------------------------------------
 
 @dataclass(frozen=True)
@@ -276,6 +277,158 @@ def resolve_jurisdiction_column(
     return F.coalesce(
         pip_region_column(boundaries, lon, lat),
         knn_region_column(boundaries, lon, lat),
+    )
+
+
+# --------------------------------------------------------------------------
+# General polygons: ray-cast PIP over packed vertex arrays
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class PolygonBoundary:
+    """Arbitrary (possibly concave) polygon with optional holes: ring 0
+    is the exterior, further rings are holes — even-odd ray casting
+    handles both uniformly. Vertices are (lon, lat) pairs; rings need
+    not repeat the first vertex."""
+
+    region_code: str
+    rings: tuple  # tuple[tuple[(lon, lat), ...], ...]
+    priority: int = 0
+
+    @staticmethod
+    def from_rect(b: RectBoundary) -> "PolygonBoundary":
+        return PolygonBoundary(
+            b.region_code,
+            (
+                (
+                    (b.lon_min, b.lat_min),
+                    (b.lon_max, b.lat_min),
+                    (b.lon_max, b.lat_max),
+                    (b.lon_min, b.lat_max),
+                ),
+            ),
+            b.priority,
+        )
+
+    def bbox(self) -> tuple[float, float, float, float]:
+        xs = [p[0] for r in self.rings for p in r]
+        ys = [p[1] for r in self.rings for p in r]
+        return min(xs), min(ys), max(xs), max(ys)
+
+    def covering_cells(self, res: int) -> list[int]:
+        """Conservative bbox cover — a superset of the true cover is
+        sound for candidate generation (the exact test filters)."""
+        lon_min, lat_min, lon_max, lat_max = self.bbox()
+        return RectBoundary(
+            self.region_code, lon_min, lat_min, lon_max, lat_max
+        ).covering_cells(res)
+
+    def contains_py(self, lon: float, lat: float) -> bool:
+        """Pure-Python differential twin of the Column ray cast."""
+        crossings = 0
+        for ring in self.rings:
+            n = len(ring)
+            for i in range(n):
+                xi, yi = ring[i]
+                xj, yj = ring[(i + 1) % n]
+                if (yi > lat) != (yj > lat) and lon < (xj - xi) * (
+                    lat - yi
+                ) / (yj - yi) + xi:
+                    crossings += 1
+        return crossings % 2 == 1
+
+
+_POLY_CANDS_TYPE = (
+    "array<struct<priority:int, region_code:string, "
+    "rings:array<struct<xs:array<double>, ys:array<double>>>>>"
+)
+
+
+def _ring_crossings(lon: Column, lat: Column, xs: Column, ys: Column) -> Column:
+    """Crossing count of the rightward ray from (lon, lat) with one
+    ring (PNPOLY rule). Pure array algebra — no UDF. The vertical-span
+    test guards the division (interpreted AND short-circuits; double
+    division never raises in Spark anyway)."""
+    n = F.size(xs)
+
+    def step(acc: Column, i: Column) -> Column:
+        j = F.when(i == n, F.lit(1)).otherwise(i + 1)
+        xi, yi = F.element_at(xs, i), F.element_at(ys, i)
+        xj, yj = F.element_at(xs, j), F.element_at(ys, j)
+        crosses = ((yi > lat) != (yj > lat)) & (
+            lon < (xj - xi) * (lat - yi) / (yj - yi) + xi
+        )
+        return acc + F.when(crosses, 1).otherwise(0)
+
+    return F.aggregate(F.sequence(F.lit(1), n), F.lit(0), step)
+
+
+def point_in_polygon_col(lon: Column, lat: Column, rings: Column) -> Column:
+    """Even-odd containment of (lon, lat) in ``rings``
+    (array<struct<xs, ys>>): odd total ray crossings across all rings —
+    exterior + holes handled uniformly, concave polygons exact.
+    Boundary points follow the half-open PNPOLY convention."""
+    total = F.aggregate(
+        rings,
+        F.lit(0),
+        lambda acc, r: acc
+        + _ring_crossings(lon, lat, r.getField("xs"), r.getField("ys")),
+    )
+    return F.pmod(total, F.lit(2)) == F.lit(1)
+
+
+def polygon_cell_index_df(
+    spark, polygons: list[PolygonBoundary], res: int
+) -> DataFrame:
+    """cell -> candidate-polygon array with PACKED VERTEX ARRAYS (the
+    broadcast side of the general-PIP join). Same one-array-column,
+    zero-row-multiplication shape as the rectangle index."""
+    by_cell: dict[int, list] = {}
+    for p in polygons:
+        cand = {
+            "priority": p.priority,
+            "region_code": p.region_code,
+            "rings": [
+                {
+                    "xs": [float(v[0]) for v in ring],
+                    "ys": [float(v[1]) for v in ring],
+                }
+                for ring in p.rings
+            ],
+        }
+        for cell in p.covering_cells(res):
+            by_cell.setdefault(cell, []).append(cand)
+    rows = [(cell, cands) for cell, cands in by_cell.items()]
+    return spark.createDataFrame(rows, f"cell long, candidates {_POLY_CANDS_TYPE}")
+
+
+def assign_jurisdiction_polygons(
+    points: DataFrame,
+    polygons: list[PolygonBoundary],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    out_col: str = "region_code",
+    index_res: int = 6,
+) -> DataFrame:
+    """General-polygon PIP join: broadcast coarse-cell equi-join against
+    the packed-vertex index, exact ray-cast containment inside the
+    candidate array, (priority, region_code) winner via array_min.
+    Fact side stays map-only — one broadcast hash join, no shuffle, no
+    row multiplication; rectangles remain available as the cheaper
+    ``assign_jurisdiction`` fast path."""
+    spark = points.sparkSession
+    idx = F.broadcast(polygon_cell_index_df(spark, polygons, index_res))
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    pts = points.withColumn("_pip_cell", grid_cell(lon, lat, index_res))
+    joined = pts.join(idx, pts["_pip_cell"] == idx["cell"], "left").drop("cell")
+    winner = F.array_min(
+        F.filter(
+            F.col("candidates"),
+            lambda c: point_in_polygon_col(lon, lat, c.getField("rings")),
+        )
+    )
+    return joined.withColumn(out_col, winner.getField("region_code")).drop(
+        "candidates", "_pip_cell"
     )
 
 

@@ -20,6 +20,7 @@ Query -> SURVEY §2 coverage (full inventory-to-query map: COVERAGE.md):
   result_assembly    R1-R4 result map algebra incl. conditional capping
   grid_encode        graft: hierarchical grid encode + parent rollup
   pip_jurisdiction   graft: broadcast PIP join (cell index -> exact test)
+  pip_polygon        graft: general-polygon PIP (packed-vertex ray cast)
   knn_nearest        graft: kNN border resolution (argmin over dim)
   knn_indexed        graft: cell-indexed kNN (ball-cover pruning)
   tile_rollup        graft: salted two-phase per-tile aggregation (A5)
@@ -673,6 +674,94 @@ FROM roads
 """
 
 
+def synth_polygons():
+    """Non-rectangular synthetic world for the general-PIP query: one
+    CONVEX polygon per region (triangles on even slots, hexagons on odd
+    slots) laid out on the same 30-degree raster as synth_boundaries,
+    plus a higher-priority hexagon subdivision inside US. Convexity is
+    only an oracle convenience — the DuckDB twin uses strict half-plane
+    sign tests, a genuinely different algorithm from the engine's
+    even-odd ray cast (which also handles concave/holed polygons,
+    covered by pytest differentials)."""
+    import math
+
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        PolygonBoundary,
+    )
+
+    codes = ["DE", "FR", "IT", "ES", "PL", "NL", "GB", "DK", "US", "CA", "MX", "ZA"]
+    polys = []
+    for i, code in enumerate(codes):
+        cx = -180.0 + i * 30.0 + 14.0
+        cy = -60.0 + (i % 4) * 30.0 + 14.0
+        if i % 2 == 0:
+            ring = (
+                (cx - 11.3, cy - 9.7),
+                (cx + 12.1, cy - 9.1),
+                (cx + 0.7, cy + 11.3),
+            )
+        else:
+            r = 11.0 + 0.7 * (i % 3)
+            ring = tuple(
+                (
+                    round(cx + r * math.cos(math.radians(a)), 3),
+                    round(cy + r * math.sin(math.radians(a)), 3),
+                )
+                for a in range(0, 360, 60)
+            )
+        polys.append(PolygonBoundary(code, (ring,), priority=i + 1))
+    # subdivision hexagon inside the US triangle (priority 0 wins)
+    sub = tuple(
+        (
+            round(74.5 + 4.0 * math.cos(math.radians(a)), 3),
+            round(-45.5 + 4.0 * math.sin(math.radians(a)), 3),
+        )
+        for a in range(0, 360, 60)
+    )
+    polys.append(PolygonBoundary("US-ND", (sub,), priority=0))
+    return polys
+
+
+def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-polygon PIP: broadcast packed-vertex cell index + native
+    even-odd ray cast; winner by (priority, region_code)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        assign_jurisdiction_polygons,
+    )
+
+    roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
+    out = assign_jurisdiction_polygons(roads, synth_polygons(), index_res=6)
+    return out.select("road_id", "region_code")
+
+
+def _polygons_case_sql(polys) -> str:
+    """First containing polygon by (priority, code) via STRICT half-plane
+    sign tests (vertices are CCW; convex by construction)."""
+    branches = []
+    for p in sorted(polys, key=lambda p: (p.priority, p.region_code)):
+        (ring,) = p.rings
+        n = len(ring)
+        edges = []
+        for i in range(n):
+            xi, yi = ring[i]
+            xj, yj = ring[(i + 1) % n]
+            edges.append(
+                f"(({xj!r} - {xi!r}) * (lat - {yi!r})"
+                f" - ({yj!r} - {yi!r}) * (lon - {xi!r})) > 0"
+            )
+        branches.append(
+            "WHEN " + " AND ".join(edges) + f" THEN '{p.region_code}'"
+        )
+    return "CASE " + " ".join(branches) + " END"
+
+
+SQL_PIP_POLYGON = f"""
+WITH roads AS ({_ROADS_SQL})
+SELECT road_id, {_polygons_case_sql(synth_polygons())} AS region_code
+FROM roads
+"""
+
+
 def q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
     return roads.select(
@@ -782,6 +871,7 @@ QUERIES = {
     "result_assembly_native": q_result_assembly_native,
     "grid_encode": q_grid_encode,
     "pip_jurisdiction": q_pip_jurisdiction,
+    "pip_polygon": q_pip_polygon,
     "knn_nearest": q_knn_nearest,
     "tile_rollup": q_tile_rollup,
     "tile_neighbors": q_tile_neighbors,
@@ -804,6 +894,7 @@ ORACLES = {
     "result_assembly_native": SQL_RESULT_ASSEMBLY,
     "grid_encode": SQL_GRID_ENCODE,
     "pip_jurisdiction": SQL_PIP_JURISDICTION,
+    "pip_polygon": SQL_PIP_POLYGON,
     "knn_nearest": SQL_KNN_NEAREST,
     "tile_rollup": SQL_TILE_ROLLUP,
     "tile_neighbors": SQL_TILE_NEIGHBORS,

@@ -1,0 +1,123 @@
+"""General-polygon PIP: the native even-odd ray cast must agree with
+the pure-Python twin on concave and holed polygons, and degrade exactly
+to the rectangle fast path on boxes."""
+
+from pyspark.sql import Row, functions as F
+
+from osm_legal_default_speeds_spark.operators.spatial import (
+    PolygonBoundary,
+    RectBoundary,
+    assign_jurisdiction,
+    assign_jurisdiction_polygons,
+    point_in_polygon_col,
+)
+
+# concave L-shape
+L_SHAPE = PolygonBoundary(
+    "L",
+    (((0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (4.0, 4.0), (4.0, 10.0), (0.0, 10.0)),),
+)
+
+# square with a square hole
+DONUT = PolygonBoundary(
+    "D",
+    (
+        ((20.0, 20.0), (40.0, 20.0), (40.0, 40.0), (20.0, 40.0)),
+        ((28.0, 28.0), (32.0, 28.0), (32.0, 32.0), (28.0, 32.0)),
+    ),
+)
+
+
+def _grid_points(n=400):
+    pts = []
+    for i in range(n):
+        lon = (i * 7919 % 50000) / 1000.0 - 5.0
+        lat = (i * 104729 % 50000) / 1000.0 - 5.0
+        pts.append((i, lon, lat))
+    return pts
+
+
+def test_ray_cast_matches_python_on_concave_and_holes(spark):
+    pts = _grid_points()
+    df = spark.createDataFrame(pts, "pid int, lon double, lat double")
+    out = df.select(
+        "pid",
+        point_in_polygon_col(
+            F.col("lon"),
+            F.col("lat"),
+            F.expr(_rings_sql(L_SHAPE)),
+        ).alias("in_l"),
+        point_in_polygon_col(
+            F.col("lon"),
+            F.col("lat"),
+            F.expr(_rings_sql(DONUT)),
+        ).alias("in_d"),
+    ).collect()
+    got = {r["pid"]: (r["in_l"], r["in_d"]) for r in out}
+    hits_l = hits_d = 0
+    for pid, lon, lat in pts:
+        exp = (L_SHAPE.contains_py(lon, lat), DONUT.contains_py(lon, lat))
+        assert got[pid] == exp, (pid, lon, lat)
+        hits_l += exp[0]
+        hits_d += exp[1]
+    # the corpus actually exercises both sides of each containment
+    assert 0 < hits_l < len(pts)
+
+
+def _rings_sql(poly: PolygonBoundary) -> str:
+    ring_exprs = []
+    for ring in poly.rings:
+        xs = ", ".join(repr(v[0]) for v in ring)
+        ys = ", ".join(repr(v[1]) for v in ring)
+        ring_exprs.append(
+            f"named_struct('xs', array({xs}), 'ys', array({ys}))"
+        )
+    return "array(" + ", ".join(ring_exprs) + ")"
+
+
+def test_polygon_join_equals_rect_join_on_boxes(spark):
+    rects = [
+        RectBoundary("A", -10.0, -10.0, 5.0, 5.0, priority=2),
+        RectBoundary("B", 0.0, 0.0, 20.0, 20.0, priority=1),
+        RectBoundary("C", 30.0, -20.0, 50.0, 10.0, priority=3),
+    ]
+    polys = [PolygonBoundary.from_rect(r) for r in rects]
+    pts = [
+        (i, (i * 7919 % 80000) / 1000.0 - 30.0, (i * 104729 % 60000) / 1000.0 - 30.0)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(pts, "pid int, lon double, lat double")
+    rect_out = {
+        r["pid"]: r["region_code"]
+        for r in assign_jurisdiction(df, rects, lon_col="lon", lat_col="lat").collect()
+    }
+    poly_out = {
+        r["pid"]: r["region_code"]
+        for r in assign_jurisdiction_polygons(
+            df, polys, lon_col="lon", lat_col="lat"
+        ).collect()
+    }
+    # rect containment is half-open [min, max); the ray cast agrees off
+    # the boundary — and no lattice point lands exactly on these edges
+    assert rect_out == poly_out
+    assert any(v is not None for v in rect_out.values())
+
+
+def test_polygon_priority_winner(spark):
+    polys = [
+        PolygonBoundary(
+            "OUTER", (((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),), 5
+        ),
+        PolygonBoundary(
+            "INNER", (((2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0)),), 1
+        ),
+    ]
+    df = spark.createDataFrame(
+        [Row(pid=0, lon=3.3, lat=3.3), Row(pid=1, lon=8.7, lat=8.7),
+         Row(pid=2, lon=-1.0, lat=-1.0)]
+    )
+    out = {
+        r["pid"]: r["region_code"]
+        for r in assign_jurisdiction_polygons(df, polys).collect()
+    }
+    assert out == {0: "INNER", 1: "OUTER", 2: None}
