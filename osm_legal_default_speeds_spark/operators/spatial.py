@@ -568,9 +568,22 @@ def tile_rollup(
 ) -> DataFrame:
     """Two-phase salted rollup: groupBy(tile, salt) partial aggregation
     -> groupBy(tile) merge. Defeats Zipfian hot tiles that would
-    otherwise pin one reducer. Salt = crc32(salt_on) % buckets when a
-    column is given, else spark_partition_id() (which makes phase one a
-    pure map-side combine). Metrics: row count per tile."""
+    otherwise pin one reducer.
+
+    The salt must vary WITHIN a tile or it cannot split a hot key:
+    default is ``spark_partition_id()`` (row-local; phase one becomes a
+    pure map-side combine), or pass ``salt_on`` naming a
+    high-cardinality NON-key column (e.g. the row id) hashed into
+    ``salt_buckets``. Passing the group key itself is rejected — a salt
+    that is a function of the key alone maps every row of the hot key
+    to the same reducer, silently disabling the protection.
+    Metrics: row count per tile."""
+    if salt_on == tile_col:
+        raise ValueError(
+            f"salt_on={salt_on!r} is the group key: a key-derived salt "
+            "cannot split a hot key across reducers; use a row-local "
+            "column (e.g. the row id) or the default spark_partition_id()"
+        )
     if salt_on is not None:
         salt = F.pmod(F.crc32(F.col(salt_on).cast("string")), F.lit(salt_buckets))
     else:

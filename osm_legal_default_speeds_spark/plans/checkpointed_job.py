@@ -74,6 +74,8 @@ def run_checkpointed(
     transform_label: str = "pipeline",
     lineage_id_col: str | None = None,
     fail_after_batches: int | None = None,
+    make_batch_df: Callable[[SparkSession, list[int]], DataFrame] | None = None,
+    persist_input: bool = True,
 ) -> dict:
     """Run ``make_df(spark)`` partitioned into ``num_buckets`` buckets
     of ``bucket_expr`` (a SQL expression over the output columns),
@@ -83,14 +85,35 @@ def run_checkpointed(
     killed run resumes where it stopped and the final output is
     identical to a single uninterrupted run.
 
+    The input is computed ONCE per run, not once per batch: a naive
+    ``df.where(pid IN batch)`` per batch recomputes the whole upstream
+    pipeline buckets/batch_size times (the scan multiplier flagged at
+    4096 buckets / batches of 64 = 64 redundant input scans). Two
+    mechanisms, in preference order:
+
+    - ``make_batch_df(spark, buckets)``: caller-provided source-level
+      pushdown — when the input layout can prune to the requested
+      buckets (e.g. it is already partitioned by a compatible key),
+      each batch reads only its own slice and nothing is recomputed.
+    - ``persist_input`` (default): the bucketed DataFrame is persisted
+      (memory, spilling to disk) on first materialization; later
+      batches read the cache. Unpersisted at the end of the run.
+
     ``fail_after_batches`` injects a crash after N batches (test hook
     for the kill/rerun-identical-output invariant).
 
     Returns ``{"completed": [...], "skipped": [...], "rows": int}``.
     """
-    df = make_df(spark).withColumn(
-        PID_COL, F.pmod(F.hash(F.expr(bucket_expr)), F.lit(num_buckets)).cast("int")
-    )
+    pid_of = lambda: F.pmod(  # noqa: E731
+        F.hash(F.expr(bucket_expr)), F.lit(num_buckets)
+    ).cast("int")
+    df = None
+    if make_batch_df is None:
+        df = make_df(spark).withColumn(PID_COL, pid_of())
+        if persist_input:
+            from pyspark import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
     done = completed_buckets(output_dir)
     todo = [b for b in range(num_buckets) if b not in done]
@@ -110,7 +133,11 @@ def run_checkpointed(
                     f"injected failure before batch {batch_no} (test hook)"
                 )
             t0 = time.monotonic()
-            part = df.where(F.col(PID_COL).isin(batch))
+            if make_batch_df is not None:
+                part = make_batch_df(spark, batch).withColumn(PID_COL, pid_of())
+                part = part.where(F.col(PID_COL).isin(batch))
+            else:
+                part = df.where(F.col(PID_COL).isin(batch))
 
             # lineage fingerprint rides the write as an observation —
             # one pass, no separate aggregation job
@@ -174,6 +201,8 @@ def run_checkpointed(
                 completed.append(b)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        if df is not None and persist_input:
+            df.unpersist()
 
     return {"completed": completed, "skipped": skipped, "rows": total_rows}
 

@@ -156,3 +156,82 @@ def test_output_layout_supports_partition_pruning(spark, tmp_path):
     assert df.count() == full.where(F.col("pid") == 3).count() > 0
     manifests = {m["pid"]: m["rows"] for m in read_manifests(out)}
     assert df.count() == manifests[3]
+
+
+def test_input_scanned_once_per_run(spark, tmp_path):
+    """The upstream pipeline must not be recomputed per batch: with the
+    persisted-input plan, a per-row accumulator fires once per input
+    row for the whole run, not once per batch (the re-scan multiplier
+    flagged in round 1)."""
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def counted(v):
+        acc.add(1)
+        return v
+
+    def make_df(spark_):
+        from osm_legal_default_speeds_spark.operators.spatial import (
+            assign_tiles,
+        )
+        from osm_legal_default_speeds_spark.plans.driver_queries import (
+            _roads_df,
+        )
+
+        roads = _roads_df(spark_, SF_DIR).select("road_id", "lon", "lat")
+        roads = roads.withColumn("road_id", counted(F.col("road_id")))
+        return assign_tiles(roads, tile_res=6)
+
+    out = str(tmp_path / "scan_once")
+    res = run_checkpointed(
+        spark,
+        make_df,
+        out,
+        bucket_expr="tile_id",
+        num_buckets=NUM_BUCKETS,
+        batch_size=2,  # 4 batches — naive plan would scan 4x
+        lineage_id_col="road_id",
+    )
+    n_input = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert res["rows"] == n_input
+    # speculative/failed task retries could add a handful; 1.5x margin
+    # still cleanly distinguishes 1 scan from 4
+    assert n_input <= acc.value < int(n_input * 1.5), acc.value
+
+
+def test_make_batch_df_pushdown_receives_buckets(spark, tmp_path):
+    """Source-level pushdown path: each batch asks the caller for just
+    its buckets; union of requests covers exactly the todo set."""
+    requested: list[list[int]] = []
+
+    def make_batch(spark_, buckets):
+        requested.append(sorted(buckets))
+        from osm_legal_default_speeds_spark.operators.spatial import (
+            assign_tiles,
+        )
+        from osm_legal_default_speeds_spark.plans.driver_queries import (
+            _roads_df,
+        )
+
+        roads = _roads_df(spark_, SF_DIR).select("road_id", "lon", "lat")
+        return assign_tiles(roads, tile_res=6)
+
+    out = str(tmp_path / "pushdown")
+    res = run_checkpointed(
+        spark,
+        _pipeline,
+        out,
+        bucket_expr="tile_id",
+        num_buckets=NUM_BUCKETS,
+        batch_size=3,
+        make_batch_df=make_batch,
+    )
+    assert sorted(b for req in requested for b in req) == list(range(NUM_BUCKETS))
+    # output identical to the persisted-input plan
+    out2 = str(tmp_path / "persisted")
+    run_checkpointed(
+        spark, _pipeline, out2, bucket_expr="tile_id",
+        num_buckets=NUM_BUCKETS, batch_size=3,
+    )
+    assert _collect_output(spark, out) == _collect_output(spark, out2)
+    assert res["rows"] > 0

@@ -557,3 +557,38 @@ def test_neighbor_cells_matches_python(spark):
     }
     for c in cells:
         assert got[c] == grid_neighbors_py(c, res, k), c
+
+
+def test_tile_rollup_salt_rejects_group_key(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import tile_rollup
+
+    df = spark.range(10).select(F.col("id").alias("tile_id"))
+    with pytest.raises(ValueError, match="group key"):
+        tile_rollup(df, salt_on="tile_id")
+
+
+def test_tile_rollup_salt_splits_hot_key(spark):
+    """Skewed generator: 90% of rows land on one tile. A row-local salt
+    must spread the hot tile's partial aggregation across buckets, and
+    the merged counts must still be exact."""
+    from osm_legal_default_speeds_spark.operators.spatial import tile_rollup
+
+    n = 20000
+    df = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 97)
+         .cast("long").alias("tile_id"),
+    ).repartition(8)
+
+    out = {r["tile_id"]: r["n_rows"] for r in
+           tile_rollup(df, salt_buckets=16, salt_on="row_id").collect()}
+    assert out[7] == sum(1 for i in range(n) if i % 10 < 9 or i % 97 == 7)
+
+    # the hot tile's rows really hash into many salt buckets (the
+    # property the rejected key-derived salt lacks: it would be 1)
+    salt = F.pmod(F.crc32(F.col("row_id").cast("string")), F.lit(16))
+    n_buckets = (
+        df.where(F.col("tile_id") == 7).select(salt.alias("s"))
+        .distinct().count()
+    )
+    assert n_buckets == 16
