@@ -99,6 +99,22 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def probe_masks(num_planes: int, probe_radius: int) -> list[int]:
+    """XOR masks of every bucket within Hamming distance
+    ``probe_radius`` of a signature (mask 0 = the bucket itself),
+    sorted for determinism."""
+    from itertools import combinations
+
+    masks = []
+    for r in range(probe_radius + 1):
+        for bits in combinations(range(num_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return sorted(masks)
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -108,20 +124,42 @@ def lsh_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    probe_radius: int = 0,
 ) -> DataFrame:
     """Approximate top-k: equi-join on the hyperplane bucket, exact
-    cosine rank within the bucket. Recall rises with fewer planes /
-    multi-probe; this is the single-probe baseline."""
+    cosine rank within the probed buckets.
+
+    ``probe_radius``: multi-probe recall control — each query also
+    probes every bucket within this Hamming distance of its own
+    signature (radius 1 adds ``len(planes)`` probes, lifting recall for
+    near-boundary vectors where one projection flipped sign). Probing
+    explodes only the BROADCAST query side; the vector side is still
+    hashed once and joined once, and since each vector lives in exactly
+    one bucket and a query's probe buckets are distinct, no (query,
+    vector) pair is scored twice — no dedup shuffle needed."""
     v = vectors.select(
         id_col, vec_col, lsh_bucket(F.col(vec_col), planes).alias("bucket")
     )
-    q = F.broadcast(
-        queries.select(
+    q = queries.select(
+        query_id_col,
+        query_vec_col,
+        lsh_bucket(F.col(query_vec_col), planes).alias("bucket"),
+    )
+    if probe_radius > 0:
+        masks = probe_masks(len(planes), probe_radius)
+        q = q.select(
             query_id_col,
             query_vec_col,
-            lsh_bucket(F.col(query_vec_col), planes).alias("bucket"),
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
+                        for m in masks
+                    ]
+                )
+            ).alias("bucket"),
         )
-    )
+    q = F.broadcast(q)
     scored = v.join(q, "bucket").select(
         F.col(query_id_col),
         F.col(id_col),

@@ -566,6 +566,56 @@ SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {LSH_K}
 """
 
 
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (Hamming-radius-1 probes): recall control
+    over the single-probe baseline, same bucket join shape."""
+    return lsh_topk(
+        _read(spark, sf_dir, "embeddings"),
+        _queries_df(spark, sf_dir),
+        LSH_PLANES,
+        k=LSH_K,
+        probe_radius=1,
+    )
+
+
+def _sql_probe_masks() -> str:
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        probe_masks,
+    )
+
+    rows = ", ".join(f"({m})" for m in probe_masks(len(LSH_PLANES), 1))
+    return f"(VALUES {rows}) m(mask)"
+
+
+SQL_ANN_MULTIPROBE = f"""
+WITH v AS (
+  SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec,
+         {_sql_bucket('embedding')} AS bucket
+  FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
+),
+probes AS (
+  SELECT q.query_id, q.query_vec, xor(q.bucket, m.mask::BIGINT) AS bucket
+  FROM q, {_sql_probe_masks()}
+),
+scored AS (
+  SELECT p.query_id, v.vec_id,
+    {_sql_cosine('v.embedding', 'p.query_vec')} AS sim
+  FROM v JOIN probes p ON v.bucket = p.bucket
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)
+      AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {LSH_K}
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "embeddings")
     dups = e.where(F.col("vec_id") % ND_DUP_MOD == 0).select(
@@ -762,6 +812,7 @@ TRAININGDATA_QUERIES = {
     "source_stats": q_source_stats,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_multiprobe": q_ann_multiprobe,
     "embedding_near_dup": q_embedding_near_dup,
     "events_rollup": q_events_rollup,
     "events_rollup_streaming": q_events_rollup_streaming,
@@ -804,6 +855,7 @@ TRAININGDATA_ORACLES = {
     "source_stats": SQL_SOURCE_STATS,
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_multiprobe": SQL_ANN_MULTIPROBE,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_rollup_streaming": SQL_EVENTS_ROLLUP,

@@ -347,3 +347,39 @@ def test_text_features_python_twin_parity(spark):
     )
     assert slow == fast
     assert len(fast) == d.count()
+
+
+def test_multiprobe_lifts_recall_over_single_probe(vectors):
+    """Hamming-1 multi-probe must recall at least as much of the exact
+    top-k as single-probe, and strictly dominate in candidate coverage
+    (every single-probe result is also a multi-probe candidate)."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        probe_masks,
+    )
+
+    dim = len(vectors.first()["embedding"])
+    planes = hyperplanes(dim, 6)  # more planes -> sparser buckets
+    queries = vectors.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    k = 5
+    exact = {}
+    for r in brute_force_topk(vectors, queries, k=k).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(probe_radius):
+        got = {}
+        out = lsh_topk(
+            vectors, queries, planes, k=k, probe_radius=probe_radius
+        ).collect()
+        for r in out:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0, f"multi-probe recall {r1:.2f} < single-probe {r0:.2f}"
+    assert r1 > 0.2, f"radius-1 recall {r1:.2f} unreasonably low"
+
+    assert probe_masks(6, 1) == [0, 1, 2, 4, 8, 16, 32]
+    assert len(probe_masks(6, 2)) == 1 + 6 + 15
