@@ -243,7 +243,10 @@ def connected_components(
     driver-side action (no collect of data).
 
     For 100 TB runs cache/checkpoint ``labels`` between rounds (done
-    here via localCheckpoint every few rounds to cut lineage growth).
+    here via localCheckpoint every round to cut lineage growth).
+    Raises if the loop exits without convergence (possible for
+    path-shaped chains longer than ``max_iterations``) — silent
+    unconverged labels would be wrong component ids.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -284,8 +287,12 @@ def connected_components(
         changed = updated.where(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        "iterations (pair graph has a longer path than expected); "
+        "raise max_iterations"
+    )
 
 
 def dup_groups_from_pairs(

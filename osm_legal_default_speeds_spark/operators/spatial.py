@@ -16,6 +16,14 @@ Design notes (scale-first):
   Pure-arithmetic cells keep the whole encode/parent/neighbor algebra
   inside whole-stage codegen (no UDF, no library), and make results
   reproducible in any SQL engine (the DuckDB oracle).
+  **Known deviation from H3/S2**: equirectangular cells are NOT
+  equal-area — cell area shrinks by cos(lat) toward the poles, so
+  uniform-on-sphere data loads equatorial tiles ~2x harder at 60 deg
+  latitude. Where tile-load uniformity matters, use the exact
+  equal-area variant ``grid_cell_ea`` / ``assign_tiles(...,
+  equal_area=True)`` (Lambert cylindrical bands: uniform in lon x
+  sin(lat)); the salted two-phase rollup absorbs residual skew either
+  way.
 - **PIP join.** Boundaries are a small dim table (10^2..10^5 rows):
   precompute each polygon's covering cells at a coarse resolution on
   the driver, explode to a cell->polygon index, **broadcast** it, and
@@ -74,6 +82,38 @@ def grid_parent(cell: Column, res: int) -> Column:
     px = (x / 2).cast("long")
     py = (y / 2).cast("long")
     return (px * F.lit(grid_ny(res - 1)) + py).cast("long")
+
+
+def grid_cell_ea(lon: Column, lat: Column, res: int) -> Column:
+    """EQUAL-AREA cell id: longitude uniform x ``sin(lat)`` uniform
+    (Lambert cylindrical equal-area bands). Every cell covers the same
+    sphere area exactly, unlike the plain equirectangular grid whose
+    cells shrink by cos(lat) toward the poles (at 60 deg latitude a cell
+    holds half the area, so uniform-on-sphere data makes equatorial
+    tiles ~2x hotter). This is the public-knowledge substitute for
+    H3/S2's equal-area property (no h3 lib in this environment) while
+    keeping the whole encode inside codegen; ids share the
+    ``x * 2^res + y`` layout but are a DIFFERENT id space from
+    ``grid_cell`` — don't mix them in one column."""
+    nx, ny = grid_nx(res), grid_ny(res)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(nx))
+    y = F.floor(
+        (F.sin(F.radians(lat)) + F.lit(1.0)) / F.lit(2.0) * F.lit(ny)
+    )
+    x = F.least(F.greatest(x, F.lit(0)), F.lit(nx - 1))
+    y = F.least(F.greatest(y, F.lit(0)), F.lit(ny - 1))
+    return (x * F.lit(ny) + y).cast("long")
+
+
+def grid_cell_ea_py(lon: float, lat: float, res: int) -> int:
+    import math
+
+    nx, ny = grid_nx(res), grid_ny(res)
+    x = int((lon + 180.0) / 360.0 * nx)
+    y = int((math.sin(math.radians(lat)) + 1.0) / 2.0 * ny)
+    x = min(max(x, 0), nx - 1)
+    y = min(max(y, 0), ny - 1)
+    return x * ny + y
 
 
 def grid_cell_py(lon: float, lat: float, res: int) -> int:
@@ -556,8 +596,14 @@ def assign_tiles(
     lat_col: str = "lat",
     tile_res: int = 7,
     tile_col: str = "tile_id",
+    equal_area: bool = False,
 ) -> DataFrame:
-    return df.withColumn(tile_col, grid_cell(F.col(lon_col), F.col(lat_col), tile_res))
+    """``equal_area=True`` switches to the Lambert equal-area bands
+    (``grid_cell_ea``): recommended for uniform tile load at high
+    latitudes; the default equirectangular grid keeps ids identical to
+    the SQL-portable oracle algebra (parents, k-rings)."""
+    cell = grid_cell_ea if equal_area else grid_cell
+    return df.withColumn(tile_col, cell(F.col(lon_col), F.col(lat_col), tile_res))
 
 
 def tile_rollup(

@@ -250,6 +250,10 @@ def with_text_features_python(
                 "fingerprint", "rolling_hash", "simhash",
             )}
             for i, text in enumerate(texts):
+                if text is None:
+                    # match the Column path: null text -> all-null
+                    # feature row (the cols arrays are None-initialized)
+                    continue
                 low = text.lower()
                 t = low.split(" ")
                 nt = len(t)
@@ -296,8 +300,9 @@ def with_text_features_python(
             out = pdf.copy()
             for k, v in cols.items():
                 out[k] = v
-            out["n_tokens"] = out["n_tokens"].astype("int32")
-            out["n_bpe_tokens"] = out["n_bpe_tokens"].astype("int32")
+            # nullable ints (null text rows stay None, like the Column path)
+            out["n_tokens"] = out["n_tokens"].astype("Int32")
+            out["n_bpe_tokens"] = out["n_bpe_tokens"].astype("Int32")
             yield out
 
     return df.mapInPandas(kernel, out_schema)

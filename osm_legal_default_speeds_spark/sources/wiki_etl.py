@@ -205,10 +205,16 @@ def _parse_date_intervals(tok: str) -> str | None:
     return "; ".join(out)
 
 
+_NUM_UNIT_GAP_RE = re.compile(r"(\d(?:\.\d+)?)\s+(t|st|lt|lb|m|ft)\b")
+
+
 def _parse_restriction(tok: str) -> str:
     """One restriction -> OSM conditional term (osm_restrictions.py
-    visitor semantics)."""
-    tok = tok.strip()
+    visitor semantics). The reference Lark grammar ignores whitespace
+    (speed_grammar.ebnf ``%ignore WS``), so '3.5 t' and '10 m' are the
+    same tokens as '3.5t'/'10m' — join number+unit word pairs before
+    matching."""
+    tok = _NUM_UNIT_GAP_RE.sub(r"\1\2", tok.strip())
     words = tok.split()
     w = _parse_weight_restriction(words)
     if w is not None:
@@ -528,25 +534,14 @@ NAME_OVERRIDES: dict[str, str] = {
     "United Kingdom:Scotland": "GB-SCT",
 }
 
-# Built-in ISO 3166-1 name table (pycountry replacement, common
-# entries; extend via the `countries` parameter).
-COUNTRY_ALPHA2: dict[str, str] = {
-    "Germany": "DE", "France": "FR", "Denmark": "DK", "Italy": "IT",
-    "Spain": "ES", "Poland": "PL", "Netherlands": "NL",
-    "United Kingdom": "GB", "United States": "US", "Canada": "CA",
-    "Mexico": "MX", "South Africa": "ZA", "Australia": "AU",
-    "Austria": "AT", "Belgium": "BE", "Switzerland": "CH",
-    "Sweden": "SE", "Norway": "NO", "Finland": "FI", "Japan": "JP",
-}
-
-# ISO 3166-2 subdivisions keyed by (alpha2, subdivision display name).
-SUBDIVISIONS: dict[tuple[str, str], str] = {
-    ("US", "North Dakota"): "US-ND",
-    ("US", "California"): "US-CA",
-    ("AU", "New South Wales"): "AU-NSW",
-    ("CA", "Ontario"): "CA-ON",
-    ("DE", "Bavaria"): "DE-BY",
-}
+# Built-in ISO 3166-1/-2 name tables (public data, pycountry
+# replacement; extend or replace via the `countries`/`subdivisions`
+# parameters). ~230 country names + every subdivision family the
+# reference dataset uses (US/CA/AU/DE/GB/BE/FM/NL-BQ/BS).
+from osm_legal_default_speeds_spark.sources.iso3166 import (  # noqa: E402
+    COUNTRY_ALPHA2,
+    SUBDIVISIONS,
+)
 
 
 def resolve_country_code(

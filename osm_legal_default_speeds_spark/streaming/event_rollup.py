@@ -86,8 +86,17 @@ def streaming_event_rollup(
 ) -> DataFrame:
     """Drain ``src_dir`` with Trigger.AvailableNow through the
     watermarked rollup into a memory sink; returns the sink as a
-    DataFrame. Restarting with the same checkpoint resumes from the
-    committed offset log (exactly-once per micro-batch)."""
+    DataFrame.
+
+    The memory sink is TEST-ONLY: it is not fault-tolerant, and
+    complete-mode output is rebuilt per trigger, so a restart with the
+    same checkpoint resumes the *source offsets and aggregation state*
+    (no input reprocessed, state carried forward) but the in-memory
+    table itself is repopulated fresh. For end-to-end exactly-once
+    across restarts, point the same pipeline at a transactional file
+    sink (e.g. append-mode parquet with the update pattern, or a
+    table format with atomic commits) — the checkpoint contract is the
+    source/state side, which this function does exercise."""
     stream = read_event_stream(spark, src_dir)
     rolled = windowed_rollup(stream, window, watermark)
     q = (

@@ -592,3 +592,36 @@ def test_tile_rollup_salt_splits_hot_key(spark):
         .distinct().count()
     )
     assert n_buckets == 16
+
+
+def test_equal_area_grid_matches_python_and_equalizes_bands(spark):
+    """grid_cell_ea == python twin, and its latitude bands hold equal
+    sin-lat spans (exact equal area), unlike the equirectangular grid."""
+    import math
+
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        assign_tiles,
+        grid_cell_ea_py,
+        grid_ny,
+    )
+
+    pts = [
+        (i, (i * 7919 % 360000) / 1000.0 - 180.0,
+         (i * 104729 % 170000) / 1000.0 - 85.0)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(pts, "pid int, lon double, lat double")
+    res = 4
+    out = {
+        r["pid"]: r["tile_id"]
+        for r in assign_tiles(df, tile_res=res, equal_area=True).collect()
+    }
+    for pid, lon, lat in pts:
+        assert out[pid] == grid_cell_ea_py(lon, lat, res), (pid, lon, lat)
+
+    # equal-area property: band y covers sin(lat) in [2y/ny - 1, ...)
+    ny = grid_ny(res)
+    for pid, lon, lat in pts[:200]:
+        y = out[pid] % ny
+        s = (math.sin(math.radians(lat)) + 1.0) / 2.0 * ny
+        assert y == min(max(int(s), 0), ny - 1)

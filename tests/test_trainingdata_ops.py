@@ -383,3 +383,26 @@ def test_multiprobe_lifts_recall_over_single_probe(vectors):
 
     assert probe_masks(6, 1) == [0, 1, 2, 4, 8, 16, 32]
     assert len(probe_masks(6, 2)) == 1 + 6 + 15
+
+
+def test_text_features_null_text_both_paths(spark):
+    """Null text rows: the Column path emits null features; the Python
+    differential twin must do the same instead of crashing (it calls
+    .lower() on the value)."""
+    from osm_legal_default_speeds_spark.operators.textops import (
+        with_text_features,
+        with_text_features_python,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id int, text string"
+    )
+    a = {r["doc_id"]: r.asDict() for r in with_text_features(df, "text").collect()}
+    b = {
+        r["doc_id"]: r.asDict()
+        for r in with_text_features_python(df, "text").collect()
+    }
+    assert set(a) == set(b) == {1, 2}
+    assert a[2]["n_tokens"] is None and b[2]["n_tokens"] is None
+    assert a[2]["fingerprint"] is None and b[2]["fingerprint"] is None
+    assert a[1] == b[1]

@@ -98,6 +98,11 @@ GOLDENS = [
     ("advisory: 130", {"maxspeed:advisory": "130"}),
     ("min: 50", {"minspeed": "50"}),
     ("X", {"access": "no"}),
+    # whitespace-separated number+unit (Lark ignores WS upstream)
+    ("40 mph (3.5 t)", {"maxspeed:conditional": "40 mph @ (weightrating>3.5)"}),
+    ("40 (10 m)", {"maxspeed:conditional": "40 @ (length>10)"}),
+    ("40 (current 2 t)", {"maxspeed:conditional": "40 @ (weight>2)"}),
+    ("40 (2 lt)", {"maxspeed:conditional": "40 @ (weightrating>2 lt)"}),
     # junk
     ("junk", None),
     ("40 mph ((2t)", None),
@@ -186,6 +191,15 @@ def test_resolve_country_code():
     assert resolve_country_code("United States:North Dakota") == "US-ND"
     assert resolve_country_code("United States:Nowhere") is None
     assert resolve_country_code("Atlantis") is None
+    # full ISO table entries (no pycountry in the container)
+    assert resolve_country_code("Bahamas:New Providence") == "BS-NP"
+    assert resolve_country_code("Micronesia:Chuuk") == "FM-TRK"
+    assert resolve_country_code("Netherlands:Saba") == "NL-BQ2"
+    assert resolve_country_code("Canada:Prince Edward Island") == "CA-PE"
+    assert resolve_country_code("Australia:Queensland") == "AU-QLD"
+    assert resolve_country_code("United Kingdom:Scotland") == "GB-SCT"
+    assert resolve_country_code("Côte d'Ivoire") == "CI"
+    assert resolve_country_code("Kosovo") == "XK"  # override (user-assigned)
 
 
 @pytest.mark.parametrize(
