@@ -56,10 +56,27 @@ _OR = "or"
 _AND = "and"
 _RESERVED_WORDS = (_OR, _AND)
 _QUOTATION_MARKS = ('"', "'")
-_KEY_VALUE_OPERATORS = {"=", "!=", "~", "!~"}
-_COMPARISON_OPERATORS = {">", ">=", "<", "<="}
-# longest-prefix-first (TagFilterExpressionParser.kt:71-81)
-_OPERATORS = (">=", "<=", ">", "<", "!=", "=", "!~", "~")
+
+# table-driven atom dispatch: binary operator -> AST node. String-valued
+# operators take a quotable word on the right; numeric ones take a
+# unit-normalizable number (folded to canonical units at parse time,
+# TagFilterExpressionParser.kt:194).
+_KEY_VALUE_ATOMS: dict[str, type] = {
+    "=": HasTag,
+    "!=": NotHasTag,
+    "~": HasTagValueLike,
+    "!~": NotHasTagValueLike,
+}
+_COMPARISON_ATOMS: dict[str, type] = {
+    ">": HasTagGreaterThan,
+    ">=": HasTagGreaterOrEqualThan,
+    "<": HasTagLessThan,
+    "<=": HasTagLessOrEqualThan,
+}
+# all operators, longest first so ">=" never lexes as ">" + "="
+_OPERATORS = tuple(
+    sorted([*_KEY_VALUE_ATOMS, *_COMPARISON_ATOMS], key=len, reverse=True)
+)
 
 _ESCAPED_QUOTE_RE = re.compile(r"\\(['\"])")
 _WHITESPACE_RE = re.compile(r"\s")
@@ -218,33 +235,19 @@ def _parse_tag(cursor: _Cursor) -> TagFilter:
     if operator is None:
         return HasKey(key)
 
-    if operator in _KEY_VALUE_OPERATORS:
-        value = _parse_quotable_word(cursor)
-        if operator == "=":
-            return HasTag(key, value)
-        if operator == "!=":
-            return NotHasTag(key, value)
-        if operator == "~":
-            return HasTagValueLike(key, value)
-        if operator == "!~":
-            return NotHasTagValueLike(key, value)
+    atom = _KEY_VALUE_ATOMS.get(operator)
+    if atom is not None:
+        return atom(key, _parse_quotable_word(cursor))
 
-    if operator in _COMPARISON_OPERATORS:
-        word = _parse_word(cursor)
-        value = parse_number_with_unit(word)
+    atom = _COMPARISON_ATOMS.get(operator)
+    if atom is not None:
+        value = parse_number_with_unit(_parse_word(cursor))
         if value is None:
             raise ParseError(
                 "Expected a number (e.g. 3.5) or a number with a known unit (e.g. 3.5st)",
                 cursor.pos,
             )
-        if operator == ">":
-            return HasTagGreaterThan(key, value)
-        if operator == ">=":
-            return HasTagGreaterOrEqualThan(key, value)
-        if operator == "<":
-            return HasTagLessThan(key, value)
-        if operator == "<=":
-            return HasTagLessOrEqualThan(key, value)
+        return atom(key, value)
 
     raise ParseError(f"Unknown operator '{operator}'", cursor.pos)
 
