@@ -43,8 +43,15 @@ def __getattr__(name):
         from osm_legal_default_speeds_spark.operators import inference
 
         return getattr(inference, name)
+    if name in ("infer_speed_limits_native", "create_result_tags_native",
+                "stage_result_tags"):
+        from osm_legal_default_speeds_spark.plans import native_cascade
+
+        return getattr(native_cascade, name)
     if name in ("assign_jurisdiction", "assign_tiles", "tile_rollup",
-                "knn_assign_via_index", "resolve_jurisdiction_column"):
+                "knn_assign_via_index", "resolve_jurisdiction_column",
+                "assign_jurisdiction_polygons", "point_in_polygon_col",
+                "PolygonBoundary", "RectBoundary"):
         from osm_legal_default_speeds_spark.operators import spatial
 
         return getattr(spatial, name)

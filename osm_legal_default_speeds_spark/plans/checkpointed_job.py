@@ -32,6 +32,19 @@ shuffle so dynamic overwrite maps buckets to files 1:1; skew across
 buckets is bounded because the bucket key hashes the tile id (hot tiles
 spread across buckets, and within a batch AQE splits oversized
 partitions).
+
+Iceberg mapping (BASELINE.json input_hint names Iceberg; this sandbox
+has parquet only): on a catalog with Iceberg, each batch becomes
+``df.writeTo(table).overwritePartitions()`` and the hand-rolled
+manifest-as-commit-marker protocol is subsumed by Iceberg's atomic
+snapshot commit — ``completed_buckets`` then reads committed partition
+summaries from the table's snapshot metadata instead of the
+``_manifests/`` directory, and the lineage/metrics payload rides the
+snapshot's summary properties. Everything else (bucket derivation,
+batching, resume semantics, source pushdown via ``make_batch_df``)
+is unchanged; this module is the dependency-free equivalent with the
+same crash-consistency contract (a kill between data and marker
+re-processes the bucket, never corrupts it).
 """
 
 from __future__ import annotations
