@@ -293,21 +293,28 @@ def knn_region_column(
 ) -> Column:
     """Nearest boundary by clamped point-to-rectangle distance
     (exact argmin over the broadcast dim — map-side, no shuffle).
-    Distance ties break by region_code ascending for determinism.
+    Distance ties break by region_code ascending for determinism:
+    ``array_min`` over (distance, code) structs IS min-by-(d, code).
 
-    Implemented as a right-to-left ``when`` fold over regions sorted by
-    code DESCENDING with a ``<=`` comparison against the running
-    minimum — allocation-free (no per-row struct array; array_min over
-    structs allocates 13 structs + an array per row, which is DRAM-
-    bandwidth-bound at scale) and equivalent to min-by-(d, region)."""
+    Expression size is LINEAR in the boundary count. The previous
+    when-fold formulation compared every distance against a duplicated
+    ``least(*dists)`` subtree — O(n^2) expression nodes, which blew
+    Janino's 64KB method limit at 13 boundaries; the failed compile +
+    interpreter fallback was silently re-paid on every action
+    (seconds per run, visible only in the executor logs)."""
     ordered = sorted(boundaries, key=lambda b: b.region_code)
-    dists = [_rect_dist(b, lon, lat) for b in ordered]
-    min_d = dists[0] if len(dists) == 1 else F.least(*dists)
-    # first region (ascending code order) whose distance equals the min
-    best: Column = F.lit(None).cast("string")
-    for b, d in zip(reversed(ordered), reversed(dists)):
-        best = F.when(d == min_d, F.lit(b.region_code)).otherwise(best)
-    return best
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _rect_dist(b, lon, lat).alias("d"),
+                    F.lit(b.region_code).alias("r"),
+                )
+                for b in ordered
+            ]
+        )
+    )
+    return best.getField("r")
 
 
 def resolve_jurisdiction_column(
