@@ -86,7 +86,12 @@ def _is_implicit(k: Column, v: Column) -> Column:
     return (k == F.lit("maxspeed")) & _parse(v).isNull()
 
 
-def _cap_level(m: Column, level: int) -> Column:
+def _colon_depth(k: Column) -> Column:
+    """Number of ':' in k, without array allocation."""
+    return F.length(k) - F.length(F.replace(k, F.lit(":"), F.lit("")))
+
+
+def _cap_level(m: Column, level: int, parsed: Column) -> Column:
     """One unrolled recursion level of limitSpeedsTo
     (LegalDefaultSpeeds.kt:263-304): cap every ``maxspeed:...`` key at
     exactly ``level`` segments below the root with the running minimum
@@ -94,42 +99,73 @@ def _cap_level(m: Column, level: int) -> Column:
     recursion's effect because caps only shrink down the chain), prune
     ``:conditional`` list entries, and drop keys at/over the cap.
 
-    Ancestors are read from ``m`` itself — levels above ``level`` were
-    finalized by earlier calls, so survivors' values are final."""
-    entries = F.map_entries(m)
+    ``parsed`` is the key -> unit-parsed-double map staged ONCE from
+    the merged map (the parse tree is ~400 interpreted nodes; these
+    lambdas run interpreted, so parse-call count dominates). Reading
+    ancestors from the level-0 parse is sound even though earlier
+    levels delete keys: a deleted ancestor's value was >= its own
+    chain cap, and that cap's members are ancestors of this key too,
+    so including the stale value can never lower the chain min below
+    a cap that is present anyway. (A ``:conditional`` value's parse
+    could in principle change after pruning, but a conditional key is
+    never an ancestor — no ``x:conditional:y`` keys exist.)"""
 
-    def pass1(e: Column) -> Column:
+    return _finalize_entries(
+        _cap_level_entries(F.map_entries(m), level, parsed)
+    )
+
+
+def _finalize_entries(entries: Column) -> Column:
+    """Entries array -> map, dropping the null-valued (deleted) slots
+    the level passes leave behind (deferring the drop avoids a filter +
+    map rebuild per level)."""
+    return F.map_from_entries(
+        F.filter(entries, lambda e: e.getField("value").isNotNull())
+    )
+
+
+def _cap_level_entries(entries: Column, level: int, parsed: Column) -> Column:
+    """Array-algebra body of one cap level (see ``_cap_level``):
+    entries-in / entries-out, deleted entries become null-valued.
+    Two array passes per level — pass A stages (cm, pruned) per entry
+    (each is referenced multiple times downstream and conditional
+    pruning costs one parse per list item), pass B derives the final
+    value."""
+
+    def chain_min(k: Column) -> Column:
+        caps = [
+            F.element_at(parsed, F.substring_index(k, ":", i))
+            for i in range(1, level + 1)
+        ]
+        return caps[0] if len(caps) == 1 else F.least(*caps)
+
+    def pass_a(e: Column) -> Column:
         k = e.getField("key")
-        at_level = k.startswith("maxspeed:") & (
-            F.size(F.split(k, ":")) == F.lit(level + 1)
+        v = e.getField("value")
+        at_level = (
+            v.isNotNull()
+            & k.startswith("maxspeed:")
+            & (_colon_depth(k) == F.lit(level))
         )
-        segs = F.split(k, ":")
-        prefixes = F.transform(
-            F.sequence(F.lit(1), F.lit(level)),
-            lambda i: F.array_join(F.slice(segs, F.lit(1), i), ":"),
-        )
-        chain_min = F.aggregate(
-            prefixes,
-            F.lit(None).cast("double"),
-            lambda acc, p: F.least(acc, _parse(F.element_at(m, p))),
-        )
-        return F.struct(
-            k.alias("key"),
-            e.getField("value").alias("value"),
-            F.when(at_level, chain_min).alias("cm"),
-        )
-
-    def pass2(s: Column) -> Column:
-        k = s.getField("key")
-        v = s.getField("value")
-        cm = s.getField("cm")
+        cm = F.when(at_level, chain_min(k))
         # conditional-list pruning (R4, LegalDefaultSpeeds.kt:274-287):
-        # keep entries whose speed-before-" @ " is unparsable or < cap
+        # keep entries whose speed-before-" @ " is unparsable or < cap;
+        # one parse per item (speed staged in a struct, filtered, then
+        # the original item text re-extracted)
         pruned = F.array_join(
-            F.filter(
-                F.split(v, "; "),
-                lambda item: _parse(F.split(item, " @ ").getItem(0)).isNull()
-                | (_parse(F.split(item, " @ ").getItem(0)) < cm),
+            F.transform(
+                F.filter(
+                    F.transform(
+                        F.split(v, "; "),
+                        lambda it: F.struct(
+                            _parse(F.split(it, " @ ").getItem(0)).alias("s"),
+                            it.alias("t"),
+                        ),
+                    ),
+                    lambda x: x.getField("s").isNull()
+                    | (x.getField("s") < cm),
+                ),
+                lambda x: x.getField("t"),
             ),
             "; ",
         )
@@ -142,7 +178,7 @@ def _cap_level(m: Column, level: int) -> Column:
             ),
         )
 
-    def pass3(s: Column) -> Column:
+    def pass_b(s: Column) -> Column:
         k = s.getField("key")
         v = s.getField("value")
         cm = s.getField("cm")
@@ -156,16 +192,14 @@ def _cap_level(m: Column, level: int) -> Column:
                     _parse(pv) >= cm, F.lit(None).cast("string")
                 ).otherwise(pv),
             )
-            .when(_parse(v) >= cm, F.lit(None).cast("string"))
+            # non-conditional values never change across levels, so the
+            # level-0 parsed map is exact here
+            .when(F.element_at(parsed, k) >= cm, F.lit(None).cast("string"))
             .otherwise(v)
         )
         return F.struct(k.alias("key"), new_v.alias("value"))
 
-    staged = F.transform(F.transform(entries, pass1), pass2)
-    capped = F.filter(
-        F.transform(staged, pass3), lambda e: e.getField("value").isNotNull()
-    )
-    return F.map_from_entries(capped)
+    return F.transform(F.transform(entries, pass_a), pass_b)
 
 
 def create_result_tags_native(
@@ -185,9 +219,10 @@ def create_result_tags_native(
     merged = F.map_zip_with(
         rule_tags, non_impl, lambda k, rv, iv: F.coalesce(iv, rv)
     )
+    parsed = F.transform_values(merged, lambda k, v: _parse(v))
     m = merged
     for level in range(1, max_cap_depth + 1):
-        m = _cap_level(m, level)
+        m = _cap_level(m, level, parsed)
     return F.map_filter(m, lambda k, v: ~F.map_contains_key(non_impl, k))
 
 
@@ -202,6 +237,7 @@ def _assembly_columns(
     steps over column NAMES — pure expression data, independent of any
     DataFrame, so it can be compiled once per ruleset and reused."""
     nimp = f"{prefix}_nimp"
+    pv = f"{prefix}_pv"
     cols: list[tuple[str, Column]] = [
         (nimp, F.map_filter(F.col(in_tags), lambda k, v: ~_is_implicit(k, v))),
         (
@@ -212,19 +248,32 @@ def _assembly_columns(
                 lambda k, rv, iv: F.coalesce(iv, rv),
             ),
         ),
+        # every merged value unit-parsed exactly once (see _cap_level)
+        (
+            pv,
+            F.transform_values(
+                F.col(f"{prefix}_m0"), lambda k, v: _parse(v)
+            ),
+        ),
+        # levels operate on the entries ARRAY (deleted entries become
+        # null-valued slots); one map rebuild at the very end instead
+        # of map_entries + filter + map_from_entries per level
+        (f"{prefix}_e0", F.map_entries(F.col(f"{prefix}_m0"))),
     ]
     for level in range(1, max_cap_depth + 1):
         cols.append(
             (
-                f"{prefix}_m{level}",
-                _cap_level(F.col(f"{prefix}_m{level - 1}"), level),
+                f"{prefix}_e{level}",
+                _cap_level_entries(
+                    F.col(f"{prefix}_e{level - 1}"), level, F.col(pv)
+                ),
             )
         )
     cols.append(
         (
             out_col,
             F.map_filter(
-                F.col(f"{prefix}_m{max_cap_depth}"),
+                _finalize_entries(F.col(f"{prefix}_e{max_cap_depth}")),
                 lambda k, v: ~F.map_contains_key(F.col(nimp), k),
             ),
         )
