@@ -774,16 +774,25 @@ def _get_bundle(
             )
         return whens if whens is not None else F.lit(None).cast("int")
 
+    # NB: the slot index is NULL for rows whose country missed the dim
+    # (and for empty slots). element_at(array, NULL) must not be relied
+    # on: this Spark build's codegen subexpression elimination returns
+    # the FIRST ELEMENT for a null index instead of null (observed:
+    # element_at(array(true), NULL) = true), which manufactured phantom
+    # matches for unknown countries. Guard the null index explicitly.
     m_arr = F.col("__nc_m")
+
+    def slot_lookup(idx_col: Column) -> Column:
+        return F.when(
+            idx_col.isNotNull(),
+            F.coalesce(F.element_at(m_arr, idx_col + 1), F.lit(False)),
+        ).otherwise(F.lit(False))
+
     pos_e = first_pos(
-        lambda j: F.coalesce(
-            F.element_at(m_arr, F.col(f"__nc_s{j}_nidx") + 1), F.lit(False)
-        )
+        lambda j: slot_lookup(F.col(f"__nc_s{j}_nidx"))
     )
     pos_f = first_pos(
-        lambda j: F.coalesce(
-            F.element_at(m_arr, F.col(f"__nc_s{j}_fidx") + 1), F.lit(False)
-        )
+        lambda j: slot_lookup(F.col(f"__nc_s{j}_fidx"))
     )
     # FromMaxSpeed: plain string equality, NOT unit-normalized (C3,
     # LegalDefaultSpeeds.kt:225-239; LegalDefaultSpeedsTest.kt:106-111)
@@ -799,7 +808,10 @@ def _get_bundle(
         .when(F.col("__nc_has_fb"), F.lit("Fallback"))
     )
     wpos = F.coalesce(pe, pm, pf)
-    w = F.element_at(F.col("__nc_rules"), wpos)
+    # same null-index guard as the slot lookups above
+    w = F.when(
+        wpos.isNotNull(), F.element_at(F.col("__nc_rules"), wpos)
+    )
     wname = w.getField("name")
     wtags = F.coalesce(
         w.getField("rtags"),

@@ -165,3 +165,133 @@ def test_native_compiler_differential_random(spark):
             expected = parse_tag_filter(e).matches(tags, lambda n: False)
             actual = got[str(i)][f"f{j}"]
             assert actual == expected, f"expr={e!r} tags={tags!r}"
+
+
+def test_native_cascade_differential_random_rulesets(spark):
+    """Randomized rule sets (placeholder DAGs, fuzzy/relation filters,
+    null-separator scan orders) x random inputs: the all-native Column
+    cascade must equal the pure-Python engine on every case. Bulk: one
+    Spark pass per rule set."""
+    import random
+
+    from pyspark.sql import Row
+
+    from osm_legal_default_speeds_spark import (
+        LegalDefaultSpeedsEngine,
+        RoadTypeDef,
+        RoadTypeFilterDef,
+        compile_ruleset,
+    )
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
+    )
+    from tests.test_spark_inference import INPUT_SCHEMA
+
+    rng = random.Random(77)
+
+    def sample_atom():
+        k = rng.choice(KEYS)
+        form = rng.randrange(6)
+        if form == 0:
+            return quoted(k)
+        if form == 1:
+            return "!" + quoted(k)
+        if form == 2:
+            return f"{quoted(k)} = {quoted(rng.choice(VALUES))}"
+        if form == 3:
+            return f"{quoted(k)} ~ {quoted(rng.choice(REGEXES))}"
+        if form == 4:
+            op = rng.choice(["<", ">", "<=", ">="])
+            return f"{quoted(k)} {op} {rng.choice(NUMBERS)}"
+        return f"{quoted(k)} != {quoted(rng.choice(VALUES))}"
+
+    def sample_filter(prior_names):
+        parts = [sample_atom()]
+        if prior_names and rng.random() < 0.5:
+            ref = rng.choice(prior_names)
+            parts.append(
+                "!{%s}" % ref if rng.random() < 0.3 else "{%s}" % ref
+            )
+        if rng.random() < 0.4:
+            parts.append(sample_atom())
+        op = " and " if rng.random() < 0.5 else " or "
+        return op.join(parts)
+
+    def sample_ruleset():
+        names = [f"rt{i}" for i in range(rng.randrange(3, 8))]
+        road_types = {}
+        for i, n in enumerate(names):
+            prior = names[:i]  # DAG by construction
+            road_types[n] = RoadTypeFilterDef(
+                sample_filter(prior) if rng.random() < 0.9 else None,
+                sample_filter(prior) if rng.random() < 0.4 else None,
+                "type=route and ref~ZA.*" if rng.random() < 0.3 else None,
+            )
+        rules = {}
+        for cc in ["AA", "BB"]:
+            n_rules = rng.randrange(1, 7)
+            lst = []
+            for j in range(n_rules):
+                if rng.random() < 0.25 and not any(
+                    r.name is None for r in lst
+                ):
+                    lst.append(
+                        RoadTypeDef(None, {"maxspeed": str(40 + 10 * j)})
+                    )
+                else:
+                    tags = {"maxspeed": str(30 + 10 * j)}
+                    if rng.random() < 0.4:
+                        tags["maxspeed:hgv"] = str(20 + 10 * j)
+                    if rng.random() < 0.3:
+                        tags["maxspeed:conditional"] = (
+                            f"{70 + 10 * j} @ (wet); {10 + 10 * j} @ (snow)"
+                        )
+                    lst.append(RoadTypeDef(rng.choice(names), tags))
+            rules[cc] = lst
+        return compile_ruleset(road_types, rules)
+
+    def sample_case():
+        cc = rng.choice(["AA", "BB", "AA-XX", "ZZ"])
+        tags = {
+            k: rng.choice(VALUES)
+            for k in rng.sample(KEYS, rng.randrange(0, 4))
+        }
+        rels = (
+            [{"type": "route", "ref": rng.choice(["ZA 1", "Bus 9"])}]
+            if rng.random() < 0.3
+            else []
+        )
+        ovr = (
+            {f"rt{rng.randrange(3)}": rng.random() < 0.5}
+            if rng.random() < 0.2
+            else None
+        )
+        return (cc, tags, rels, ovr)
+
+    for trial in range(4):
+        ruleset = sample_ruleset()
+        engine = LegalDefaultSpeedsEngine(ruleset=ruleset)
+        cases = [sample_case() for _ in range(40)]
+        rows = [
+            Row(road_id=f"r{i}", country_code=cc, tags=t,
+                relations_tags=rel, overrides=o)
+            for i, (cc, t, rel, o) in enumerate(cases)
+        ]
+        df = spark.createDataFrame(rows, INPUT_SCHEMA)
+        out = infer_speed_limits_native(
+            df, ruleset, relations_col="relations_tags",
+            overrides_col="overrides",
+        )
+        got = {r["road_id"]: r["speed_limit"] for r in out.collect()}
+        for i, (cc, t, rel, o) in enumerate(cases):
+            exp = engine.get_speed_limits(cc, t, rel, overrides=o)
+            g = got[f"r{i}"]
+            if exp is None:
+                assert g is None, (trial, i, cc, t, g)
+            else:
+                assert g is not None, (trial, i, cc, t, exp)
+                assert (
+                    g.road_type_name, g.tags, g.certitude
+                ) == (exp.road_type_name, exp.tags, exp.certitude), (
+                    trial, i, cc, t, rel, o
+                )
