@@ -31,7 +31,9 @@ The plan shape:
    Exact / FromMaxSpeed / Fuzzy / Fallback positions
    (``LegalDefaultSpeeds.kt:161-183``); R1-R4 result map algebra
    (``:250-304``) is native map expressions (see
-   ``create_result_tags_native``).
+   ``create_result_tags_native``), with a pre-capped-per-rule fast
+   path for inputs that cannot influence capping (the common case —
+   proof in ``_get_bundle``).
 
 Scale: map-only — the fact table never shuffles and never crosses into
 Python. Per-row cost is dominated by evaluating the hoisted predicate
@@ -468,12 +470,16 @@ def _dim_schema(n_slots: int) -> StructType:
                         StructField(
                             "rtags", MapType(StringType(), StringType())
                         ),
+                        StructField(
+                            "ctags", MapType(StringType(), StringType())
+                        ),
                     ]
                 )
             ),
         ),
         StructField("__nc_has_fb", BooleanType()),
         StructField("__nc_fb_tags", MapType(StringType(), StringType())),
+        StructField("__nc_fb_ctags", MapType(StringType(), StringType())),
     ]
     for j in range(n_slots):
         fields.append(StructField(f"__nc_s{j}_nidx", IntegerType()))
@@ -491,7 +497,14 @@ def _dim_data(
     done lazily per session by the caller). ``name_idx`` addresses a
     rule name's exact-stage boolean in the combined match array;
     ``fuzzy_idx`` its fuzzy-stage boolean (equal to ``name_idx`` for
-    names whose match cannot differ under fuzzy)."""
+    names whose match cannot differ under fuzzy). Each rule also
+    carries ``ctags`` — its result tags PRE-CAPPED against an empty
+    input (the pure-Python kernel runs once per rule on the driver) —
+    the runtime fast path for rows whose input cannot alter capping."""
+    from osm_legal_default_speeds_spark.plans.reference_engine import (
+        create_result_tags,
+    )
+
     n_slots = max(
         (len(s) for s in ruleset.scan_order_by_country.values()), default=0
     )
@@ -499,13 +512,23 @@ def _dim_data(
     for cc in sorted(ruleset.speed_limits_by_country):
         rules = ruleset.speed_limits_by_country[cc]
         scan = ruleset.scan_order_by_country[cc]
-        arr = [(rules[i].name, dict(rules[i].tags)) for i in scan]
+        arr = [
+            (
+                rules[i].name,
+                dict(rules[i].tags),
+                create_result_tags({}, rules[i].tags),
+            )
+            for i in scan
+        ]
         fb_idx = ruleset.fallback_index_by_country[cc]
         row: list = [
             cc,
             arr,
             fb_idx is not None,
             dict(rules[fb_idx].tags) if fb_idx is not None else None,
+            create_result_tags({}, rules[fb_idx].tags)
+            if fb_idx is not None
+            else None,
         ]
         for j in range(n_slots):
             if j < len(scan):
@@ -615,15 +638,19 @@ def infer_speed_limits_native(
         bundle["pos_m"].alias("__nc_pm"),
         "__nc_has_fb",
         "__nc_fb_tags",
+        "__nc_fb_ctags",
         "__nc_rules",
+        bundle["fastok"].alias("__nc_fastok"),
     )
     # second narrowing projection: winner extracted, rule array dropped
     out = out.select(
         *orig_cols,
         in_tags,
+        "__nc_fastok",
         bundle["cert"].alias("__nc_cert"),
         bundle["wname"].alias("__nc_wname"),
         bundle["wtags"].alias("__nc_wtags"),
+        bundle["wctags"].alias("__nc_wctags"),
     )
 
     for name, col in bundle["assembly"]:
@@ -817,13 +844,49 @@ def _get_bundle(
         w.getField("rtags"),
         F.when(cert == "Fallback", F.col("__nc_fb_tags")),
     )
+    wctags = F.coalesce(
+        w.getField("ctags"),
+        F.when(cert == "Fallback", F.col("__nc_fb_ctags")),
+    )
 
-    assembly = _assembly_columns("__nc_tags", "__nc_wtags", "__nc_rtags", cap_depth)
+    # Result-assembly FAST PATH. If the input has NO parsable root
+    # maxspeed and NO maxspeed:* key, the input cannot influence
+    # capping: (a) an unparsable input maxspeed is implicit, so the
+    # merged root is the rule's own value; (b) every capped key and
+    # every chain ancestor then comes from the rule alone — i.e. the
+    # capped map equals ``ctags``, the rule's result tags pre-computed
+    # against an empty input by the Python kernel on the driver; (c)
+    # the remaining work is only the R1 subtraction: drop keys present
+    # in the input (all non-implicit under this guard except the root,
+    # which is exempt because an implicit root is never subtracted).
+    # Rows that fail the guard take the full staged R1-R4 algebra,
+    # whose stages are themselves gated on ~fastok so fast rows pay
+    # one boolean per stage.
+    fastok = ~(
+        _parse(F.col("__nc_tms")).isNotNull()
+        | F.exists(
+            F.map_keys(t), lambda k: k.startswith("maxspeed:")
+        )
+    )
+    fast = F.col("__nc_fastok")
+    fast_tags = F.map_filter(
+        F.col("__nc_wctags"),
+        lambda k, v: ~F.map_contains_key(t, k) | (k == F.lit("maxspeed")),
+    )
+
+    assembly = [
+        (name, F.when(~fast, col))
+        for name, col in _assembly_columns(
+            "__nc_tags", "__nc_wtags", "__nc_rtags", cap_depth
+        )
+    ]
     result_struct = F.when(
         F.col("__nc_cert").isNotNull(),
         F.struct(
             F.col("__nc_wname").alias("road_type_name"),
-            F.col("__nc_rtags").alias("tags"),
+            F.when(fast, fast_tags)
+            .otherwise(F.col("__nc_rtags"))
+            .alias("tags"),
             F.col("__nc_cert").alias("certitude"),
         ),
     )
@@ -843,6 +906,8 @@ def _get_bundle(
         "cert": cert,
         "wname": wname,
         "wtags": wtags,
+        "wctags": wctags,
+        "fastok": fastok,
         "assembly": assembly,
         "result_struct": result_struct,
     }
