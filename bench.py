@@ -347,7 +347,7 @@ def run_scaling(sf_dir: str) -> None:
     import shutil
     import subprocess
 
-    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "64"))
     results = {}
     for cpus in ("8", "32"):
         env = dict(os.environ)
