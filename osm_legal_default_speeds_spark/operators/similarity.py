@@ -175,6 +175,98 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_centroids: int,
+    nprobe: int = 2,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions vectors into
+    centroid cells; each query probes its ``nprobe`` nearest cells and
+    ranks exact cosine inside them. The classic inverted-file trade:
+    recall grows with nprobe, cost with nprobe/n_centroids.
+
+    ``centroids``: optional (centroid_id, centroid_vec) DataFrame — a
+    trained k-means codebook in production. Defaults to a deterministic
+    sample (the first ``n_centroids`` vectors by id), which keeps the
+    operator fully oracle-checkable; the join/assignment shape is
+    identical whichever codebook is supplied.
+
+    Scale shape: the codebook is broadcast for both the vector-side
+    cell assignment (map-side argmax of cosine over C centroids — at
+    production C, run the assignment through the mapInPandas matmul
+    pattern of ``brute_force_topk_np``) and the query-side probe list;
+    the candidate join is a bucket equi-join on cell id (AQE splits
+    skewed cells), never all-pairs."""
+    if centroids is None:
+        centroids = vectors.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    cent = F.broadcast(centroids)
+
+    # cell assignment: sort (-cos, cid) structs -> n nearest centroids
+    def with_cells(df: DataFrame, vec: Column, n: int, out: str) -> DataFrame:
+        joined = df.crossJoin(cent.groupBy().agg(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.col("centroid_vec").alias("cvec"),
+                )
+            ).alias("__cbook")
+        ))
+        cells = F.transform(
+            F.col("__cbook"),
+            lambda c: F.struct(
+                (-cosine(vec, c.getField("cvec"))).alias("negcos"),
+                c.getField("cid").alias("cid"),
+            ),
+        )
+        return joined.withColumn(
+            out,
+            F.slice(
+                F.transform(
+                    F.array_sort(cells), lambda s: s.getField("cid")
+                ),
+                1,
+                n,
+            ),
+        ).drop("__cbook")
+
+    v = with_cells(
+        vectors.select(id_col, vec_col), F.col(vec_col), 1, "__vc"
+    ).withColumn("cell", F.element_at(F.col("__vc"), 1)).drop("__vc")
+    q = with_cells(
+        queries.select(query_id_col, query_vec_col),
+        F.col(query_vec_col),
+        nprobe,
+        "__qc",
+    ).select(
+        query_id_col,
+        query_vec_col,
+        F.explode(F.col("__qc")).alias("cell"),
+    )
+    scored = v.join(F.broadcast(q), "cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
 def brute_force_topk_np(
     vectors: DataFrame,
     queries: list[tuple],

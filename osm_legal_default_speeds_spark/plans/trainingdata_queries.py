@@ -616,6 +616,61 @@ SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {LSH_K}
 """
 
 
+IVF_C = 8
+IVF_NPROBE = 2
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN: deterministic codebook (first IVF_C
+    vectors), nprobe nearest cells per query, exact rank inside."""
+    from osm_legal_default_speeds_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _read(spark, sf_dir, "embeddings"),
+        _queries_df(spark, sf_dir),
+        n_centroids=IVF_C,
+        nprobe=IVF_NPROBE,
+        k=ANN_K,
+    )
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {IVF_C}
+),
+vcell AS (
+  SELECT v.vec_id, v.embedding, c.cid AS cell
+  FROM embeddings v, cent c
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY v.vec_id
+    ORDER BY -({_sql_cosine('v.embedding', 'c.cvec')}) ASC, c.cid ASC
+  ) = 1
+),
+qprobe AS (
+  SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.cid AS cell
+  FROM embeddings q, cent c
+  WHERE q.vec_id < {ANN_NUM_QUERIES}
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY -({_sql_cosine('q.embedding', 'c.cvec')}) ASC, c.cid ASC
+  ) <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, v.vec_id,
+    {_sql_cosine('v.embedding', 'p.query_vec')} AS sim
+  FROM vcell v JOIN qprobe p ON v.cell = p.cell
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)
+      AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "embeddings")
     dups = e.where(F.col("vec_id") % ND_DUP_MOD == 0).select(
@@ -813,6 +868,7 @@ TRAININGDATA_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_multiprobe": q_ann_multiprobe,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "events_rollup": q_events_rollup,
     "events_rollup_streaming": q_events_rollup_streaming,
@@ -856,6 +912,7 @@ TRAININGDATA_ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_multiprobe": SQL_ANN_MULTIPROBE,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_rollup_streaming": SQL_EVENTS_ROLLUP,

@@ -406,3 +406,38 @@ def test_text_features_null_text_both_paths(spark):
     assert a[2]["n_tokens"] is None and b[2]["n_tokens"] is None
     assert a[2]["fingerprint"] is None and b[2]["fingerprint"] is None
     assert a[1] == b[1]
+
+
+def test_ivf_topk_self_and_recall(vectors):
+    """IVF: every query's own vector lives in its top-1 probed cell, so
+    self-similarity 1.0 always ranks first; recall vs brute force must
+    be positive and rise with nprobe."""
+    from osm_legal_default_speeds_spark.operators.similarity import ivf_topk
+
+    queries = vectors.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    k = 5
+    exact = {}
+    for r in brute_force_topk(vectors, queries, k=k).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def run(nprobe):
+        got = {}
+        out = ivf_topk(vectors, queries, n_centroids=4, nprobe=nprobe, k=k)
+        for r in out.collect():
+            got.setdefault(r["query_id"], []).append(r)
+        return got
+
+    g1, g2 = run(1), run(2)
+    for qid, rows in g1.items():
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["vec_id"] == qid and best["sim"] == pytest.approx(1.0)
+
+    def recall(g):
+        hits = sum(
+            len(exact[q] & {r["vec_id"] for r in g.get(q, [])}) for q in exact
+        )
+        return hits / sum(len(v) for v in exact.values())
+
+    assert recall(g2) >= recall(g1) > 0
