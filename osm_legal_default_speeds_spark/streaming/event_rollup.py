@@ -263,15 +263,29 @@ def streaming_speed_inference(
     ruleset,
     checkpoint_dir: str,
     sink_table: str = "stream_inference",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Apply the batch inference transformation to a stream of road
     rows (stateless per-row map — no watermark/state needed) and drain
-    with AvailableNow into a memory sink."""
-    from osm_legal_default_speeds_spark.operators.inference import (
-        infer_speed_limits,
-    )
+    with AvailableNow into a memory sink.
 
-    out = infer_speed_limits(roads_stream, ruleset)
+    ``engine``: 'arrow' (broadcast rules + Arrow UDF) or 'native' (the
+    all-Catalyst cascade, plans.native_cascade — its broadcast country
+    dim becomes a stream-static broadcast join, which Structured
+    Streaming supports natively; the whole per-batch plan stays
+    Python-free)."""
+    if engine == "native":
+        from osm_legal_default_speeds_spark.plans.native_cascade import (
+            infer_speed_limits_native,
+        )
+
+        out = infer_speed_limits_native(roads_stream, ruleset)
+    else:
+        from osm_legal_default_speeds_spark.operators.inference import (
+            infer_speed_limits,
+        )
+
+        out = infer_speed_limits(roads_stream, ruleset)
     q = (
         out.select(
             "road_id",

@@ -113,7 +113,8 @@ def test_sessionize_matches_batch_oracle(spark, tmp_path, events_dir):
     assert len(got) > 0
 
 
-def test_streaming_inference_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("engine", ["arrow", "native"])
+def test_streaming_inference_matches_batch(spark, tmp_path, engine):
     from osm_legal_default_speeds_spark.operators.inference import (
         infer_speed_limits,
     )
@@ -133,7 +134,8 @@ def test_streaming_inference_matches_batch(spark, tmp_path):
         .parquet(roads_dir)
     )
     got = streaming_speed_inference(
-        spark, stream, ruleset, str(tmp_path / "ickpt"), sink_table="t_inf"
+        spark, stream, ruleset, str(tmp_path / "ickpt"),
+        sink_table=f"t_inf_{engine}", engine=engine,
     )
     batch = infer_speed_limits(roads, ruleset).select(
         "road_id",
