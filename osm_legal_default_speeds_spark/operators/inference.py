@@ -235,6 +235,7 @@ def _infer_dedup(
     result_col: str,
     prune_keys: bool,
     broadcast_results: bool = True,
+    infer_fn=None,
 ) -> DataFrame:
     """distinct -> infer -> join-back plan (see infer_speed_limits).
 
@@ -279,7 +280,11 @@ def _infer_dedup(
         sel.append(overrides_col)
     distinct = keyed.select(*sel).dropDuplicates([country_col, key_col])
 
-    inferred = infer_speed_limits(
+    # the per-distinct-combination kernel is pluggable: the Arrow UDF
+    # engine by default, or the all-native Column cascade
+    # (plans.native_cascade passes infer_speed_limits_native here)
+    kernel = infer_fn or infer_speed_limits
+    inferred = kernel(
         distinct,
         ruleset,
         country_col=country_col,

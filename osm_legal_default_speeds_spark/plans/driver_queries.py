@@ -573,6 +573,79 @@ FROM orders
 """
 
 
+def q_relation_semijoin_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 on the all-native plan: the relationFilter compiles to an
+    array-local EXISTS over the relations column; same oracle as
+    relation_semijoin."""
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    rel = F.when(
+        k % 3 == 0,
+        F.array(F.create_map(F.lit("type"), F.lit("route"),
+                             F.lit("network"), F.lit("e-road"))),
+    ).when(
+        k % 3 == 1,
+        F.array(F.create_map(F.lit("type"), F.lit("route"),
+                             F.lit("network"), F.lit("lcn"))),
+    ).otherwise(F.array().cast("array<map<string,string>>"))
+    lit_v = F.when(k % 2 == 0, "yes").otherwise("no")
+    roads = o.select(
+        k.alias("road_id"),
+        F.lit("AB").alias("country_code"),
+        F.create_map(F.lit("lit"), lit_v).alias("tags"),
+        rel.alias("relations_tags"),
+    )
+    out = infer_speed_limits_native(
+        roads, relations_ruleset(), relations_col="relations_tags"
+    )
+    r = F.col("speed_limit")
+    return out.select(
+        "road_id",
+        r.getField("road_type_name").alias("road_type_name"),
+        r.getField("certitude").alias("certitude"),
+        F.element_at(r.getField("tags"), F.lit("maxspeed")).alias("out_maxspeed"),
+    )
+
+
+def q_override_column_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 on the all-native plan (override coalesce spliced around
+    every hoisted/inlined named predicate, incl. placeholder sites);
+    runs through the dedup_inputs composition so the distinct ->
+    native-infer -> broadcast-join-back plan is oracle-checked too."""
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    overrides = F.when(
+        k % 5 == 0, F.create_map(F.lit("urban"), F.lit(True))
+    ).when(
+        k % 5 == 1, F.create_map(F.lit("urban"), F.lit(False))
+    )
+    lit_v = F.when(k % 2 == 0, "yes").otherwise("no")
+    roads = o.select(
+        k.alias("road_id"),
+        F.lit("AB").alias("country_code"),
+        F.create_map(F.lit("lit"), lit_v).alias("tags"),
+        overrides.cast("map<string,boolean>").alias("overrides"),
+    )
+    out = infer_speed_limits_native(
+        roads, relations_ruleset(), overrides_col="overrides",
+        dedup_inputs=True,
+    )
+    r = F.col("speed_limit")
+    return out.select(
+        "road_id",
+        r.getField("road_type_name").alias("road_type_name"),
+        r.getField("certitude").alias("certitude"),
+    )
+
+
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-and-island sessionization semantics (the batch oracle the
     stateful streaming operator is pinned against), oracle-checked in
@@ -876,7 +949,9 @@ QUERIES = {
     "tile_rollup": q_tile_rollup,
     "tile_neighbors": q_tile_neighbors,
     "relation_semijoin": q_relation_semijoin,
+    "relation_semijoin_native": q_relation_semijoin_native,
     "override_column": q_override_column,
+    "override_column_native": q_override_column_native,
     "sessionize_batch": q_sessionize_batch,
     **TRAININGDATA_QUERIES,
 }
@@ -899,7 +974,9 @@ ORACLES = {
     "tile_rollup": SQL_TILE_ROLLUP,
     "tile_neighbors": SQL_TILE_NEIGHBORS,
     "relation_semijoin": SQL_RELATION_SEMIJOIN,
+    "relation_semijoin_native": SQL_RELATION_SEMIJOIN,
     "override_column": SQL_OVERRIDE_COLUMN,
+    "override_column_native": SQL_OVERRIDE_COLUMN,
     "sessionize_batch": SQL_SESSIONIZE_BATCH,
     **TRAININGDATA_ORACLES,
     # the cell index is an exact pruning of the flat argmin scan, so

@@ -576,15 +576,29 @@ def infer_speed_limits_native(
     result_col: str = "speed_limit",
     prune_keys: bool = False,
     max_cap_depth: int | None = None,
+    dedup_inputs: bool = False,
 ) -> DataFrame:
     """Drop-in equivalent of ``operators.inference.infer_speed_limits``
     on the all-native plan described in the module docstring. Appends
     ``result_col`` struct (road_type_name, tags, certitude), null when
     no rule matched. ``max_cap_depth=None`` derives the exact bound
-    from the rule set (``_rule_cap_depth``)."""
+    from the rule set (``_rule_cap_depth``). ``dedup_inputs`` composes
+    the distinct -> infer -> broadcast-join-back plan with this kernel:
+    for highly repetitive inputs even the native per-row cost collapses
+    to distinct-combination cardinality."""
     from osm_legal_default_speeds_spark.operators.inference import (
+        _infer_dedup,
         prune_relevant_tags,
     )
+
+    if dedup_inputs:
+        return _infer_dedup(
+            df, ruleset, country_col, tags_col, relations_col,
+            overrides_col, result_col, prune_keys,
+            infer_fn=lambda d, rs, **kw: infer_speed_limits_native(
+                d, rs, **{k: v for k, v in kw.items() if k != "dedup_inputs"}
+            ),
+        )
 
     spark = df.sparkSession
     cap = max_cap_depth if max_cap_depth is not None else _rule_cap_depth(ruleset)
