@@ -65,6 +65,9 @@ def main(argv: list[str] | None = None) -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # see CLAUDE.md / bench.py: fall back from whole-stage codegen
+        # when the fused method would exceed the JIT's bytecode limit
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .getOrCreate()
     )
 
@@ -73,6 +76,9 @@ def main(argv: list[str] | None = None) -> None:
 
     from osm_legal_default_speeds_spark.operators.inference import (
         infer_speed_limits,
+    )
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
     )
     from osm_legal_default_speeds_spark.operators.spatial import (
         assign_tiles,
@@ -112,7 +118,12 @@ def main(argv: list[str] | None = None) -> None:
         roads = assign_tiles(
             roads.withColumn("region_code", region), tile_res=args.tile_res
         )
-        out = infer_speed_limits(roads, ruleset, country_col="region_code")
+        engine = os.environ.get("SPARK_GRAFT_ENGINE", "native")
+        infer = (
+            infer_speed_limits_native if engine == "native"
+            else infer_speed_limits
+        )
+        out = infer(roads, ruleset, country_col="region_code")
         return out.select(
             "road_id",
             "region_code",
