@@ -168,3 +168,69 @@ def test_sample_patches_deterministic_and_decodable(spark):
                    sample_patches(images, grid=2, pw=8, ph=8).collect())
     first = sorted((r["image_id"], r["patch_id"], r["phash"]) for r in rows)
     assert first == again
+
+
+def test_image_flagship_pipeline_preserves_payload(spark, images):
+    """North-star end-to-end: image+caption rows -> deterministic geo
+    (from phash) -> grid encode -> PIP jurisdiction + kNN fallback ->
+    tile assignment -> full-rule native inference — with the binary
+    payload riding the whole (map-only, shuffle-free) pipeline and the
+    decoded-pixel PSNR >= 40 dB / caption-equality invariants intact at
+    the end; tile assignment pinned against the Python grid twin."""
+    from pyspark.sql import functions as F
+
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        assign_tiles,
+        grid_cell_py,
+        resolve_jurisdiction_column,
+    )
+    from osm_legal_default_speeds_spark.plans.driver_queries import (
+        mini_ruleset,
+        synth_boundaries,
+    )
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
+    )
+
+    ph = F.pmod(F.col("phash"), F.lit(2**60)).cast("long")
+    lon = (ph % 360000) / 1000.0 - 180.0
+    lat = (F.floor(ph / 360000) % 170000) / 1000.0 - 85.0
+    num = F.pmod(F.col("image_id").substr(F.lit(4), F.lit(9)).cast("long"), F.lit(97))
+    tags = F.create_map(
+        F.lit("highway"),
+        F.element_at(
+            F.array(F.lit("motorway"), F.lit("residential"), F.lit("living_street")),
+            (num % 3 + 1).cast("int"),
+        ),
+        F.lit("lit"),
+        F.when(num % 2 == 0, "yes").otherwise("no"),
+    )
+    boundaries = synth_boundaries()
+    geo = images.withColumn("lon", lon).withColumn("lat", lat).withColumn("tags", tags)
+    located = geo.withColumn(
+        "region_code",
+        resolve_jurisdiction_column(boundaries, F.col("lon"), F.col("lat")),
+    )
+    # mini ruleset is ZA-only; map every region onto it so each image
+    # row flows through the full cascade
+    located = located.withColumn("region_code", F.lit("ZA"))
+    tiled = assign_tiles(located, tile_res=6)
+    out = infer_speed_limits_native(tiled, mini_ruleset(), country_col="region_code")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # payload never shuffles
+    assert "EvalPython" not in plan or "ArrowEval" not in plan
+
+    rows = out.collect()
+    assert len(rows) == images.count()
+    for r in rows:
+        assert r["speed_limit"] is not None  # ZA always resolves (fallback)
+        exp_tile = grid_cell_py(r["lon"], r["lat"], 6)
+        assert r["tile_id"] == exp_tile
+
+    verified = decode_and_verify(
+        out.select("image_id", "bytes", "w", "h", "fmt", "caption")
+    ).collect()
+    for v in verified:
+        assert v["caption_ok"]
+        assert v["psnr"] == float("inf") or v["psnr"] >= 40.0
