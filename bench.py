@@ -412,6 +412,19 @@ def run_scaling(sf_dir: str) -> None:
     print(json.dumps(summary))
 
     os.makedirs("BENCH", exist_ok=True)
+    # preserve curated content below the auto-generated block: only
+    # the text above the marker is rewritten per run
+    marker = "<!-- curated sections below survive --scaling reruns -->"
+    tail = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            prev = f.read()
+        if marker in prev:
+            tail = marker + prev.split(marker, 1)[1]
+    except FileNotFoundError:
+        pass
+    if not tail:
+        tail = marker + "\n"
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH/BASELINE — measured numbers\n\n"
@@ -456,8 +469,9 @@ def run_scaling(sf_dir: str) -> None:
             "engine-attributable scaling efficiency; the raw figure is the\n"
             "single-box lower bound.\n\n"
             f"Input: `{sf_dir}`. Reference publishes no numbers (SURVEY.md\n"
-            "§6); these are the authoritative measured baselines.\n"
+            "§6); these are the authoritative measured baselines.\n\n"
         )
+        f.write(tail)
 
 
 def scaling_worker() -> None:
