@@ -57,6 +57,44 @@ def drop_exact_dups(
     return df.join(reps, id_col, "left_semi")
 
 
+def drop_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """End-to-end near-duplicate removal — the operator a training-data
+    pipeline actually runs: MinHash+LSH candidate pairs -> connected
+    components over the pair graph -> keep the minimum-id
+    representative of every duplicate group (docs in no group survive
+    untouched).
+
+    Scale shape: pair generation is band-bucketed (never all-pairs),
+    components iterate joins keyed on node ids over the PAIR list only
+    (collision-bounded, tiny next to the corpus), and the final filter
+    is an anti-join of the corpus against the non-representative
+    members."""
+    pairs = minhash_dedup_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        portable=portable,
+    )
+    cc = connected_components(pairs)
+    losers = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Shingling + MinHash
 # ---------------------------------------------------------------------------

@@ -233,6 +233,47 @@ FROM walks GROUP BY node
 """
 
 
+def q_drop_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: LSH pairs -> components -> keep
+    min-id representatives; survivors keyed for the oracle."""
+    from osm_legal_default_speeds_spark.operators.dedup import (
+        drop_near_dups,
+    )
+
+    kept = drop_near_dups(
+        _docs_near_aug(spark, sf_dir),
+        num_hashes=MH_NUM_HASHES,
+        num_bands=MH_NUM_BANDS,
+        shingle_n=MH_SHINGLE_N,
+        threshold=MH_THRESHOLD,
+        portable=True,
+    )
+    return kept.select("doc_id", F.md5("text").alias("text_digest"))
+
+
+SQL_DROP_NEAR_DUPS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_NEAR_DUP}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+walks(node, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT w.node, e.d FROM walks w JOIN edges e ON w.r = e.s
+),
+cc AS (
+  SELECT node, least(node, min(r)) AS component
+  FROM walks GROUP BY node
+),
+aug AS ({SQL_DOCS_NEAR_AUG})
+SELECT doc_id, md5(text) AS text_digest
+FROM aug
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
+"""
+
+
 # --------------------------------------------------------------------------
 # simhash_near_dup — bit-band LSH on the 16-bit md5-based simhash
 # --------------------------------------------------------------------------
@@ -861,6 +902,7 @@ TRAININGDATA_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
     "dup_components": q_dup_components,
+    "drop_near_dups": q_drop_near_dups,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
@@ -905,6 +947,7 @@ TRAININGDATA_ORACLES = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
     "dup_components": SQL_DUP_COMPONENTS,
+    "drop_near_dups": SQL_DROP_NEAR_DUPS,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "text_quality": SQL_TEXT_QUALITY,
