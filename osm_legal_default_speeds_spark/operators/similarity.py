@@ -175,6 +175,99 @@ def lsh_topk(
     )
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec: Column,
+    n: int,
+    out: str,
+) -> DataFrame:
+    """Append ``out`` = array of the ``n`` nearest centroid ids by
+    cosine (ties by centroid id): broadcast codebook collected into one
+    array column, per-row sort of (-cos, cid) structs. Map-side only."""
+    cent = F.broadcast(centroids)
+    joined = df.crossJoin(
+        cent.groupBy().agg(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.col("centroid_vec").alias("cvec"),
+                )
+            ).alias("__cbook")
+        )
+    )
+    cells = F.transform(
+        F.col("__cbook"),
+        lambda c: F.struct(
+            (-cosine(vec, c.getField("cvec"))).alias("negcos"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    return joined.withColumn(
+        out,
+        F.slice(
+            F.transform(F.array_sort(cells), lambda s: s.getField("cid")),
+            1,
+            n,
+        ),
+    ).drop("__cbook")
+
+
+def train_codebook(
+    vectors: DataFrame,
+    n_centroids: int,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Lloyd's k-means codebook for ``ivf_topk``: deterministic init
+    (the first ``n_centroids`` vectors by id), cosine assignment, mean
+    update. Each iteration is one Spark job — broadcast-codebook
+    assignment (map-side) followed by a groupBy(cell) of per-dimension
+    averages (64 codegen'd avg aggregates, no explode); the C x d
+    result is tiny and collects to the driver, which builds the next
+    codebook. Cells that lose all members keep their previous centroid.
+
+    Returns a (centroid_id, centroid_vec) DataFrame pluggable straight
+    into ``ivf_topk(centroids=...)``."""
+    spark = vectors.sparkSession
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+
+    init = vectors.orderBy(id_col).limit(n_centroids).collect()
+    book = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
+    ]
+
+    v = vectors.select(id_col, vec_col)
+    for _ in range(n_iters):
+        cent_df = spark.createDataFrame(
+            book, "centroid_id int, centroid_vec array<double>"
+        )
+        assigned = assign_cells(v, cent_df, F.col(vec_col), 1, "__c")
+        assigned = assigned.withColumn(
+            "cell", F.element_at(F.col("__c"), 1)
+        )
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col).getItem(i)).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new_book = dict(book)
+        for r in means:
+            new_book[r["cell"]] = [float(r[f"d{i}"]) for i in range(dim)]
+        book = sorted(new_book.items())
+    return spark.createDataFrame(
+        book, "centroid_id int, centroid_vec array<double>"
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -209,41 +302,12 @@ def ivf_topk(
             F.col(id_col).alias("centroid_id"),
             F.col(vec_col).alias("centroid_vec"),
         )
-    cent = F.broadcast(centroids)
-
-    # cell assignment: sort (-cos, cid) structs -> n nearest centroids
-    def with_cells(df: DataFrame, vec: Column, n: int, out: str) -> DataFrame:
-        joined = df.crossJoin(cent.groupBy().agg(
-            F.collect_list(
-                F.struct(
-                    F.col("centroid_id").alias("cid"),
-                    F.col("centroid_vec").alias("cvec"),
-                )
-            ).alias("__cbook")
-        ))
-        cells = F.transform(
-            F.col("__cbook"),
-            lambda c: F.struct(
-                (-cosine(vec, c.getField("cvec"))).alias("negcos"),
-                c.getField("cid").alias("cid"),
-            ),
-        )
-        return joined.withColumn(
-            out,
-            F.slice(
-                F.transform(
-                    F.array_sort(cells), lambda s: s.getField("cid")
-                ),
-                1,
-                n,
-            ),
-        ).drop("__cbook")
-
-    v = with_cells(
-        vectors.select(id_col, vec_col), F.col(vec_col), 1, "__vc"
+    v = assign_cells(
+        vectors.select(id_col, vec_col), centroids, F.col(vec_col), 1, "__vc"
     ).withColumn("cell", F.element_at(F.col("__vc"), 1)).drop("__vc")
-    q = with_cells(
+    q = assign_cells(
         queries.select(query_id_col, query_vec_col),
+        centroids,
         F.col(query_vec_col),
         nprobe,
         "__qc",

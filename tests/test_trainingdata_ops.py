@@ -441,3 +441,57 @@ def test_ivf_topk_self_and_recall(vectors):
         return hits / sum(len(v) for v in exact.values())
 
     assert recall(g2) >= recall(g1) > 0
+
+
+def test_train_codebook_converges_and_plugs_into_ivf(vectors):
+    """Lloyd's iterations must not increase inertia (sum of 1-cos to
+    the assigned centroid), and the trained codebook must drop into
+    ivf_topk through the same join shape."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        assign_cells,
+        ivf_topk,
+        train_codebook,
+    )
+
+    def inertia(book):
+        a = assign_cells(
+            vectors.select("vec_id", "embedding"), book,
+            F.col("embedding"), 1, "__c",
+        )
+        cent = book.select(
+            F.col("centroid_id").alias("cell2"),
+            F.col("centroid_vec"),
+        )
+        a = a.withColumn("cell", F.element_at(F.col("__c"), 1)).join(
+            cent, F.col("cell") == F.col("cell2")
+        )
+        from osm_legal_default_speeds_spark.operators.similarity import (
+            cosine,
+        )
+
+        return a.select(
+            F.sum(1 - cosine(F.col("embedding"), F.col("centroid_vec")))
+            .alias("s")
+        ).collect()[0]["s"]
+
+    b0 = train_codebook(vectors, n_centroids=4, n_iters=0)
+    b3 = train_codebook(vectors, n_centroids=4, n_iters=3)
+    assert inertia(b3) <= inertia(b0) + 1e-9
+
+    out = ivf_topk(
+        vectors,
+        vectors.limit(2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        n_centroids=4,
+        nprobe=2,
+        k=3,
+        centroids=b3,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["vec_id"] == qid and best["sim"] == pytest.approx(1.0)
