@@ -65,7 +65,7 @@ def main(argv: list[str] | None = None) -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # see CLAUDE.md / bench.py: fall back from whole-stage codegen
+        # see bench.py make_spark: fall back from whole-stage codegen
         # when the fused method would exceed the JIT's bytecode limit
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .getOrCreate()
