@@ -840,6 +840,30 @@ FROM orders WHERE o_orderkey < 400
 SQL_IMAGE_META = _sql_image_meta()
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (real PCM codec + Goertzel DSP): decode + feature
+    extraction over the synthesized audio payload table."""
+    from osm_legal_default_speeds_spark.payload.media import (
+        audio_features,
+        synth_audio_table,
+    )
+
+    return audio_features(synth_audio_table(spark, 192, parts=8))
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (raw-frame container): every-2nd-frame decimation of
+    the synthesized clip table into image-table-shaped rows."""
+    from osm_legal_default_speeds_spark.payload.media import (
+        sample_frames,
+        synth_video_table,
+    )
+
+    return sample_frames(synth_video_table(spark, 96, parts=8), every=2).select(
+        "video_id", "frame_no", "w", "h", "fmt", "caption"
+    )
+
+
 def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_legal_default_speeds_spark.payload.images import (
         decode_and_verify,
@@ -916,6 +940,8 @@ TRAININGDATA_QUERIES = {
     "events_rollup_streaming": q_events_rollup_streaming,
     "image_meta": q_image_meta,
     "image_verify": q_image_verify,
+    "audio_features": q_audio_features,
+    "video_frame_sample": q_video_frame_sample,
     "image_features": q_image_features,
     "image_resize": q_image_resize,
     "image_phash_near_dup": q_image_phash_near_dup,

@@ -1,0 +1,85 @@
+"""Audio/video payload plumbing: real dependency-free codecs, decode +
+DSP features, frame sampling composing with the image operators."""
+
+import numpy as np
+import pytest
+
+from osm_legal_default_speeds_spark.payload.images import (
+    decode_image,
+    image_features,
+    reference_pixels,
+)
+from osm_legal_default_speeds_spark.payload.media import (
+    _FREQS,
+    audio_features,
+    audio_samples,
+    decode_pcm16,
+    encode_pcm16,
+    sample_frames,
+    synth_audio_table,
+    synth_video_table,
+)
+
+
+def test_pcm_roundtrip_exact():
+    x = audio_samples(7, 2000)
+    assert np.array_equal(decode_pcm16(encode_pcm16(x)), x.astype(np.float64))
+
+
+@pytest.fixture(scope="module")
+def audio(spark):
+    return synth_audio_table(spark, 24, parts=3).cache()
+
+
+@pytest.fixture(scope="module")
+def video(spark):
+    return synth_video_table(spark, 18, parts=3).cache()
+
+
+def test_audio_features_dominant_freq(audio):
+    rows = {r["audio_id"]: r for r in audio_features(audio).collect()}
+    assert len(rows) == 24
+    for i in range(24):
+        r = rows[f"aud-{i}"]
+        # the synthesized fundamental must win the Goertzel scan
+        assert r["dominant_freq"] == _FREQS[i % len(_FREQS)]
+        assert 0.3 < r["rms"] < 0.8
+        assert 0.0 < r["zcr"] < 1.0
+        assert r["duration_s"] == pytest.approx(
+            (1600 + (i % 5) * 400) / 8000.0
+        )
+        assert r["caption"]  # caption rides the kernel untouched
+
+
+def test_audio_determinism(spark, audio):
+    b = {r["audio_id"]: bytes(r["bytes"])
+         for r in synth_audio_table(spark, 24, parts=7).collect()}
+    a = {r["audio_id"]: bytes(r["bytes"]) for r in audio.collect()}
+    assert a == b
+
+
+def test_frame_sampling_decodes_to_reference(video):
+    frames = sample_frames(video, every=2).collect()
+    by_vid: dict = {}
+    for r in frames:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    meta = {r["video_id"]: r for r in video.collect()}
+    for vid, rows in by_vid.items():
+        i = int(vid.split("-")[1])
+        nf = meta[vid]["n_frames"]
+        assert len(rows) == (nf + 1) // 2
+        for r in rows:
+            px = decode_image(bytes(r["bytes"]), r["fmt"])
+            exp = reference_pixels(i * 1000 + r["frame_no"], r["w"], r["h"])
+            assert np.array_equal(px, exp)  # lossless through the slice
+            assert r["caption"] == meta[vid]["caption"]
+
+
+def test_sampled_frames_compose_with_image_operators(video):
+    frames = sample_frames(video, every=3).withColumnRenamed(
+        "video_id", "image_id"
+    )
+    feats = image_features(frames.drop("frame_no")).collect()
+    assert len(feats) > 0
+    for r in feats:
+        assert r["w"] > 0 and r["h"] > 0
