@@ -246,16 +246,26 @@ def test_native_cascade_differential_random_rulesets(spark):
                         tags["maxspeed:conditional"] = (
                             f"{70 + 10 * j} @ (wet); {10 + 10 * j} @ (snow)"
                         )
+                    if rng.random() < 0.2:
+                        tags["maxspeed:hgv:conditional"] = (
+                            f"{60 + 10 * j} @ (x); {5 + 10 * j} @ (y)"
+                        )
                     lst.append(RoadTypeDef(rng.choice(names), tags))
             rules[cc] = lst
         return compile_ruleset(road_types, rules)
 
     def sample_case():
-        cc = rng.choice(["AA", "BB", "AA-XX", "ZZ"])
+        cc = rng.choice(["AA", "BB", "AA-XX", "ZZ", None])
         tags = {
-            k: rng.choice(VALUES)
+            k: rng.choice(VALUES + ["50", "30 mph", "RO:urban"])
             for k in rng.sample(KEYS, rng.randrange(0, 4))
         }
+        if rng.random() < 0.3:
+            tags["maxspeed"] = rng.choice(
+                ["50", "30 mph", "RO:urban", "none", "60"]
+            )
+        if rng.random() < 0.15:
+            tags["maxspeed:hgv"] = rng.choice(["40", "20 mph"])
         rels = (
             [{"type": "route", "ref": rng.choice(["ZA 1", "Bus 9"])}]
             if rng.random() < 0.3
@@ -284,7 +294,11 @@ def test_native_cascade_differential_random_rulesets(spark):
         )
         got = {r["road_id"]: r["speed_limit"] for r in out.collect()}
         for i, (cc, t, rel, o) in enumerate(cases):
-            exp = engine.get_speed_limits(cc, t, rel, overrides=o)
+            exp = (
+                engine.get_speed_limits(cc, t, rel, overrides=o)
+                if cc is not None
+                else None
+            )
             g = got[f"r{i}"]
             if exp is None:
                 assert g is None, (trial, i, cc, t, g)
