@@ -95,6 +95,53 @@ def drop_near_dups(
     return df.join(losers, id_col, "left_anti")
 
 
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float | None = 0.5,
+    lang: str | None = None,
+    num_hashes: int = 16,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """The standard training-corpus curation pipeline as one
+    composition: exact dedup (hash-groupBy, keep min-id) -> near-dup
+    removal (MinHash+LSH -> components -> representatives) -> quality/
+    language filter (``operators.textops`` features). Returns the
+    surviving rows of ``df`` (original columns).
+
+    Order matters at scale: exact dedup first shrinks the corpus with
+    a digest-keyed shuffle that carries 16 bytes + id per row; the LSH
+    stage then shingles only survivors; the quality filter is map-side
+    over staged token arrays."""
+    from osm_legal_default_speeds_spark.operators.textops import (
+        with_text_features,
+    )
+
+    kept = drop_exact_dups(df, text_col, id_col)
+    kept = drop_near_dups(
+        kept,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        portable=portable,
+    )
+    if min_quality is not None or lang is not None:
+        feats = with_text_features(kept, text_col, lang=lang or "en")
+        if min_quality is not None:
+            feats = feats.where(F.col("quality") >= F.lit(min_quality))
+        if lang is not None:
+            feats = feats.where(F.col("lang_pred") == F.lit(lang))
+        kept = feats.select(*df.columns)
+    return kept
+
+
 # ---------------------------------------------------------------------------
 # Shingling + MinHash
 # ---------------------------------------------------------------------------

@@ -233,6 +233,27 @@ FROM walks GROUP BY node
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation composition: exact dedup -> near-dup removal ->
+    quality filter, oracle-checked end-to-end. (The near-aug fixture
+    has no exact byte-dups, so the exact stage is exercised as a
+    provable no-op here; its own oracle is exact_dedup.)"""
+    from osm_legal_default_speeds_spark.operators.dedup import (
+        curate_corpus,
+    )
+
+    kept = curate_corpus(
+        _docs_near_aug(spark, sf_dir),
+        min_quality=0.5,
+        num_hashes=MH_NUM_HASHES,
+        num_bands=MH_NUM_BANDS,
+        shingle_n=MH_SHINGLE_N,
+        threshold=MH_THRESHOLD,
+        portable=True,
+    )
+    return kept.select("doc_id", F.md5("text").alias("text_digest"))
+
+
 def q_drop_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup removal: LSH pairs -> components -> keep
     min-id representatives; survivors keyed for the oracle."""
@@ -394,7 +415,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_text_quality() -> str:
+def _sql_text_quality(src: str = "documents") -> str:
     def hits(lang: str) -> str:
         lit = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
         return f"len(list_filter(t, w -> list_contains([{lit}], w)))"
@@ -409,7 +430,7 @@ def _sql_text_quality() -> str:
     bpe = BPE_TOKEN_REGEX.replace("'", "''")
     return f"""
 WITH tok AS (
-  SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents
+  SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM {src}
 ),
 feat AS (
   SELECT doc_id, text, t,
@@ -440,6 +461,35 @@ FROM scored
 
 
 SQL_TEXT_QUALITY = _sql_text_quality()
+
+
+SQL_TEXT_QUALITY_AUG = _sql_text_quality("(" + SQL_DOCS_NEAR_AUG + ")")
+
+SQL_CURATE_CORPUS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_NEAR_DUP}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+walks(node, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT w.node, e.d FROM walks w JOIN edges e ON w.r = e.s
+),
+cc AS (
+  SELECT node, least(node, min(r)) AS component
+  FROM walks GROUP BY node
+),
+aug AS ({SQL_DOCS_NEAR_AUG}),
+tq AS ({SQL_TEXT_QUALITY_AUG})
+SELECT a.doc_id, md5(a.text) AS text_digest
+FROM aug a JOIN tq ON a.doc_id = tq.doc_id
+WHERE a.doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
+  AND tq.quality >= 0.5
+"""
+
+
 
 
 # --------------------------------------------------------------------------
@@ -927,6 +977,7 @@ TRAININGDATA_QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "dup_components": q_dup_components,
     "drop_near_dups": q_drop_near_dups,
+    "curate_corpus": q_curate_corpus,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
@@ -974,6 +1025,7 @@ TRAININGDATA_ORACLES = {
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
     "dup_components": SQL_DUP_COMPONENTS,
     "drop_near_dups": SQL_DROP_NEAR_DUPS,
+    "curate_corpus": SQL_CURATE_CORPUS,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "text_quality": SQL_TEXT_QUALITY,
