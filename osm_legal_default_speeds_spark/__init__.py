@@ -55,6 +55,16 @@ def __getattr__(name):
         from osm_legal_default_speeds_spark.operators import spatial
 
         return getattr(spatial, name)
+    if name in ("drop_near_dups", "drop_exact_dups", "curate_corpus",
+                "minhash_dedup_pairs", "connected_components"):
+        from osm_legal_default_speeds_spark.operators import dedup
+
+        return getattr(dedup, name)
+    if name in ("ivf_topk", "lsh_topk", "brute_force_topk",
+                "train_codebook"):
+        from osm_legal_default_speeds_spark.operators import similarity
+
+        return getattr(similarity, name)
     if name == "load_rules_json":
         from osm_legal_default_speeds_spark.sources import rules_json
 

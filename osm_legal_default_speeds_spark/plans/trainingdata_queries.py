@@ -8,15 +8,22 @@ Coverage added on top of plans.driver_queries:
 
   exact_dedup        hash-groupBy exact deduplication (documents)
   minhash_near_dup   MinHash+LSH near-dup pairs (shingle->sig->band->join)
+  dup_components     pair graph -> duplicate groups (recursive-CTE oracle)
+  drop_near_dups     end-to-end near-dup removal (keep representatives)
+  curate_corpus      exact dedup -> near-dup removal -> quality filter
   simhash_near_dup   SimHash bit-band LSH near-dup pairs
   ngram_jaccard      exact word-3-gram Jaccard on consecutive doc pairs
   text_quality       lang-ID, quality score, token counts, fingerprints
+  source_stats       per-source corpus aggregates (order-independent)
   ann_topk           brute-force cosine top-k over embeddings
   ann_lsh_topk       random-hyperplane LSH bucketed approximate top-k
+  ann_multiprobe     Hamming-radius-1 multi-probe LSH (recall control)
+  ann_ivf_topk       IVF coarse-quantizer cells + nprobe probing
   embedding_near_dup embedding-cosine near-dup pairs via LSH self-join
   events_rollup      6-hour bucketed per-type event aggregation
-  image_verify       (rows-only; no SQL twin) codec decode + PSNR/caption
-                     invariant over the synthesized image payload table
+  image_verify       (rows-only) codec decode + PSNR/caption invariant
+  audio_features     (rows-only) PCM decode + RMS/ZCR/Goertzel features
+  video_frame_sample (rows-only) every-k frame decimation -> image rows
 
 Oracle-portability notes (why every step is engine-exact):
 
