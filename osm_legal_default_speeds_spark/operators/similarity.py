@@ -125,9 +125,14 @@ def lsh_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     probe_radius: int = 0,
+    partial_topk: bool = False,
 ) -> DataFrame:
     """Approximate top-k: equi-join on the hyperplane bucket, exact
     cosine rank within the probed buckets.
+
+    ``partial_topk``: rank via ``topk_per_query`` (two-stage partial
+    top-k) instead of a global per-query window — the large-Q serving
+    path; identical output rows.
 
     ``probe_radius``: multi-probe recall control — each query also
     probes every bucket within this Hamming distance of its own
@@ -165,6 +170,10 @@ def lsh_topk(
         F.col(id_col),
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim"),
     )
+    if partial_topk:
+        return topk_per_query(
+            scored, k, query_id_col=query_id_col, id_col=id_col
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )
@@ -213,6 +222,69 @@ def assign_cells(
     ).drop("__cbook")
 
 
+def assign_cells_np(
+    df: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    vec_col: str,
+    n: int,
+    out: str,
+) -> DataFrame:
+    """NumPy matmul production twin of ``assign_cells``: the C x d
+    codebook ships normalized in the UDF closure; each Arrow batch
+    scores ALL rows against ALL centroids with one matmul
+    ((batch x d) @ (d x C)) and emits the ``n`` nearest centroid ids
+    (ties by centroid id ascending, matching ``assign_cells``).
+
+    Why it exists: the Column-fold ``assign_cells`` evaluates an
+    interpreted higher-order cosine per (row, centroid) — fine at
+    oracle scale (C <= 32), a scale-killer at production C (2^14+).
+    Here the per-row cost is a vectorized C loop. ``assign_cells``
+    stays the bit-exact oracle twin; this path is pinned by a
+    tolerance/parity pytest (numpy pairwise summation differs from
+    sequential folds in the last ulps).
+
+    Map-side only — mapInPandas, no shuffle, no join."""
+    cids = np.asarray([c[0] for c in codebook], dtype=np.int64)
+    cm = np.asarray([c[1] for c in codebook], dtype=np.float64)  # (C, d)
+    cnorm = np.linalg.norm(cm, axis=1, keepdims=True)
+    cnorm[cnorm == 0.0] = 1.0
+    cn = cm / cnorm
+    n_keep = min(n, len(cids))
+    in_cols = df.columns
+    schema = df.withColumn(
+        out, F.array().cast("array<int>")
+    ).schema
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if mat.ndim == 1:  # empty batch
+                pdf[out] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            sims = (mat / norms) @ cn.T  # (batch, C)
+            cells = []
+            for r in range(sims.shape[0]):
+                row = sims[r]
+                # partial select then full sort of the n_keep survivors;
+                # lexsort keys: primary -sim, secondary centroid id asc
+                if n_keep < len(cids):
+                    cand = np.argpartition(-row, n_keep - 1)[:n_keep]
+                else:
+                    cand = np.arange(len(cids))
+                order = np.lexsort((cids[cand], -row[cand]))
+                cells.append([int(cids[cand[i]]) for i in order])
+            pdf = pdf.copy()
+            pdf[out] = cells
+            yield pdf
+
+    return df.mapInPandas(assign, schema).select(*in_cols, out)
+
+
 def train_codebook(
     vectors: DataFrame,
     n_centroids: int,
@@ -235,7 +307,15 @@ def train_codebook(
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
 
-    init = vectors.orderBy(id_col).limit(n_centroids).collect()
+    # Deterministic init WITHOUT a full sort of the vector table: ids
+    # below n_centroids are selected with a pushed-down filter (like
+    # ivf_topk's default codebook) and ordered driver-side. Falls back
+    # to the orderBy.limit global sort only when ids are sparse enough
+    # that the filter under-fills the codebook.
+    init = vectors.where(F.col(id_col) < n_centroids).collect()
+    if len(init) < n_centroids:
+        init = vectors.orderBy(id_col).limit(n_centroids).collect()
+    init = sorted(init, key=lambda r: r[id_col])
     book = [
         (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
     ]
@@ -268,6 +348,50 @@ def train_codebook(
     )
 
 
+def topk_per_query(
+    scored: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Scalable per-query top-k over a (query_id, vec_id, sim) frame —
+    the large-Q alternative to ``Window.partitionBy(query_id)``.
+
+    A global window puts EVERY candidate for a query on one task
+    (full sort of that query's candidates); past broadcastable query
+    sets the hot query becomes a straggler. Here stage 1 takes the
+    partial top-k per (input partition, query) — group = one
+    partition's candidates, so the agg is partition-local and the
+    shuffle carries at most (#partitions x Q x k) rows, not all
+    candidates; stage 2 merges the partials with a tiny final agg per
+    query. Both stages sort arrays of <= candidates-in-partition and
+    <= partitions*k elements respectively; no global per-query sort
+    ever happens.
+
+    Output rows/order semantics are identical to the window form:
+    rank by (-sim, id asc), deterministic."""
+    entry = F.struct(
+        (-F.col(sim_col)).alias("negsim"), F.col(id_col).alias("vid")
+    )
+    partial = (
+        scored.groupBy(F.spark_partition_id().alias("__pid"), query_id_col)
+        .agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("__tk"))
+        .select(query_id_col, F.explode("__tk").alias("__e"))
+    )
+    merged = (
+        partial.groupBy(query_id_col)
+        .agg(F.slice(F.array_sort(F.collect_list("__e")), 1, k).alias("__tk"))
+        .select(query_id_col, F.posexplode("__tk").alias("__rank0", "__e"))
+    )
+    return merged.select(
+        query_id_col,
+        F.col("__e.vid").alias(id_col),
+        (-F.col("__e.negsim")).alias(sim_col),
+        (F.col("__rank0") + 1).cast("int").alias("rank"),
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -279,6 +403,8 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     centroids: DataFrame | None = None,
+    np_assign: bool = False,
+    partial_topk: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer partitions vectors into
     centroid cells; each query probes its ``nprobe`` nearest cells and
@@ -292,26 +418,59 @@ def ivf_topk(
     identical whichever codebook is supplied.
 
     Scale shape: the codebook is broadcast for both the vector-side
-    cell assignment (map-side argmax of cosine over C centroids — at
-    production C, run the assignment through the mapInPandas matmul
-    pattern of ``brute_force_topk_np``) and the query-side probe list;
-    the candidate join is a bucket equi-join on cell id (AQE splits
-    skewed cells), never all-pairs."""
+    cell assignment (map-side argmax of cosine over C centroids) and
+    the query-side probe list; the candidate join is a bucket equi-join
+    on cell id (AQE splits skewed cells), never all-pairs.
+
+    ``np_assign``: production cell assignment — one matmul per Arrow
+    batch via ``assign_cells_np`` instead of the interpreted
+    per-centroid Column fold. Required at production C (2^14+), where
+    the fold path would evaluate C higher-order cosines per row. The
+    codebook is collected driver-side (C x d doubles — MBs even at
+    2^16 x 768) and ships in the UDF closure.
+
+    ``partial_topk``: use ``topk_per_query`` (two-stage partial top-k,
+    shuffle carries partials only) instead of the global per-query
+    window — required when the query set outgrows a broadcastable
+    window partitioning. Identical output rows either way."""
     if centroids is None:
         centroids = vectors.where(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("centroid_id"),
             F.col(vec_col).alias("centroid_vec"),
         )
-    v = assign_cells(
-        vectors.select(id_col, vec_col), centroids, F.col(vec_col), 1, "__vc"
-    ).withColumn("cell", F.element_at(F.col("__vc"), 1)).drop("__vc")
-    q = assign_cells(
-        queries.select(query_id_col, query_vec_col),
-        centroids,
-        F.col(query_vec_col),
-        nprobe,
-        "__qc",
-    ).select(
+    if np_assign:
+        book = [
+            (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+            for r in centroids.collect()
+        ]
+        book.sort(key=lambda c: c[0])
+        v = assign_cells_np(
+            vectors.select(id_col, vec_col), book, vec_col, 1, "__vc"
+        )
+        q = assign_cells_np(
+            queries.select(query_id_col, query_vec_col),
+            book,
+            query_vec_col,
+            nprobe,
+            "__qc",
+        )
+    else:
+        v = assign_cells(
+            vectors.select(id_col, vec_col),
+            centroids,
+            F.col(vec_col),
+            1,
+            "__vc",
+        )
+        q = assign_cells(
+            queries.select(query_id_col, query_vec_col),
+            centroids,
+            F.col(query_vec_col),
+            nprobe,
+            "__qc",
+        )
+    v = v.withColumn("cell", F.element_at(F.col("__vc"), 1)).drop("__vc")
+    q = q.select(
         query_id_col,
         query_vec_col,
         F.explode(F.col("__qc")).alias("cell"),
@@ -321,6 +480,10 @@ def ivf_topk(
         F.col(id_col),
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("sim"),
     )
+    if partial_topk:
+        return topk_per_query(
+            scored, k, query_id_col=query_id_col, id_col=id_col
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )
