@@ -629,7 +629,11 @@ def tile_rollup(
     high-cardinality NON-key column (e.g. the row id) hashed into
     ``salt_buckets``. Passing the group key itself is rejected — a salt
     that is a function of the key alone maps every row of the hot key
-    to the same reducer, silently disabling the protection.
+    to the same reducer, silently disabling the protection. The guard
+    is name-based only: it cannot see through an alias or a column
+    DERIVED from the tile id (e.g. ``tile_id % 10``), which would
+    defeat splitting just as silently — choosing a genuinely row-local
+    salt column remains the caller's responsibility.
     Metrics: row count per tile."""
     if salt_on == tile_col:
         raise ValueError(

@@ -19,6 +19,7 @@ Query -> SURVEY §2 coverage (full inventory-to-query map: COVERAGE.md):
   override_column    C7 replacer hook as per-row overrides map
   result_assembly    R1-R4 result map algebra incl. conditional capping
   grid_encode        graft: hierarchical grid encode + parent rollup
+  grid_encode_ea     graft: equal-area (Lambert band) id space + rollup
   pip_jurisdiction   graft: broadcast PIP join (cell index -> exact test)
   pip_polygon        graft: general-polygon PIP (packed-vertex ray cast)
   knn_nearest        graft: kNN border resolution (argmin over dim)
@@ -714,6 +715,50 @@ FROM roads
 """
 
 
+def q_grid_encode_ea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-area (Lambert cylindrical band) id space end-to-end:
+    encode at res 7, roll up through the shared parent layout, and
+    aggregate per coarse cell — the skew-relevant property (uniform
+    sphere density => uniform cell counts) exercised through a real
+    groupBy in the ea id space."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        grid_cell_ea,
+        grid_parent,
+    )
+
+    roads = _roads_df(spark, sf_dir)
+    cell7 = grid_cell_ea(F.col("lon"), F.col("lat"), 7)
+    enc = roads.select(
+        "road_id",
+        cell7.alias("cell7_ea"),
+        grid_parent(cell7, 7).alias("cell6_ea"),
+    )
+    return enc.groupBy("cell6_ea").agg(
+        F.count(F.lit(1)).alias("n_roads"),
+        F.count_distinct(F.col("cell7_ea")).alias("n_children"),
+        F.min("road_id").alias("min_road_id"),
+    )
+
+
+SQL_GRID_ENCODE_EA = f"""
+WITH roads AS ({_ROADS_SQL}),
+enc AS (
+  SELECT road_id,
+    (LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 256), 0), 255)::BIGINT * 128
+     + LEAST(GREATEST(FLOOR((SIN(RADIANS(lat)) + 1.0) / 2.0 * 128), 0), 127)::BIGINT)
+      AS cell7_ea,
+    (LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 128), 0), 127)::BIGINT * 64
+     + LEAST(GREATEST(FLOOR((SIN(RADIANS(lat)) + 1.0) / 2.0 * 64), 0), 63)::BIGINT)
+      AS cell6_ea
+  FROM roads
+)
+SELECT cell6_ea, COUNT(*) AS n_roads,
+       COUNT(DISTINCT cell7_ea) AS n_children,
+       MIN(road_id) AS min_road_id
+FROM enc GROUP BY cell6_ea
+"""
+
+
 def _boundaries_case_sql(bs: list[RectBoundary]) -> str:
     """CASE expression choosing the min-priority containing rectangle —
     generated from the same boundary list the Spark side uses."""
@@ -809,7 +854,18 @@ def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _polygons_case_sql(polys) -> str:
     """First containing polygon by (priority, code) via STRICT half-plane
-    sign tests (vertices are CCW; convex by construction)."""
+    sign tests (vertices are CCW; convex by construction).
+
+    On-boundary divergence (cf. the rect oracle's half-open note): the
+    strict ``> 0`` interior test classifies a point exactly ON a polygon
+    edge as outside, while the engine's half-open PNPOLY ray cast counts
+    bottom/left edges as inside. The synthetic fixture keeps the two in
+    agreement by construction — every road coordinate carries a
+    fractional offset (``/ 1000.0`` lattice) while polygon vertices sit
+    on integer-ish lattice points, so no test point ever lands exactly
+    on an edge. Reusing this oracle on data without that guarantee
+    would produce edge-point mismatches; that is a fixture property,
+    not an engine bug."""
     branches = []
     for p in sorted(polys, key=lambda p: (p.priority, p.region_code)):
         (ring,) = p.rings
@@ -943,6 +999,7 @@ QUERIES = {
     "result_assembly": q_result_assembly,
     "result_assembly_native": q_result_assembly_native,
     "grid_encode": q_grid_encode,
+    "grid_encode_ea": q_grid_encode_ea,
     "pip_jurisdiction": q_pip_jurisdiction,
     "pip_polygon": q_pip_polygon,
     "knn_nearest": q_knn_nearest,
@@ -968,6 +1025,7 @@ ORACLES = {
     "result_assembly": SQL_RESULT_ASSEMBLY,
     "result_assembly_native": SQL_RESULT_ASSEMBLY,
     "grid_encode": SQL_GRID_ENCODE,
+    "grid_encode_ea": SQL_GRID_ENCODE_EA,
     "pip_jurisdiction": SQL_PIP_JURISDICTION,
     "pip_polygon": SQL_PIP_POLYGON,
     "knn_nearest": SQL_KNN_NEAREST,

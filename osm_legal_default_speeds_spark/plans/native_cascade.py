@@ -51,6 +51,8 @@ bound.
 
 from __future__ import annotations
 
+import weakref as _weakref
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -628,12 +630,14 @@ def infer_speed_limits_native(
         bundle["tms"].alias("__nc_tms"),
     )
 
+    # dim cache keyed by the LIVE session object (weak-keyed: a stopped
+    # session is dropped and CPython id reuse can't resurrect a
+    # DataFrame bound to a dead JVM session)
     dims = bundle["dims"]
-    dim = dims.get(id(spark))
+    dim = dims.get(spark)
     if dim is None:
         dim = spark.createDataFrame(bundle["dim_rows"], bundle["dim_schema"])
-        dims.clear()
-        dims[id(spark)] = dim
+        dims[spark] = dim
     out = out.join(
         F.broadcast(dim),
         F.col("__nc_eff") == F.col("__nc_cc"),
@@ -693,9 +697,16 @@ def _get_bundle(
     key = (id(ruleset), country_col, relations_col, overrides_col, cap_depth)
     hit = _BUNDLE_CACHE.get(key)
     if hit is not None and hit[0] is ruleset:
+        # LRU touch: re-insert at the end so eviction targets the
+        # least-recently-USED entry, not merely the first-inserted
+        _BUNDLE_CACHE.pop(key)
+        _BUNDLE_CACHE[key] = hit
         return hit[1]
     if len(_BUNDLE_CACHE) > 8:
-        _BUNDLE_CACHE.clear()
+        # evict only the OLDEST entry (dict preserves insertion order):
+        # clearing everything would force seconds of py4j expression
+        # recompilation for rulesets still in active use
+        _BUNDLE_CACHE.pop(next(iter(_BUNDLE_CACHE)))
 
     names = _reachable_names(ruleset)
     name_idx = {n: i for i, n in enumerate(names)}
@@ -913,7 +924,7 @@ def _get_bundle(
         "tms": F.element_at(t, F.lit("maxspeed")),
         "dim_rows": dim_rows,
         "dim_schema": dim_schema,
-        "dims": {},
+        "dims": _weakref.WeakKeyDictionary(),
         "pos_e": pos_e,
         "pos_f": pos_f,
         "pos_m": pos_m,

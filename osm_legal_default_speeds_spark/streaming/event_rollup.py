@@ -111,6 +111,65 @@ def streaming_event_rollup(
     return spark.table(sink_table)
 
 
+def streaming_rollup_to_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """The production sink for the windowed rollup: APPEND-mode parquet
+    file sink — the end-to-end exactly-once path the memory sink
+    (``streaming_event_rollup``) deliberately is not.
+
+    Exactly-once contract (all public Structured Streaming mechanics):
+
+    - source offsets are committed to the checkpoint's write-ahead log
+      before a batch runs and marked done after the sink commits, so a
+      restart resumes at the exact batch boundary — no input file is
+      ever processed into committed output twice;
+    - the parquet sink records every finished batch's files in its
+      ``_spark_metadata`` manifest log; files from a batch that died
+      mid-write are never listed, and manifest-aware readers (plain
+      ``spark.read.parquet`` on the sink dir) ignore them — a kill
+      between "files written" and "manifest committed" is invisible;
+    - aggregation state lives in the checkpoint's state store, versioned
+      per batch, so the resumed query's windows continue from the
+      pre-kill state rather than recounting.
+
+    APPEND output mode emits each window exactly once, when the
+    watermark passes its end (finalized) — the only output mode a file
+    sink (no in-place update) can support for aggregations. Windows
+    still open when the input drains stay unemitted until later input
+    advances the watermark: correct, and pinned by the kill/resume test
+    (``tests/test_streaming.py``), which asserts a killed-and-resumed
+    run commits byte-identical output to an uninterrupted control run
+    with zero reprocessed input rows.
+
+    Returns the started StreamingQuery (caller awaits/stops — the
+    kill test needs the handle)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+    )
+    rolled = windowed_rollup(stream, window, watermark)
+    writer = (
+        rolled.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="0 seconds")
+    return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # Stateful sessionization (applyInPandasWithState)
 # ---------------------------------------------------------------------------
