@@ -29,8 +29,10 @@ Operator map:
                            (``speed_grammar.ebnf:1-86``,
                            ``osm_restrictions.py:4-111``)
 
-The HTTP fetch (S2) is intentionally out of scope: this ETL consumes
-HTML text; fetching stays an offline concern.
+- S2 ``fetch_wiki_page`` / ``etl_from_wiki`` — MediaWiki parse-API
+                           fetch (stdlib urllib; ``file://`` canned-
+                           response path for offline tests)
+                           (``main.py:15-29``)
 """
 
 from __future__ import annotations
@@ -627,3 +629,86 @@ def build_rules_dataset(
 
 def to_json(dataset: dict) -> str:
     return json.dumps(dataset, sort_keys=True, indent=2)
+
+
+# ===========================================================================
+# S2: wiki page fetch (MediaWiki parse API)
+# ===========================================================================
+
+WIKI_URL = "https://wiki.openstreetmap.org/wiki/"
+WIKI_API_URL = "https://wiki.openstreetmap.org/w/api.php"
+WIKI_PAGE = "Default_speed_limits"
+
+
+def fetch_wiki_page(
+    page: str = WIKI_PAGE,
+    api_url: str = WIKI_API_URL,
+    timeout: float = 60.0,
+) -> tuple[str, str]:
+    """S2: fetch a page's rendered HTML through the public MediaWiki
+    parse API (reference ``parser/main.py:23-29``), stdlib urllib only
+    (no ``requests`` in this environment). Returns ``(html,
+    revision_id)`` with the reference's no-break-space cleanup applied.
+
+    ``api_url`` may be a ``file://`` URL pointing at a canned API JSON
+    response — the offline test path (query parameters are omitted for
+    file URLs); production use is the real API endpoint. Network access
+    is a deployment concern: the monthly ETL job is the only caller, so
+    failures raise to the scheduler rather than being retried here."""
+    import urllib.parse
+    import urllib.request
+
+    if api_url.startswith("file:"):
+        url = api_url
+    else:
+        q = urllib.parse.urlencode(
+            {"action": "parse", "page": page, "format": "json"}
+        )
+        url = f"{api_url}?{q}"
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        payload = json.loads(resp.read().decode("utf-8"))
+    parsed = payload["parse"]
+    # mediawiki's UI editor sometimes inserts no-break spaces; the
+    # reference strips the entity form pre-parse (main.py:26) — strip
+    # the literal character too, since charref decoding order differs
+    # between parsers
+    html = parsed["text"]["*"].replace("&#160;", " ").replace(" ", " ")
+    return html, str(parsed["revid"])
+
+
+def etl_from_wiki(
+    page: str = WIKI_PAGE,
+    api_url: str = WIKI_API_URL,
+    resolve_country=None,
+    timestamp: str | None = None,
+) -> dict:
+    """End-to-end S2->S7: fetch -> table scan -> parse both tables ->
+    dataset dict (reference ``main.py:23-44``). The wiki layout
+    contract: table 0 is the speed table, table 1 the road-types
+    table. ``timestamp`` overrides the generated-at stamp (pass a
+    fixed value for reproducible output; defaults to now-UTC like the
+    reference)."""
+    import datetime
+
+    html, revid = fetch_wiki_page(page, api_url)
+    tables = parse_tables(html)
+    if len(tables) < 2:
+        raise EtlParseError(
+            f"expected >=2 tables on {page!r}, found {len(tables)}"
+        )
+    if timestamp is None:
+        timestamp = (
+            datetime.datetime.now(datetime.timezone.utc)
+            .replace(microsecond=0)
+            .isoformat()
+        )
+    meta = {
+        "source": WIKI_URL + page,
+        "revisionId": revid,
+        "timestamp": timestamp,
+        "license": "Creative Commons Attribution-ShareAlike 2.0 license",
+        "licenseUrl": "https://wiki.openstreetmap.org/wiki/Wiki_content_license",
+    }
+    return build_rules_dataset(
+        tables[0], tables[1], meta=meta, resolve_country=resolve_country
+    )

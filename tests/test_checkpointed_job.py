@@ -235,3 +235,37 @@ def test_make_batch_df_pushdown_receives_buckets(spark, tmp_path):
     )
     assert _collect_output(spark, out) == _collect_output(spark, out2)
     assert res["rows"] > 0
+
+
+def test_iceberg_smoke_or_skip(spark, tmp_path):
+    """Executable Iceberg twin of the manifest-protocol job: runs the
+    full write/resume cycle when an Iceberg catalog is configured
+    (feature-gated — this sandbox has no Iceberg runtime, so the test
+    SKIPS, but the path is the one that runs the day a catalog
+    exists)."""
+    import pytest as _pytest
+
+    from osm_legal_default_speeds_spark.plans.checkpointed_job import (
+        completed_buckets_iceberg,
+        iceberg_catalog_available,
+        run_checkpointed_iceberg,
+    )
+
+    catalog = "graft_ci"
+    if not iceberg_catalog_available(spark, catalog):
+        _pytest.skip("no Iceberg catalog configured in this environment")
+
+    table = f"{catalog}.db.ckpt_smoke"
+    make_df = lambda s: s.range(100).select(  # noqa: E731
+        F.col("id"), (F.col("id") * 3).alias("tile_id")
+    )
+    out = run_checkpointed_iceberg(
+        spark, make_df, table, "tile_id", num_buckets=4, batch_size=2
+    )
+    assert sorted(out["completed"]) == [0, 1, 2, 3]
+    assert completed_buckets_iceberg(spark, table) == {0, 1, 2, 3}
+    # resume is a no-op
+    again = run_checkpointed_iceberg(
+        spark, make_df, table, "tile_id", num_buckets=4, batch_size=2
+    )
+    assert again["completed"] == [] and again["skipped"] == [0, 1, 2, 3]

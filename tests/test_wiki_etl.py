@@ -280,3 +280,35 @@ def test_build_dataset_feeds_the_engine():
     assert res is not None
     assert res.road_type_name == "motorway"
     assert res.tags["maxspeed:hgv"] == "80"
+
+
+def test_fetch_and_etl_from_canned_api_response(tmp_path):
+    """S2 end-to-end against a file:// canned MediaWiki API response:
+    fetch -> no-break-space cleanup -> table scan -> full dataset with
+    the reference's meta shape (main.py:23-44)."""
+    import json as _json
+
+    from osm_legal_default_speeds_spark.sources.wiki_etl import (
+        etl_from_wiki,
+        fetch_wiki_page,
+    )
+
+    # speed table first, road-types table second (wiki page layout);
+    # include the &#160; junk the reference strips pre-parse
+    html = SPEEDS_HTML.replace("Germany", "Germany&#160;") + ROAD_TYPES_HTML
+    canned = {"parse": {"text": {"*": html}, "revid": 123456}}
+    api = tmp_path / "api.json"
+    api.write_text(_json.dumps(canned), encoding="utf-8")
+    api_url = api.as_uri()
+
+    got_html, revid = fetch_wiki_page(api_url=api_url)
+    assert revid == "123456"
+    assert "&#160;" not in got_html and " " not in got_html
+
+    ds = etl_from_wiki(api_url=api_url, timestamp="2026-08-17T00:00:00+00:00")
+    assert ds["meta"]["revisionId"] == "123456"
+    assert ds["meta"]["source"].endswith("Default_speed_limits")
+    assert ds["meta"]["timestamp"] == "2026-08-17T00:00:00+00:00"
+    # the nbsp-polluted country cell still resolves ('Germany ' -> DE)
+    assert "DE" in ds["speedLimitsByCountryCode"]
+    assert ds["roadTypesByName"]["urban"]["filter"] == "lit=yes"
