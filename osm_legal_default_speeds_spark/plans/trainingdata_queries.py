@@ -17,6 +17,7 @@ Coverage added on top of plans.driver_queries:
   source_stats       per-source corpus aggregates (order-independent)
   ann_topk           brute-force cosine top-k over embeddings
   ann_lsh_topk       random-hyperplane LSH bucketed approximate top-k
+  ann_lsh_topk_partial  same, ranked via two-stage partial top-k (large-Q path)
   ann_multiprobe     Hamming-radius-1 multi-probe LSH (recall control)
   ann_ivf_topk       IVF coarse-quantizer cells + nprobe probing
   embedding_near_dup embedding-cosine near-dup pairs via LSH self-join
@@ -664,6 +665,20 @@ SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {LSH_K}
 """
 
 
+def q_ann_lsh_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_topk through the two-stage PARTIAL top-k rank
+    (operators.similarity.topk_per_query — the large-Q serving path,
+    shuffle carries per-partition partials only). Bit-identical rows to
+    the window rank, so it shares ann_lsh_topk's oracle."""
+    return lsh_topk(
+        _read(spark, sf_dir, "embeddings"),
+        _queries_df(spark, sf_dir),
+        LSH_PLANES,
+        k=LSH_K,
+        partial_topk=True,
+    )
+
+
 def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-k (Hamming-radius-1 probes): recall control
     over the single-probe baseline, same bucket join shape."""
@@ -991,6 +1006,7 @@ TRAININGDATA_QUERIES = {
     "source_stats": q_source_stats,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_topk_partial": q_ann_lsh_topk_partial,
     "ann_multiprobe": q_ann_multiprobe,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1039,6 +1055,8 @@ TRAININGDATA_ORACLES = {
     "source_stats": SQL_SOURCE_STATS,
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    # partial top-k is an exact reformulation of the window rank
+    "ann_lsh_topk_partial": SQL_ANN_LSH_TOPK,
     "ann_multiprobe": SQL_ANN_MULTIPROBE,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -176,13 +176,15 @@ def test_file_sink_kill_and_resume_exactly_once(spark, tmp_path, events_dir):
     q = streaming_rollup_to_parquet(
         spark, events_dir, vic_ckpt, vic_out, available_now=False
     )
-    deadline = time.time() + 60
+    deadline = time.time() + 180  # generous: suite-load can slow batches
     while time.time() < deadline:
+        if q.exception() is not None:
+            raise AssertionError(f"victim query failed: {q.exception()}")
         done = [p for p in q.recentProgress if p["numInputRows"] > 0]
         if done:
             break
         time.sleep(0.2)
-    assert done, "no batch committed before kill"
+    assert done, f"no batch committed before kill; status={q.status}"
     q.stop()  # kill mid-stream
     q.awaitTermination()
     rows_phase1 = sum(p["numInputRows"] for p in q.recentProgress)
