@@ -268,15 +268,28 @@ def minhash_dedup_pairs(
     rows_per_band = num_hashes // num_bands
     base = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, portable
-    ).withColumn("bk", F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)))
-    a, b = base.alias("a"), base.alias("b")
+    ).select(
+        "doc",
+        "sig",
+        F.explode(
+            minhash_bands(F.col("sig"), num_bands, rows_per_band)
+        ).alias("bk"),
+    ).select(
+        "doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    # SHUFFLE_HASH self-join on the band bucket, both sides hinted:
+    # the two join inputs are then IDENTICAL Exchange subplans and
+    # Spark's ReuseExchange computes the shingle->signature aggregation
+    # ONCE (a broadcast join here would both rebuild the aggregation
+    # for the build side and — fatally at corpus scale — broadcast the
+    # corpus-sized signature table to every executor). The id_a < id_b
+    # half-pruning moves to a post-join filter; bucket equi-keys stay
+    # the join condition so AQE can split skewed buckets.
+    a = base.hint("shuffle_hash").alias("a")
+    b = base.hint("shuffle_hash").alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.bk.band") == F.col("b.bk.band"))
-            & (F.col("a.bk.key") == F.col("b.bk.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc") < F.col("b.doc"))
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
