@@ -525,17 +525,20 @@ def simhash_near_dup_pairs(
             for b in range(num_bands)
         ]
     )
-    base = df.select(
-        F.col(id_col).alias("doc"), F.col(simhash_col).alias("sh")
-    ).withColumn("bk", F.explode(bands))
-    a, b = base.alias("a"), base.alias("b")
+    base = (
+        df.select(F.col(id_col).alias("doc"), F.col(simhash_col).alias("sh"))
+        .withColumn("bk", F.explode(bands))
+        .select("doc", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    # shuffle-hash self-join on the band bucket: identical Exchange
+    # subplans -> ReuseExchange computes any upstream simhash pipeline
+    # once, and nothing corpus-sized is broadcast (see
+    # minhash_dedup_pairs for the full argument)
+    a = base.hint("shuffle_hash").alias("a")
+    b = base.hint("shuffle_hash").alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.bk.band") == F.col("b.bk.band"))
-            & (F.col("a.bk.key") == F.col("b.bk.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc") < F.col("b.doc"))
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),

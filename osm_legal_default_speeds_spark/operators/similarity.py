@@ -572,13 +572,15 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    a, b = v.alias("a"), v.alias("b")
+    # shuffle-hash self-join on the bucket: identical Exchange
+    # subplans -> the hyperplane-signature pipeline is computed once
+    # (ReuseExchange) and the vector table is never broadcast (see
+    # operators/dedup.py::minhash_dedup_pairs for the full argument)
+    a = v.hint("shuffle_hash").alias("a")
+    b = v.hint("shuffle_hash").alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
+        a.join(b, "bucket")
+        .where(F.col("a.vid") < F.col("b.vid"))
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),

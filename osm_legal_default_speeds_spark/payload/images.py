@@ -428,15 +428,15 @@ def phash_near_dup_pairs(meta: DataFrame, max_hamming: int = 6, band_bits: int =
     exploded = meta.select(
         F.col("image_id"), F.col("phash"), F.explode(bands).alias("bk")
     ).select("image_id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    left = exploded.alias("a")
-    right = exploded.alias("b")
+    # shuffle-hash self-join: identical Exchange subplans -> any
+    # upstream phash-extraction pipeline is computed once
+    # (ReuseExchange), and the image-metadata table is never broadcast
+    # (see operators/dedup.py::minhash_dedup_pairs)
+    left = exploded.hint("shuffle_hash").alias("a")
+    right = exploded.hint("shuffle_hash").alias("b")
     pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.image_id") < F.col("b.image_id")),
-        )
+        left.join(right, ["band", "key"])
+        .where(F.col("a.image_id") < F.col("b.image_id"))
         .select(
             F.col("a.image_id").alias("id_a"),
             F.col("b.image_id").alias("id_b"),
