@@ -652,3 +652,32 @@ def test_connected_components_star_matches_label_prop(spark):
         for r in connected_components(df, algorithm="label").collect()
     }
     assert star == label == _uf_components(pairs)
+
+
+def test_near_dup_self_joins_reuse_exchange_no_broadcast(spark):
+    """Scale pin for the banded near-dup self-joins: over a FILE source
+    (the production shape — AQE stage reuse keys on canonicalized scan
+    plans, which an in-memory test RDD defeats), the final plan must
+    contain a ReusedExchange (the signature pipeline is computed once)
+    and no BroadcastHashJoin (nothing corpus-sized ships to every
+    executor)."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        hyperplanes,
+    )
+
+    pdocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vectors = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    dim = len(vectors.first()["embedding"])
+    cases = [
+        minhash_dedup_pairs(pdocs, num_hashes=16, num_bands=4),
+        embedding_near_dup_pairs(vectors, hyperplanes(dim, 4)),
+    ]
+    for df in cases:
+        df.collect()  # AQE finalizes the plan during execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan[:2000]
+        assert "BroadcastHashJoin" not in plan
+        assert "ShuffledHashJoin" in plan
