@@ -245,7 +245,17 @@ def _infer_dedup(
     right — without it Spark sorts the full fact side for a sort-merge
     join (the UDF output has no size statistics), which spills and
     anti-scales. Disable only if distinct combos approach driver
-    memory."""
+    memory.
+
+    Rejected alternative (measured): shuffle-hash join-back hoping
+    ReuseExchange would dedup the canonicalization between the
+    distinct branch and the fact side. It cannot fire —
+    ``dropDuplicates`` puts a map-side partial aggregate BELOW its
+    exchange, so the two exchanges' children differ — and the forced
+    shuffle of the fact side measured ~20% slower than the broadcast
+    join-back at sf0.1. The canonicalization is therefore computed on
+    both branches by design; it is pure map-side codegen and cheaper
+    than shuffling the corpus."""
     key_col = "__infer_key"
     work_tags = tags_col
     keyed = df

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from osm_legal_default_speeds_spark.operators.dedup import (
+    connected_components,
     estimated_jaccard,
     exact_dedup_groups,
     drop_exact_dups,
@@ -681,3 +682,27 @@ def test_near_dup_self_joins_reuse_exchange_no_broadcast(spark):
         assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan[:2000]
         assert "BroadcastHashJoin" not in plan
         assert "ShuffledHashJoin" in plan
+
+
+def test_connected_components_star_randomized_differential(spark):
+    """Randomized differential: star CC vs driver-side union-find on
+    seeded random graphs of mixed shape (chains, cliques, stars,
+    isolated pairs)."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 120
+        pairs = set()
+        # random edges over a sparse id space (components of all shapes)
+        for _ in range(150):
+            a, b = rng.randrange(n) * 3, rng.randrange(n) * 3
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        pairs = sorted(pairs)
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == _uf_components(pairs), f"seed {seed}"
