@@ -655,22 +655,28 @@ def test_connected_components_star_matches_label_prop(spark):
     assert star == label == _uf_components(pairs)
 
 
-def test_near_dup_self_joins_reuse_exchange_no_broadcast(spark):
+def test_near_dup_self_joins_reuse_exchange_no_broadcast(spark, tmp_path):
     """Scale pin for the banded near-dup self-joins: over a FILE source
     (the production shape — AQE stage reuse keys on canonicalized scan
     plans, which an in-memory test RDD defeats), the final plan must
     contain a ReusedExchange (the signature pipeline is computed once)
     and no BroadcastHashJoin (nothing corpus-sized ships to every
-    executor)."""
+    executor).
+
+    Reads private copies of the test parquet: other tests .cache() the
+    shared files, and Spark's cache substitution (InMemoryRelation
+    replaces any matching plan segment) also defeats stage reuse —
+    which made this test order-dependent against the module fixtures."""
     from osm_legal_default_speeds_spark.operators.similarity import (
         embedding_near_dup_pairs,
         hyperplanes,
     )
 
-    pdocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    vectors = spark.read.parquet(
-        "/root/testdata/sf0.001/embeddings.parquet"
-    )
+    ddir, edir = str(tmp_path / "docs"), str(tmp_path / "emb")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(ddir)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(edir)
+    pdocs = spark.read.parquet(ddir)
+    vectors = spark.read.parquet(edir)
     dim = len(vectors.first()["embedding"])
     cases = [
         minhash_dedup_pairs(pdocs, num_hashes=16, num_bands=4),
