@@ -20,6 +20,8 @@ Query -> SURVEY §2 coverage (full inventory-to-query map: COVERAGE.md):
   result_assembly    R1-R4 result map algebra incl. conditional capping
   grid_encode        graft: hierarchical grid encode + parent rollup
   grid_encode_ea     graft: equal-area (Lambert band) id space + rollup
+  rasterize_polygons graft: polygon -> covering cells (cell-center rule)
+  vectorize_cells    graft: cells -> merged-run rectangles (raster->vector)
   pip_jurisdiction   graft: broadcast PIP join (cell index -> exact test)
   pip_polygon        graft: general-polygon PIP (packed-vertex ray cast)
   knn_nearest        graft: kNN border resolution (argmin over dim)
@@ -891,6 +893,107 @@ FROM roads
 """
 
 
+_RASTER_RES = 6  # nx=128, ny=64
+
+
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RASTER direction of the raster<->vector pair: polygon table ->
+    covering cells under the cell-center rule (even-odd ray cast).
+    The sf_dir argument is unused by design — the operator's input is
+    the polygon table itself (the oracle's generate_series lattice is
+    the independent twin)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        polygons_to_df,
+        rasterize_polygons,
+    )
+
+    return rasterize_polygons(
+        polygons_to_df(spark, synth_polygons()), res=_RASTER_RES
+    )
+
+
+def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR direction: rasterized cells -> merged vertical-run
+    rectangles (gap-and-island vectorization)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        polygons_to_df,
+        rasterize_polygons,
+        vectorize_cells,
+    )
+
+    cells = rasterize_polygons(
+        polygons_to_df(spark, synth_polygons()), res=_RASTER_RES
+    )
+    return vectorize_cells(cells, res=_RASTER_RES)
+
+
+def _rasterize_sql(polys, res: int) -> str:
+    """Per-polygon generate_series lattice + STRICT half-plane center
+    test (independent twin of the engine's ray cast; same on-boundary
+    caveat as SQL_PIP_POLYGON — fixture centers never land on edges)."""
+    import math
+
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        grid_nx,
+        grid_ny,
+    )
+
+    nx, ny = grid_nx(res), grid_ny(res)
+    parts = []
+    for p in sorted(polys, key=lambda p: (p.priority, p.region_code)):
+        lon0, lat0, lon1, lat1 = p.bbox()
+        x0 = min(max(math.floor((lon0 + 180.0) / 360.0 * nx), 0), nx - 1)
+        x1 = min(max(math.floor((lon1 + 180.0) / 360.0 * nx), 0), nx - 1)
+        y0 = min(max(math.floor((lat0 + 90.0) / 180.0 * ny), 0), ny - 1)
+        y1 = min(max(math.floor((lat1 + 90.0) / 180.0 * ny), 0), ny - 1)
+        (ring,) = p.rings
+        n = len(ring)
+        edges = []
+        for i in range(n):
+            xi, yi = ring[i]
+            xj, yj = ring[(i + 1) % n]
+            edges.append(
+                f"(({xj!r} - {xi!r}) * (lat - {yi!r})"
+                f" - ({yj!r} - {yi!r}) * (lon - {xi!r})) > 0"
+            )
+        parts.append(
+            f"SELECT '{p.region_code}' AS region_code, (x * {ny} + y)::BIGINT AS cell\n"
+            f"FROM (SELECT x, y, (x + 0.5) / {nx} * 360.0 - 180.0 AS lon,\n"
+            f"             (y + 0.5) / {ny} * 180.0 - 90.0 AS lat\n"
+            f"      FROM generate_series({x0}, {x1}) t(x), generate_series({y0}, {y1}) u(y))\n"
+            f"WHERE {' AND '.join(edges)}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_RASTERIZE = _rasterize_sql(synth_polygons(), _RASTER_RES)
+
+SQL_VECTORIZE = f"""
+WITH cells AS ({SQL_RASTERIZE}),
+xy AS (
+  SELECT region_code, (cell // 64) AS x, (cell % 64) AS y FROM cells
+),
+marked AS (
+  SELECT region_code, x, y,
+    CASE WHEN y - LAG(y) OVER (PARTITION BY region_code, x ORDER BY y) = 1
+         THEN 0 ELSE 1 END AS brk
+  FROM xy
+),
+runs AS (
+  SELECT region_code, x, y,
+    SUM(brk) OVER (PARTITION BY region_code, x ORDER BY y) AS run
+  FROM marked
+)
+SELECT region_code,
+       x / 128 * 360.0 - 180.0 AS lon_min,
+       MIN(y) / 64 * 180.0 - 90.0 AS lat_min,
+       (x + 1) / 128 * 360.0 - 180.0 AS lon_max,
+       (MAX(y) + 1) / 64 * 180.0 - 90.0 AS lat_max,
+       COUNT(*) AS n_cells
+FROM runs GROUP BY region_code, x, run
+"""
+
+
 def q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
     return roads.select(
@@ -1000,6 +1103,8 @@ QUERIES = {
     "result_assembly_native": q_result_assembly_native,
     "grid_encode": q_grid_encode,
     "grid_encode_ea": q_grid_encode_ea,
+    "rasterize_polygons": q_rasterize,
+    "vectorize_cells": q_vectorize,
     "pip_jurisdiction": q_pip_jurisdiction,
     "pip_polygon": q_pip_polygon,
     "knn_nearest": q_knn_nearest,
@@ -1026,6 +1131,8 @@ ORACLES = {
     "result_assembly_native": SQL_RESULT_ASSEMBLY,
     "grid_encode": SQL_GRID_ENCODE,
     "grid_encode_ea": SQL_GRID_ENCODE_EA,
+    "rasterize_polygons": SQL_RASTERIZE,
+    "vectorize_cells": SQL_VECTORIZE,
     "pip_jurisdiction": SQL_PIP_JURISDICTION,
     "pip_polygon": SQL_PIP_POLYGON,
     "knn_nearest": SQL_KNN_NEAREST,

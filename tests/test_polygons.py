@@ -121,3 +121,65 @@ def test_polygon_priority_winner(spark):
         for r in assign_jurisdiction_polygons(df, polys).collect()
     }
     assert out == {0: "INNER", 1: "OUTER", 2: None}
+
+
+def test_rasterize_vectorize_round_trip(spark):
+    """raster->vector->raster is the identity on cell sets, including
+    for a CONCAVE polygon with a hole (the oracle twin only covers the
+    convex fixture; the ray cast handles these exactly)."""
+    from pyspark.sql import functions as F
+
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        PolygonBoundary,
+        grid_ny,
+        polygons_to_df,
+        rasterize_polygons,
+        vectorize_cells,
+    )
+
+    res = 6
+    ny = grid_ny(res)
+    # concave C-shape with a square hole in its left arm
+    outer = ((0.0, 0.0), (40.0, 0.0), (40.0, 8.0), (12.0, 8.0),
+             (12.0, 24.0), (40.0, 24.0), (40.0, 32.0), (0.0, 32.0))
+    hole = ((3.0, 3.0), (8.0, 3.0), (8.0, 6.5), (3.0, 6.5))
+    poly = PolygonBoundary("CC", (outer, hole))
+    pdf = polygons_to_df(spark, [poly])
+
+    cells = rasterize_polygons(pdf, res=res)
+    got = {(r["region_code"], r["cell"]) for r in cells.collect()}
+    assert got  # non-empty
+
+    # python twin on centers (contains_py is an independent algorithm
+    # at the code level: scalar loop vs Column fold)
+    import math
+    nx = 128
+    lon0, lat0, lon1, lat1 = poly.bbox()
+    expect = set()
+    for x in range(int((lon0 + 180) / 360 * nx), int((lon1 + 180) / 360 * nx) + 1):
+        for y in range(int((lat0 + 90) / 180 * ny), int((lat1 + 90) / 180 * ny) + 1):
+            lc, tc = (x + 0.5) / nx * 360 - 180, (y + 0.5) / ny * 180 - 90
+            if poly.contains_py(lc, tc):
+                expect.add(("CC", x * ny + y))
+    assert got == expect
+    # the hole must actually exclude a cell whose center lies inside it
+    hole_center_cells = {
+        ("CC", x * ny + y)
+        for x in range(nx)
+        for y in range(ny)
+        if 3.0 < (x + 0.5) / nx * 360 - 180 < 8.0
+        and 3.0 < (y + 0.5) / ny * 180 - 90 < 6.5
+    }
+    assert hole_center_cells and not (hole_center_cells & got)
+
+    # vectorize, then re-rasterize the rectangles arithmetically
+    rects = vectorize_cells(cells, res=res).collect()
+    back = set()
+    for r in rects:
+        x = round((r["lon_min"] + 180) / 360 * nx)
+        ya = round((r["lat_min"] + 90) / 180 * ny)
+        yb = round((r["lat_max"] + 90) / 180 * ny) - 1
+        assert yb - ya + 1 == r["n_cells"]
+        for y in range(ya, yb + 1):
+            back.add((r["region_code"], x * ny + y))
+    assert back == got
