@@ -370,7 +370,11 @@ def topk_per_query(
     ever happens.
 
     Output rows/order semantics are identical to the window form:
-    rank by (-sim, id asc), deterministic."""
+    rank by (-sim, id asc), deterministic. One divergence at the edges:
+    a NULL sim (zero-norm vector) sorts LAST under the window's
+    DESC-nulls-last but FIRST in the struct array_sort; callers feeding
+    zero-norm vectors should filter them (the ANN entry points never
+    produce null sims on the unit-norm embeddings they document)."""
     entry = F.struct(
         (-F.col(sim_col)).alias("negsim"), F.col(id_col).alias("vid")
     )

@@ -647,7 +647,11 @@ def rasterize_polygons(
     by generated cell across the cluster — no driver-side loop (the
     driver-side ``covering_cells`` used for broadcast-index BUILDS
     stays bbox-conservative; this operator is the exact, scale-out
-    rasterizer)."""
+    rasterizer). Antimeridian-crossing polygons are not split: their
+    raw-lon bbox spans most of the grid (correct output under the
+    center rule, but the candidate lattice degenerates to a full-width
+    scan — split such polygons at +-180 upstream, as all public
+    admin-boundary datasets already do)."""
     nx, ny = grid_nx(res), grid_ny(res)
     rings = F.col("rings")
     lon_min = F.aggregate(
