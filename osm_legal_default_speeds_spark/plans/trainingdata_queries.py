@@ -747,6 +747,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path twin of ann_ivf_topk: NumPy matmul cell
+    assignment (assign_cells_np via mapInPandas) + two-stage partial
+    top-k. ROWS-ONLY by contract: numpy's pairwise-summation dot
+    products differ from the oracle's sequential fold in the last ulps,
+    so value-hash equality cannot hold; id/rank parity with the oracled
+    fold path is pinned by pytest
+    (test_ivf_topk_np_assign_parity / test_partial_topk_matches_window)."""
+    from osm_legal_default_speeds_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _read(spark, sf_dir, "embeddings"),
+        _queries_df(spark, sf_dir),
+        n_centroids=IVF_C,
+        nprobe=IVF_NPROBE,
+        k=ANN_K,
+        np_assign=True,
+        partial_topk=True,
+    )
+
+
 SQL_ANN_IVF_TOPK = f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings
@@ -1009,6 +1030,7 @@ TRAININGDATA_QUERIES = {
     "ann_lsh_topk_partial": q_ann_lsh_topk_partial,
     "ann_multiprobe": q_ann_multiprobe,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_topk_np": q_ann_ivf_topk_np,
     "embedding_near_dup": q_embedding_near_dup,
     "events_rollup": q_events_rollup,
     "events_rollup_streaming": q_events_rollup_streaming,
