@@ -598,6 +598,122 @@ def knn_assign_via_index(
 # --------------------------------------------------------------------------
 
 # --------------------------------------------------------------------------
+# Hexagonal equal-area index (H3-style, from scratch)
+#
+# A true HEX binning closing the H3/S2 deviation: pointy-top axial
+# hexagons laid over the Lambert cylindrical equal-area plane
+# (u = lon + 180 in [0, 360]; v = (sin(lat) + 1) * 180 in [0, 360]).
+# Because the (lon, sin lat) map is exactly equal-area, every hex
+# covers the SAME sphere area — H3's headline property — and every
+# interior cell has exactly 6 neighbors (no pentagon exceptions,
+# unlike the icosahedral H3). What this planar layout does NOT give is
+# H3's bounded SHAPE distortion: hexes stretch in aspect toward the
+# poles (area still exact). All math is public knowledge (axial/cube
+# hex coordinates and cube rounding per the standard hex-grid
+# literature, e.g. Red Blob Games).
+#
+# Everything is pure Column arithmetic (codegen'd, SQL-portable):
+#   hex_cell(lon, lat, res)   -> bigint id (packed axial q, r)
+#   hex_center(cell, res)     -> (lon, lat) of the hex center
+#   hex_neighbor_cells(cell)  -> the 6 axial neighbors + self
+# ``res`` sets the lattice pitch: size = 360 / (3 * 2^res), i.e.
+# roughly 3 * 2^res hex columns across the longitude span.
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_HEX_SQRT3 = _math.sqrt(3.0)
+_HEX_STRIDE = 1 << 32  # id = (q + offset) * STRIDE + (r + offset)
+_HEX_OFF = 1 << 30
+
+
+def hex_size(res: int) -> float:
+    return 360.0 / (3.0 * (1 << res))
+
+
+def _hex_round(q: Column, r: Column) -> tuple[Column, Column]:
+    """Cube rounding: round each cube coordinate, then repair the axis
+    with the largest rounding error so x+y+z == 0 stays true."""
+    x, z = q, r
+    y = -q - r
+    rx, ry, rz = F.round(x, 0), F.round(y, 0), F.round(z, 0)
+    dx, dy, dz = F.abs(rx - x), F.abs(ry - y), F.abs(rz - z)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = (~fix_x) & (~(dy > dz))
+    q_out = F.when(fix_x, -ry - rz).otherwise(rx)
+    r_out = F.when(fix_z, -rx - ry).otherwise(rz)
+    return q_out.cast("long"), r_out.cast("long")
+
+
+def hex_cell(lon: Column, lat: Column, res: int) -> Column:
+    """Equal-area hex id at ``res`` (pointy-top axial, cube-rounded)."""
+    size = hex_size(res)
+    u = lon + F.lit(180.0)
+    v = (F.sin(F.radians(lat)) + F.lit(1.0)) * F.lit(180.0)
+    q = (F.lit(_HEX_SQRT3 / 3.0) * u - v / F.lit(3.0)) / F.lit(size)
+    r = (F.lit(2.0 / 3.0) * v) / F.lit(size)
+    rq, rr = _hex_round(q, r)
+    return (rq + F.lit(_HEX_OFF)) * F.lit(_HEX_STRIDE) + (rr + F.lit(_HEX_OFF))
+
+
+def hex_qr(cell: Column) -> tuple[Column, Column]:
+    # ids reach 2^62: unpack with exact integer bit ops, NOT double
+    # division (doubles lose integer exactness above 2^53)
+    q = F.shiftright(cell, 32) - F.lit(_HEX_OFF)
+    r = cell.bitwiseAND(F.lit(_HEX_STRIDE - 1)) - F.lit(_HEX_OFF)
+    return q, r
+
+
+def hex_center(cell: Column, res: int) -> tuple[Column, Column]:
+    """(lon, lat) of the hex center — the raster->vector direction for
+    the hex id space (inverse of the Lambert forward map)."""
+    size = hex_size(res)
+    q, r = hex_qr(cell)
+    u = F.lit(size) * (F.lit(_HEX_SQRT3) * q + F.lit(_HEX_SQRT3 / 2.0) * r)
+    v = F.lit(size) * (F.lit(1.5) * r)
+    lon = u - F.lit(180.0)
+    lat = F.degrees(F.asin(v / F.lit(180.0) - F.lit(1.0)))
+    return lon, lat
+
+
+def hex_neighbor_cells(cell: Column) -> Column:
+    """The 6 axial neighbors + the cell itself, sorted — uniform for
+    every interior cell (no pentagon special case). Edge cells near the
+    projection boundary simply have off-lattice neighbors that no data
+    row ever maps to (same clamp semantics as the rectangular
+    k-ring)."""
+    q, r = hex_qr(cell)
+    out = []
+    for dq, dr in ((0, 0), (1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)):
+        out.append(
+            (q + F.lit(dq) + F.lit(_HEX_OFF)) * F.lit(_HEX_STRIDE)
+            + (r + F.lit(dr) + F.lit(_HEX_OFF))
+        )
+    return F.array_sort(F.array(*out))
+
+
+def hex_cell_py(lon: float, lat: float, res: int) -> int:
+    """Pure-Python differential twin of ``hex_cell``."""
+    size = hex_size(res)
+    u = lon + 180.0
+    v = (_math.sin(_math.radians(lat)) + 1.0) * 180.0
+    q = (_HEX_SQRT3 / 3.0 * u - v / 3.0) / size
+    r = (2.0 / 3.0 * v) / size
+    x, z = q, r
+    y = -q - r
+    # round-half-away-from-zero (Spark HALF_UP / DuckDB ROUND), NOT
+    # Python's banker's rounding
+    rnd = lambda t: _math.floor(t + 0.5) if t >= 0 else _math.ceil(t - 0.5)  # noqa: E731
+    rx, ry, rz = rnd(x), rnd(y), rnd(z)
+    dx, dy, dz = abs(rx - x), abs(ry - y), abs(rz - z)
+    if dx > dy and dx > dz:
+        rx = -ry - rz
+    elif not (dy > dz):
+        rz = -rx - ry
+    return (int(rx) + _HEX_OFF) * _HEX_STRIDE + (int(rz) + _HEX_OFF)
+
+
+# --------------------------------------------------------------------------
 # Raster <-> vector (north-rule keyword: the tiling engine must convert
 # both ways — polygons to covering cell sets and cell sets back to
 # vector geometry)

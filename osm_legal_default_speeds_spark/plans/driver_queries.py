@@ -20,6 +20,7 @@ Query -> SURVEY §2 coverage (full inventory-to-query map: COVERAGE.md):
   result_assembly    R1-R4 result map algebra incl. conditional capping
   grid_encode        graft: hierarchical grid encode + parent rollup
   grid_encode_ea     graft: equal-area (Lambert band) id space + rollup
+  hex_encode         graft: hexagonal equal-area index (axial cube round)
   rasterize_polygons graft: polygon -> covering cells (cell-center rule)
   vectorize_cells    graft: cells -> merged-run rectangles (raster->vector)
   pip_jurisdiction   graft: broadcast PIP join (cell index -> exact test)
@@ -893,6 +894,91 @@ FROM roads
 """
 
 
+_HEX_RES = 4  # hex size = 360/48 = 7.5 planar units
+
+
+def q_hex_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal equal-area index end-to-end: encode every road into a
+    cube-rounded axial hex id over the Lambert plane, roll up per hex,
+    and emit the hex CENTER back-projection (the id -> vector
+    direction: linear in lon, asin in lat)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        hex_cell,
+        hex_center,
+    )
+
+    roads = _roads_df(spark, sf_dir)
+    enc = roads.select(
+        "road_id", hex_cell(F.col("lon"), F.col("lat"), _HEX_RES).alias("hex_id")
+    )
+    agg = enc.groupBy("hex_id").agg(
+        F.count(F.lit(1)).alias("n_roads"),
+        F.min("road_id").alias("min_road_id"),
+    )
+    lon_c, lat_c = hex_center(F.col("hex_id"), _HEX_RES)
+    return agg.select(
+        "hex_id",
+        "n_roads",
+        "min_road_id",
+        lon_c.alias("center_lon"),
+        lat_c.alias("center_lat"),
+    )
+
+
+def _hex_sql(res: int) -> str:
+    import math
+
+    from osm_legal_default_speeds_spark.operators.spatial import hex_size
+
+    size = hex_size(res)
+    s3 = math.sqrt(3.0)
+    off, stride = 1 << 30, 1 << 32
+    return f"""
+WITH roads AS ({_ROADS_SQL}),
+s1 AS (
+  SELECT road_id,
+    ({s3!r} / 3.0 * (lon + 180.0) - ((SIN(RADIANS(lat)) + 1.0) * 180.0) / 3.0) / {size!r} AS q,
+    (2.0 / 3.0 * ((SIN(RADIANS(lat)) + 1.0) * 180.0)) / {size!r} AS r
+  FROM roads
+),
+s2 AS (
+  SELECT road_id, q, r, -q - r AS y,
+         ROUND(q) AS rx, ROUND(-q - r) AS ry, ROUND(r) AS rz
+  FROM s1
+),
+s3 AS (
+  SELECT road_id, rx, ry, rz,
+         ABS(rx - q) AS dx, ABS(ry - y) AS dy, ABS(rz - r) AS dz
+  FROM s2
+),
+s4 AS (
+  SELECT road_id,
+    CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS fq,
+    CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+         THEN -rx - ry ELSE rz END AS fr
+  FROM s3
+),
+enc AS (
+  SELECT road_id,
+    ((fq::BIGINT + {off}) * {stride} + (fr::BIGINT + {off})) AS hex_id
+  FROM s4
+),
+agg AS (
+  SELECT hex_id, COUNT(*) AS n_roads, MIN(road_id) AS min_road_id
+  FROM enc GROUP BY hex_id
+)
+SELECT hex_id, n_roads, min_road_id,
+  {size!r} * ({s3!r} * ((hex_id // {stride}) - {off})
+              + {s3!r} / 2.0 * ((hex_id % {stride}) - {off})) - 180.0 AS center_lon,
+  DEGREES(ASIN({size!r} * (1.5 * ((hex_id % {stride}) - {off})) / 180.0 - 1.0))
+    AS center_lat
+FROM agg
+"""
+
+
+SQL_HEX_ENCODE = _hex_sql(_HEX_RES)
+
+
 _RASTER_RES = 6  # nx=128, ny=64
 
 
@@ -1103,6 +1189,7 @@ QUERIES = {
     "result_assembly_native": q_result_assembly_native,
     "grid_encode": q_grid_encode,
     "grid_encode_ea": q_grid_encode_ea,
+    "hex_encode": q_hex_encode,
     "rasterize_polygons": q_rasterize,
     "vectorize_cells": q_vectorize,
     "pip_jurisdiction": q_pip_jurisdiction,
@@ -1131,6 +1218,7 @@ ORACLES = {
     "result_assembly_native": SQL_RESULT_ASSEMBLY,
     "grid_encode": SQL_GRID_ENCODE,
     "grid_encode_ea": SQL_GRID_ENCODE_EA,
+    "hex_encode": SQL_HEX_ENCODE,
     "rasterize_polygons": SQL_RASTERIZE,
     "vectorize_cells": SQL_VECTORIZE,
     "pip_jurisdiction": SQL_PIP_JURISDICTION,

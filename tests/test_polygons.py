@@ -183,3 +183,72 @@ def test_rasterize_vectorize_round_trip(spark):
         for y in range(ya, yb + 1):
             back.add((r["region_code"], x * ny + y))
     assert back == got
+
+
+def test_hex_index_properties(spark):
+    """Hexagonal equal-area index: (1) native Column encode matches the
+    pure-Python twin; (2) every hex center maps back to its own cell;
+    (3) the 6-neighborhood is symmetric; (4) uniform-on-sphere data
+    loads hexes measurably more evenly than the equirect grid at a
+    comparable cell count (the equal-area claim, empirically)."""
+    import math
+    import random
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        grid_cell,
+        hex_cell,
+        hex_cell_py,
+        hex_center,
+        hex_neighbor_cells,
+    )
+
+    rng = random.Random(5)
+    res = 4
+    pts = [(rng.uniform(-180, 180), rng.uniform(-85, 85)) for _ in range(3000)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    out = df.select(
+        "lon", "lat", hex_cell(F.col("lon"), F.col("lat"), res).alias("h")
+    ).collect()
+    assert all(r["h"] == hex_cell_py(r["lon"], r["lat"], res) for r in out)
+
+    cells = spark.createDataFrame(
+        sorted({(r["h"],) for r in out}), "h long"
+    )
+    lon_c, lat_c = hex_center(F.col("h"), res)
+    bad = cells.select("h", hex_cell(lon_c, lat_c, res).alias("h2")).where(
+        F.col("h") != F.col("h2")
+    )
+    assert bad.count() == 0
+
+    nb = cells.select(
+        "h", F.explode(hex_neighbor_cells(F.col("h"))).alias("n")
+    ).collect()
+    nbrs: dict = {}
+    for r in nb:
+        nbrs.setdefault(r["h"], set()).add(r["n"])
+    for h, ns in nbrs.items():
+        assert h in ns  # self included
+        for n in ns:
+            if n != h and n in nbrs:
+                assert h in nbrs[n]  # symmetry
+
+    # equal-area: uniform-on-sphere sample (lat = asin(uniform))
+    sph = [
+        (rng.uniform(-180, 180), math.degrees(math.asin(rng.uniform(-1, 1))))
+        for _ in range(60000)
+    ]
+    sdf = spark.createDataFrame(sph, "lon double, lat double")
+
+    def cv(col):
+        counts = [
+            r["count"]
+            for r in sdf.select(col.alias("c")).groupBy("c").count().collect()
+        ]
+        return statistics.pstdev(counts) / statistics.mean(counts)
+
+    cv_hex = cv(hex_cell(F.col("lon"), F.col("lat"), 3))
+    cv_rect = cv(grid_cell(F.col("lon"), F.col("lat"), 5))
+    assert cv_hex < cv_rect * 0.75, (cv_hex, cv_rect)
