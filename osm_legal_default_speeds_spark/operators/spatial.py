@@ -863,12 +863,18 @@ def assign_tiles(
     tile_res: int = 7,
     tile_col: str = "tile_id",
     equal_area: bool = False,
+    scheme: str | None = None,
 ) -> DataFrame:
     """``equal_area=True`` switches to the Lambert equal-area bands
     (``grid_cell_ea``): recommended for uniform tile load at high
     latitudes; the default equirectangular grid keeps ids identical to
-    the SQL-portable oracle algebra (parents, k-rings)."""
-    cell = grid_cell_ea if equal_area else grid_cell
+    the SQL-portable oracle algebra (parents, k-rings).
+    ``scheme``: explicit selector — 'rect' | 'ea' | 'hex' (the
+    hexagonal equal-area index: exact equal-area AND uniform
+    6-neighborhoods; its own id space). Overrides ``equal_area``."""
+    if scheme is None:
+        scheme = "ea" if equal_area else "rect"
+    cell = {"rect": grid_cell, "ea": grid_cell_ea, "hex": hex_cell}[scheme]
     return df.withColumn(tile_col, cell(F.col(lon_col), F.col(lat_col), tile_res))
 
 
