@@ -502,3 +502,30 @@ def sample_patches(
             yield out
 
     return images.mapInPandas(patches, PATCH_SCHEMA)
+
+
+def drop_near_dup_images(
+    images: DataFrame, max_hamming: int = 2, band_bits: int = 16
+) -> DataFrame:
+    """End-to-end image near-duplicate removal — the image-axis twin of
+    ``operators.dedup.drop_near_dups``: phash bit-band LSH pairs over
+    the METADATA projection (bytes never enter the join or any
+    shuffle) -> star connected components over the pair graph (string
+    image ids are fine: the algorithm only needs a total order; the
+    kept representative is the lexicographic minimum) -> anti-join of
+    the full rows against the non-representatives. Rows the LSH never
+    pairs survive untouched."""
+    from osm_legal_default_speeds_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = phash_near_dup_pairs(
+        images.select("image_id", "phash"),
+        max_hamming=max_hamming,
+        band_bits=band_bits,
+    )
+    cc = connected_components(pairs)
+    losers = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("image_id")
+    )
+    return images.join(losers, "image_id", "left_anti")

@@ -1000,6 +1000,24 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(small).select("image_id", "w", "h", "phash")
 
 
+def q_curate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-corpus curation composition (the image-axis twin of
+    curate_corpus): planted near-dup groups -> phash bit-band LSH pairs
+    on the metadata projection -> star connected components -> anti-join
+    keeps one representative per group. Rows-only contract (phash comes
+    from the real codec path); group-exactness and payload integrity
+    are pinned by tests/test_images.py::test_drop_near_dup_images."""
+    from osm_legal_default_speeds_spark.payload.images import (
+        drop_near_dup_images,
+        images_from_ids,
+    )
+
+    ids = spark.range(12, 140, 1, 4).select(F.col("id"))
+    images = images_from_ids(ids, dup_group=4)
+    kept = drop_near_dup_images(images, max_hamming=2)
+    return kept.select("image_id", "w", "h", "fmt", "phash")
+
+
 def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate image groups planted every 4 consecutive ids
     (dup_group) -> phash bit-band LSH self-join on the metadata
@@ -1041,6 +1059,7 @@ TRAININGDATA_QUERIES = {
     "image_features": q_image_features,
     "image_resize": q_image_resize,
     "image_phash_near_dup": q_image_phash_near_dup,
+    "curate_images": q_curate_images,
     "knn_indexed": None,  # placeholder replaced below
 }
 

@@ -234,3 +234,35 @@ def test_image_flagship_pipeline_preserves_payload(spark, images):
     for v in verified:
         assert v["caption_ok"]
         assert v["psnr"] == float("inf") or v["psnr"] >= 40.0
+
+
+def test_drop_near_dup_images(spark):
+    """Planted exact-dup groups (every 4 consecutive ids share pixels)
+    collapse to one representative each; bytes survive the anti-join
+    intact (decode still verifies)."""
+    from pyspark.sql import functions as F
+
+    from osm_legal_default_speeds_spark.payload.images import (
+        decode_and_verify,
+        drop_near_dup_images,
+        images_from_ids,
+    )
+
+    # same-digit-width id range so lexicographic order on image_id
+    # equals numeric order (the kept representative is then also the
+    # group's pixel-base id, letting decode-verify pass below)
+    ids = spark.range(12, 76, 1, 4)
+    images = images_from_ids(ids.select("id"), dup_group=4)
+    kept = drop_near_dup_images(images, max_hamming=2)
+    assert kept.count() == 16  # 64 ids / groups of 4
+    # one representative per group: the lexicographic-min image_id
+    kept_ids = sorted(r["image_id"] for r in kept.select("image_id").collect())
+    groups = {}
+    for r in images.select("image_id").collect():
+        n = int(r["image_id"].split("-")[1])
+        groups.setdefault(n // 4, []).append(r["image_id"])
+    expect = sorted(min(v) for v in groups.values())
+    assert kept_ids == expect
+    # payload integrity through the join
+    v = decode_and_verify(kept)
+    assert v.where(~F.col("pixels_ok")).count() == 0
