@@ -269,3 +269,14 @@ def test_iceberg_smoke_or_skip(spark, tmp_path):
         spark, make_df, table, "tile_id", num_buckets=4, batch_size=2
     )
     assert again["completed"] == [] and again["skipped"] == [0, 1, 2, 3]
+
+
+def test_completed_buckets_iceberg_empty_without_catalog(spark):
+    """The snapshot read-back degrades to 'nothing committed' when the
+    table (or the whole Iceberg runtime) is absent — first-run
+    semantics, not an error."""
+    from osm_legal_default_speeds_spark.plans.checkpointed_job import (
+        completed_buckets_iceberg,
+    )
+
+    assert completed_buckets_iceberg(spark, "no_catalog.db.no_table") == set()
