@@ -692,6 +692,27 @@ def hex_neighbor_cells(cell: Column) -> Column:
     return F.array_sort(F.array(*out))
 
 
+def hex_parent(cell: Column, res: int) -> Column:
+    """Parent hex at res-1 (cell size doubles, area x4 — an aperture-4
+    hierarchy) under the CENTER rule: a child belongs to the coarser
+    hex containing its center. Hex lattices at different pitches are
+    not nested (unlike the rect quadtree), so parent boundaries cut
+    through some children — the same approximation icosahedral H3
+    accepts for its aperture-7 hierarchy; rollups stay exact because
+    every child maps to exactly one parent. Pure planar algebra — the
+    sphere round-trip (asin then sin) is skipped; only the lattice
+    re-quantization at double pitch happens."""
+    size = hex_size(res)
+    q0, r0 = hex_qr(cell)
+    u = F.lit(size) * (F.lit(_HEX_SQRT3) * q0 + F.lit(_HEX_SQRT3 / 2.0) * r0)
+    v = F.lit(size) * (F.lit(1.5) * r0)
+    psize = hex_size(res - 1)
+    q = (F.lit(_HEX_SQRT3 / 3.0) * u - v / F.lit(3.0)) / F.lit(psize)
+    r = (F.lit(2.0 / 3.0) * v) / F.lit(psize)
+    rq, rr = _hex_round(q, r)
+    return (rq + F.lit(_HEX_OFF)) * F.lit(_HEX_STRIDE) + (rr + F.lit(_HEX_OFF))
+
+
 def hex_cell_py(lon: float, lat: float, res: int) -> int:
     """Pure-Python differential twin of ``hex_cell``."""
     size = hex_size(res)

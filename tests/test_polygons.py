@@ -252,3 +252,46 @@ def test_hex_index_properties(spark):
     cv_hex = cv(hex_cell(F.col("lon"), F.col("lat"), 3))
     cv_rect = cv(grid_cell(F.col("lon"), F.col("lat"), 5))
     assert cv_hex < cv_rect * 0.75, (cv_hex, cv_rect)
+
+
+def test_hex_parent_hierarchy(spark):
+    """Aperture-4 parent: every child maps to exactly one parent; the
+    parent's center is within one parent-pitch of the child's center
+    (center-rule adjacency); average children per parent ~4."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        hex_cell,
+        hex_center,
+        hex_parent,
+        hex_size,
+    )
+
+    rng = random.Random(11)
+    res = 5
+    pts = [(rng.uniform(-170, 170), rng.uniform(-70, 70)) for _ in range(4000)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    cells = df.select(
+        hex_cell(F.col("lon"), F.col("lat"), res).alias("h")
+    ).distinct()
+    withp = cells.select("h", hex_parent(F.col("h"), res).alias("p"))
+    n_children = withp.count()
+    n_parents = withp.select("p").distinct().count()
+    ratio = n_children / n_parents
+    assert 2.5 < ratio < 5.5, ratio  # aperture-4 with boundary raggedness
+
+    # determinism: parent is a function of the cell (one parent each)
+    assert withp.groupBy("h").agg(
+        F.count_distinct("p").alias("np")
+    ).where(F.col("np") != 1).count() == 0
+
+    # geometric sanity: child center close to parent center (planar u)
+    lon_c, lat_c = hex_center(F.col("h"), res)
+    lon_p, lat_p = hex_center(F.col("p"), res - 1)
+    d = withp.select(
+        (F.abs(lon_c - lon_p)).alias("du"),
+    )
+    max_du = d.agg(F.max("du")).first()[0]
+    assert max_du <= hex_size(res - 1) * 2.0, max_du
