@@ -1,0 +1,106 @@
+"""Mergeable sketches for corpus statistics, built to be
+ORACLE-REPRODUCIBLE: the hash is an md5-prefix (identical in any
+engine), the merge is a deterministic k-smallest set union, and the
+estimator is plain double arithmetic — so unlike HLL(++), whose
+register layout is engine-private, every number a sketch produces here
+can be recomputed bit-for-bit by the DuckDB twin.
+
+KMV (k minimum values) distinct-count sketch — public algorithm
+(Bar-Yossef et al., "Counting distinct elements in a data stream",
+RANDOM'02): hash every value to a uniform unit double, keep the k
+smallest DISTINCT hashes; if fewer than k distinct hashes exist the
+count is exact, otherwise estimate (k-1) / kth_smallest. Standard
+error ~ 1/sqrt(k-2).
+
+Scale shape (the reason to sketch at all): stage 1 takes the k
+smallest distinct hashes PER INPUT PARTITION (partition-local groupBy,
+no data shuffle); the exchange carries at most partitions x k doubles
+per group; stage 2 merges. The raw column never shuffles — that is the
+whole point versus COUNT(DISTINCT), whose exchange carries every
+distinct value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_UNIT_DENOM = float(1 << 60)  # md5 15-hex-digit prefix spans [0, 16^15)
+
+
+def unit_hash(col: Column) -> Column:
+    """Engine-portable uniform hash to [0, 1): first 15 hex digits of
+    md5 as a long over 16^15. Identical in DuckDB:
+    ``('0x' || substring(md5(x), 1, 15))::BIGINT / 2^60``."""
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return h / F.lit(_UNIT_DENOM)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate for ``col``.
+
+    Output: group cols + ``est_distinct`` (double; EXACT when the group
+    has fewer than k distinct hashes) + ``kmv_k`` (the k actually
+    available, = min(k, distinct), letting a reader judge the error
+    bar).
+    """
+    groups = list(group_cols or [])
+    u = unit_hash(F.col(col)).alias("__u")
+    part = F.spark_partition_id().alias("__pid")
+
+    stage1 = (
+        df.select(*groups, u, part)
+        .groupBy(*groups, "__pid")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("__u"))), 1, k
+            ).alias("__ks")
+        )
+    )
+    merged = (
+        stage1.select(*groups, F.explode("__ks").alias("__u"))
+        .groupBy(*groups)
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("__u"))), 1, k
+            ).alias("__ks")
+        )
+    )
+    n = F.size("__ks")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at("__ks", k)
+    )
+    return merged.select(
+        *groups,
+        est.alias("est_distinct"),
+        F.least(n, F.lit(k)).cast("long").alias("kmv_k"),
+    )
+
+
+def kmv_sql(table_expr: str, col: str, k: int, group_cols: list[str]) -> str:
+    """DuckDB twin of ``kmv_distinct`` (same hash, same merge, same
+    estimator — bit-identical output)."""
+    g = ", ".join(group_cols)
+    gsel = (g + ",") if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    return f"""
+WITH hashed AS (
+  SELECT {gsel}
+    (('0x' || substring(md5({col}), 1, 15))::BIGINT / {_UNIT_DENOM!r}) AS u
+  FROM {table_expr}
+),
+merged AS (
+  SELECT {gsel}
+    list_slice(list_sort(list_distinct(list(u))), 1, {k}) AS ks
+  FROM hashed {gby}
+)
+SELECT {gsel}
+  CASE WHEN len(ks) < {k} THEN len(ks)::DOUBLE
+       ELSE {float(k - 1)!r} / ks[{k}] END AS est_distinct,
+  LEAST(len(ks), {k}) AS kmv_k
+FROM merged
+"""

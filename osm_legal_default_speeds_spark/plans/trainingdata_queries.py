@@ -48,6 +48,9 @@ from osm_legal_default_speeds_spark.operators.dedup import (
     ngram_jaccard,
     simhash_near_dup_pairs,
 )
+from osm_legal_default_speeds_spark.operators.sketches import (
+    kmv_sql as _kmv_sql,
+)
 from osm_legal_default_speeds_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
@@ -503,6 +506,21 @@ WHERE a.doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
 # --------------------------------------------------------------------------
 # source_stats — aggregation over derived text features
 # --------------------------------------------------------------------------
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per source (operators.sketches):
+    engine-portable md5-prefix hash, k-smallest merge, (k-1)/kth
+    estimator — the oracle recomputes the ESTIMATE bit-for-bit, which
+    no engine-private HLL can offer."""
+    from osm_legal_default_speeds_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    return kmv_distinct(
+        _read(spark, sf_dir, "documents"), "text", k=16,
+        group_cols=["source"],
+    )
+
 
 def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus statistics over the derived features: doc
@@ -1043,6 +1061,7 @@ TRAININGDATA_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
     "source_stats": q_source_stats,
+    "kmv_distinct": q_kmv_distinct,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_lsh_topk_partial": q_ann_lsh_topk_partial,
@@ -1094,6 +1113,7 @@ TRAININGDATA_ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "text_quality": SQL_TEXT_QUALITY,
     "source_stats": SQL_SOURCE_STATS,
+    "kmv_distinct": _kmv_sql("documents", "text", 16, ["source"]),
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     # partial top-k is an exact reformulation of the window rank

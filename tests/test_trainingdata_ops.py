@@ -712,3 +712,32 @@ def test_connected_components_star_randomized_differential(spark):
             for r in connected_components(df).collect()
         }
         assert got == _uf_components(pairs), f"seed {seed}"
+
+
+def test_kmv_distinct_accuracy_and_exactness(spark):
+    """KMV sketch: exact when distinct < k; within the ~1/sqrt(k-2)
+    error envelope when estimating; invariant to duplication (hashes
+    of dup rows collapse before the k-smallest merge)."""
+    from osm_legal_default_speeds_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    # 40 distinct values, each duplicated 25x, across 8 partitions
+    rows = [(f"val-{i % 40}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+
+    exact_mode = kmv_distinct(df, "v", k=64).first()
+    assert exact_mode["est_distinct"] == 40.0  # < k distinct -> exact
+    assert exact_mode["kmv_k"] == 40
+
+    est_mode = kmv_distinct(df, "v", k=16).first()
+    # k=16 -> stderr ~ 1/sqrt(14) ~ 27%; allow 3 sigma
+    assert 40 * 0.2 <= est_mode["est_distinct"] <= 40 * 1.8, est_mode
+    assert est_mode["kmv_k"] == 16
+
+    # duplication-invariance: 1 copy vs 25 copies give the same sketch
+    one = spark.createDataFrame(
+        [(f"val-{i}",) for i in range(40)], "v string"
+    )
+    a = kmv_distinct(one, "v", k=16).first()["est_distinct"]
+    assert a == est_mode["est_distinct"]
