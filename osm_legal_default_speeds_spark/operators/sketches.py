@@ -12,16 +12,31 @@ smallest DISTINCT hashes; if fewer than k distinct hashes exist the
 count is exact, otherwise estimate (k-1) / kth_smallest. Standard
 error ~ 1/sqrt(k-2).
 
-Scale shape (the reason to sketch at all): stage 1 takes the k
-smallest distinct hashes PER INPUT PARTITION (partition-local groupBy,
-no data shuffle); the exchange carries at most partitions x k doubles
-per group; stage 2 merges. The raw column never shuffles — that is the
-whole point versus COUNT(DISTINCT), whose exchange carries every
-distinct value.
+Scale shape (the reason to sketch at all): stage 1 truncates to the k
+smallest distinct hashes PER INPUT PARTITION before anything crosses
+an exchange, so the shuffle carries at most partitions x k doubles per
+group — versus COUNT(DISTINCT), whose exchange carries every distinct
+value. Two stage-1 implementations with IDENTICAL results:
+
+- ``partial="arrow"`` (default, the production path): one
+  ``mapInPandas`` pass accumulates the per-group k-smallest set across
+  the partition's Arrow batches and emits <= groups x k rows per
+  partition. True map-side truncation.
+- ``partial="column"`` (the all-native twin): groupBy(group,
+  partition_id) + collect_list + slice. Declarative, but
+  ``collect_list``'s partial aggregation cannot truncate, so the
+  stage-1 exchange carries one 8-byte hash per input row (still far
+  narrower than raw values). Kept as the plan-transparent differential
+  twin; the two paths are pinned equal by pytest and either one
+  matches the DuckDB oracle bit-for-bit.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 _UNIT_DENOM = float(1 << 60)  # md5 15-hex-digit prefix spans [0, 16^15)
@@ -35,40 +50,84 @@ def unit_hash(col: Column) -> Column:
     return h / F.lit(_UNIT_DENOM)
 
 
+def _kmv_partials_arrow(
+    hashed: DataFrame, groups: list[str], k: int
+) -> DataFrame:
+    """Partition-local k-smallest-distinct truncation: one mapInPandas
+    pass per partition; emits <= groups x k (group, __u) rows."""
+    schema = hashed.drop("__pid").schema
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, np.ndarray] = {}
+        for pdf in batches:
+            if groups:
+                it = pdf.groupby(groups, sort=False)
+            else:
+                it = [((), pdf)]
+            for key, sub in it:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                u = np.unique(sub["__u"].to_numpy())
+                prev = acc.get(key)
+                if prev is not None:
+                    u = np.unique(np.concatenate([prev, u]))
+                acc[key] = u[:k]
+            del pdf
+        rows = {g: [] for g in groups}
+        rows["__u"] = []
+        for key, u in acc.items():
+            for g, v in zip(groups, key):
+                rows[g].extend([v] * len(u))
+            rows["__u"].extend(u.tolist())
+        yield pd.DataFrame(rows, columns=[*groups, "__u"])
+
+    return hashed.drop("__pid").mapInPandas(partial, schema)
+
+
 def kmv_distinct(
     df: DataFrame,
     col: str,
     k: int = 64,
     group_cols: list[str] | None = None,
+    partial: str = "arrow",
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate for ``col``.
 
     Output: group cols + ``est_distinct`` (double; EXACT when the group
     has fewer than k distinct hashes) + ``kmv_k`` (the k actually
     available, = min(k, distinct), letting a reader judge the error
-    bar).
+    bar). ``partial``: 'arrow' (map-side truncation, production) or
+    'column' (all-native twin) — identical results, see module
+    docstring.
     """
     groups = list(group_cols or [])
     u = unit_hash(F.col(col)).alias("__u")
     part = F.spark_partition_id().alias("__pid")
+    hashed = df.select(*groups, u, part)
 
-    stage1 = (
-        df.select(*groups, u, part)
-        .groupBy(*groups, "__pid")
-        .agg(
-            F.slice(
-                F.array_sort(F.array_distinct(F.collect_list("__u"))), 1, k
-            ).alias("__ks")
+    if partial == "arrow":
+        stage1 = _kmv_partials_arrow(hashed, groups, k).select(
+            *groups, F.col("__u")
         )
-    )
-    merged = (
-        stage1.select(*groups, F.explode("__ks").alias("__u"))
-        .groupBy(*groups)
-        .agg(
-            F.slice(
-                F.array_sort(F.array_distinct(F.collect_list("__u"))), 1, k
-            ).alias("__ks")
+    elif partial == "column":
+        stage1 = (
+            hashed.groupBy(*groups, "__pid")
+            .agg(
+                F.slice(
+                    F.array_sort(F.array_distinct(F.collect_list("__u"))),
+                    1,
+                    k,
+                ).alias("__ks")
+            )
+            .select(*groups, F.explode("__ks").alias("__u"))
         )
+    else:
+        raise ValueError(f"unknown partial mode {partial!r}")
+
+    merged = stage1.groupBy(*groups).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.collect_list("__u"))), 1, k
+        ).alias("__ks")
     )
     n = F.size("__ks")
     est = F.when(n < k, n.cast("double")).otherwise(

@@ -741,3 +741,25 @@ def test_kmv_distinct_accuracy_and_exactness(spark):
     )
     a = kmv_distinct(one, "v", k=16).first()["est_distinct"]
     assert a == est_mode["est_distinct"]
+
+
+def test_kmv_partial_modes_identical(spark):
+    """The arrow (map-side truncation) and column (declarative twin)
+    stage-1 paths must produce identical sketches, grouped and global."""
+    from osm_legal_default_speeds_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).repartition(8)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for groups in (["source"], None):
+        a = kmv_distinct(docs, "text", k=16, group_cols=groups,
+                         partial="arrow")
+        c = kmv_distinct(docs, "text", k=16, group_cols=groups,
+                         partial="column")
+        assert rows(a) == rows(c), groups
