@@ -1,0 +1,117 @@
+"""Deterministic sampling for training-data pipelines.
+
+Real corpus pipelines sample three ways, and all three must be
+REPRODUCIBLE (a rerun, a different engine, or a different partition
+count must pick the same rows — `df.sample()` guarantees none of
+that):
+
+- ``hash_sample``: Bernoulli by content hash — keep rows whose
+  engine-portable unit hash (md5-prefix, operators.sketches) falls
+  below the fraction. Deterministic in the KEY, independent of
+  partitioning, engine, and row order; map-side only (a pushed-down
+  filter, no shuffle).
+- ``stratified_sample``: exactly n rows per group — the n SMALLEST
+  unit hashes win (deterministic total order, no ties in practice).
+  Implemented as the two-stage partial top-k (shuffle carries
+  partials only), not a global per-group sort.
+- ``weighted_mixture``: per-group Bernoulli rates from a small
+  weights table (the classic training-mixture reweighting, e.g.
+  upsample curated sources / downsample crawl): broadcast the weights
+  dim, filter map-side. Rows of groups absent from the weights table
+  are dropped (explicit opt-in mixture).
+
+``salt`` decorrelates repeated draws: different salts give
+independent samples, the same salt reproduces the same sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from osm_legal_default_speeds_spark.operators.sketches import _UNIT_DENOM
+
+
+def _salted_unit(col, salt: str):
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), col)), 1, 15), 16, 10
+    ).cast("long")
+    return h / F.lit(_UNIT_DENOM)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "s0"
+) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample keyed on ``key_col``."""
+    return df.where(_salted_unit(F.col(key_col), salt) < F.lit(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    salt: str = "s0",
+) -> DataFrame:
+    """Exactly min(n, group size) rows per group: the n smallest salted
+    unit hashes of ``key_col`` win. Two-stage partial top-k — stage 1
+    keeps n per (partition, group) so the exchange carries partials,
+    never a group's full membership."""
+    u = _salted_unit(F.col(key_col), salt).alias("__u")
+    base = df.withColumn("__u", u)
+    entry = F.struct(F.col("__u"), F.col(key_col).alias("__k"))
+    partial = (
+        base.groupBy(F.spark_partition_id().alias("__pid"), group_col)
+        .agg(F.slice(F.array_sort(F.collect_list(entry)), 1, n).alias("__t"))
+        .select(group_col, F.explode("__t").alias("__e"))
+    )
+    winners = (
+        partial.groupBy(group_col)
+        .agg(
+            F.slice(F.array_sort(F.collect_list("__e")), 1, n).alias("__t")
+        )
+        .select(
+            F.col(group_col).alias("__wg"), F.explode("__t").alias("__e")
+        )
+        .select("__wg", F.col("__e.__k").alias("__wk"))
+    )
+    return (
+        base.join(
+            F.broadcast(winners),
+            (base[group_col] == F.col("__wg"))
+            & (base[key_col] == F.col("__wk")),
+            "left_semi",
+        )
+        .drop("__u")
+    )
+
+
+def weighted_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-group Bernoulli rates: keep a row iff its salted unit hash <
+    its group's weight. Weights ship as a literal CASE (a broadcast
+    join for a big weights table has the same plan shape); groups
+    without a weight are dropped."""
+    w = F.lit(None).cast("double")
+    expr = None
+    for g, frac in sorted(weights.items()):
+        cond = F.col(group_col) == g
+        expr = F.when(cond, F.lit(frac)) if expr is None else expr.when(
+            cond, F.lit(frac)
+        )
+    w = expr.otherwise(F.lit(None)) if expr is not None else w
+    return df.where(
+        w.isNotNull() & (_salted_unit(F.col(key_col), salt) < w)
+    )
+
+
+def sample_sql_unit(col_expr: str, salt: str = "s0") -> str:
+    """DuckDB twin of the salted unit hash."""
+    return (
+        f"(('0x' || substring(md5('{salt}:' || {col_expr}), 1, 15))::BIGINT"
+        f" / {_UNIT_DENOM!r})"
+    )

@@ -522,6 +522,48 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample of documents keyed on text
+    (operators.sampling.hash_sample): reproducible across engines,
+    partitionings, and reruns — the property df.sample() lacks."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        hash_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(docs, "text", 0.25, salt="mix1").select(
+        "doc_id", "source"
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-source deterministic sample: the n smallest salted
+    unit hashes win (two-stage partial top-k; exchange carries partials
+    only)."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", "text", 3, salt="strat1").select(
+        "doc_id", "source"
+    )
+
+
+def q_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-source Bernoulli rates (e.g.
+    upsample curated, downsample crawl); unweighted sources drop."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        weighted_mixture,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    weights = {"src0": 1.0, "src1": 0.5, "src2": 0.1, "src3": 0.9}
+    return weighted_mixture(docs, "source", "text", weights, salt="w1").select(
+        "doc_id", "source"
+    )
+
+
 def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus statistics over the derived features: doc
     count, exact-distinct fingerprints (dedup rate), language mix, and
@@ -1051,6 +1093,37 @@ def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(meta, max_hamming=2, band_bits=16)
 
 
+
+
+def _unit_sql(col_expr, salt):
+    from osm_legal_default_speeds_spark.operators.sampling import sample_sql_unit
+    return sample_sql_unit(col_expr, salt)
+
+SQL_HASH_SAMPLE = f'''
+SELECT doc_id, source FROM documents
+WHERE {_unit_sql("text", "mix1")} < 0.25
+'''
+
+SQL_STRATIFIED_SAMPLE = f'''
+WITH ranked AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY {_unit_sql("text", "strat1")}, text
+    ) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= 3
+'''
+
+SQL_WEIGHTED_MIXTURE = f'''
+SELECT doc_id, source FROM documents
+WHERE {_unit_sql("text", "w1")} <
+  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+              WHEN 'src2' THEN 0.1 WHEN 'src3' THEN 0.9 END
+'''
+
+
 TRAININGDATA_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1062,6 +1135,9 @@ TRAININGDATA_QUERIES = {
     "text_quality": q_text_quality,
     "source_stats": q_source_stats,
     "kmv_distinct": q_kmv_distinct,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "weighted_mixture": q_weighted_mixture,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_lsh_topk_partial": q_ann_lsh_topk_partial,
@@ -1114,6 +1190,9 @@ TRAININGDATA_ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "source_stats": SQL_SOURCE_STATS,
     "kmv_distinct": _kmv_sql("documents", "text", 16, ["source"]),
+    "hash_sample": SQL_HASH_SAMPLE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "weighted_mixture": SQL_WEIGHTED_MIXTURE,
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     # partial top-k is an exact reformulation of the window rank

@@ -763,3 +763,46 @@ def test_kmv_partial_modes_identical(spark):
         c = kmv_distinct(docs, "text", k=16, group_cols=groups,
                          partial="column")
         assert rows(a) == rows(c), groups
+
+
+def test_sampling_deterministic_and_stratified(spark):
+    """Sampling invariants: (1) hash_sample picks the same rows under
+    any partitioning (df.sample does not); (2) stratified_sample yields
+    exactly n per group; (3) different salts decorrelate; (4)
+    weighted_mixture rates land near their weights."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+        weighted_mixture,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    def ids(df):
+        return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+    s1 = ids(hash_sample(docs, "text", 0.3))
+    s2 = ids(hash_sample(docs.repartition(13), "text", 0.3))
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+
+    other = ids(hash_sample(docs, "text", 0.3, salt="different"))
+    assert other != s1  # decorrelated draws
+
+    strat = stratified_sample(docs, "source", "text", 4)
+    per = {
+        r["source"]: r["n"]
+        for r in strat.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert set(per.values()) == {4}
+    assert ids(strat) == ids(
+        stratified_sample(docs.repartition(7), "source", "text", 4)
+    )
+
+    mix = weighted_mixture(
+        docs, "source", "text", {"src0": 1.0, "src1": 0.0}
+    )
+    got = {r["source"] for r in mix.select("source").distinct().collect()}
+    assert got == {"src0"}  # rate 1.0 keeps all, 0.0 and unweighted drop
+    assert mix.count() == docs.where(F.col("source") == "src0").count()
