@@ -115,3 +115,56 @@ def sample_sql_unit(col_expr: str, salt: str = "s0") -> str:
         f"(('0x' || substring(md5('{salt}:' || {col_expr}), 1, 15))::BIGINT"
         f" / {_UNIT_DENOM!r})"
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_count_col,
+    max_tokens: int,
+    n_shards: int = 64,
+    salt: str = "pack0",
+) -> DataFrame:
+    """Deterministic sequence packing for LLM training: assign every
+    document to a (shard, seq_no) training-sequence slot by running
+    token total: a document belongs to the sequence its FIRST token
+    falls in (``floor(start / max_tokens)``) — the standard streaming
+    packing rule. Guarantees: a shard's documents are contiguous
+    across its sequences (no token gaps), and every sequence's total is
+    < ``max_tokens`` + its largest document. NOT guaranteed: a minimum
+    fill — a document overshooting a boundary can leave the next
+    sequence mostly pre-consumed (average fill approaches
+    ``max_tokens`` when documents are much smaller than the window,
+    the regime packing is for).
+
+    Deterministic by construction: shard = salted hash bucket of the
+    key, order within a shard = (salted unit hash, key) — independent
+    of input partitioning, so a rerun or another engine packs
+    identically (the property that makes packed-dataset builds
+    resumable and auditable).
+
+    Scale shape: ONE shuffle, keyed by shard (n_shards controls
+    parallelism; the window's running sum is per-shard and streams in
+    sort order — no global sort, no driver state). Returns the input
+    plus (shard, seq_no).
+    """
+    u = _salted_unit(F.col(key_col), salt)
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "/shard:"), F.col(key_col))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    base = df.withColumn("__u", u).withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__u", key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(token_count_col).over(w)
+    seq = F.floor((cum - token_count_col) / F.lit(max_tokens)).cast("long")
+    return base.withColumn("seq_no", seq).drop("__u")

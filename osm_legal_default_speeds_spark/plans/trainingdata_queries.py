@@ -564,6 +564,27 @@ def q_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LLM sequence packing: hash-sharded, running-total
+    first-fit bins of ~512 tokens; per-(shard, seq) summary."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        pack_sequences,
+    )
+    from osm_legal_default_speeds_spark.operators.textops import (
+        token_count,
+    )
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count(F.col("text"))
+    )
+    packed = pack_sequences(docs, "text", F.col("n_tok"), 512, n_shards=8)
+    return packed.groupBy("shard", "seq_no").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus statistics over the derived features: doc
     count, exact-distinct fingerprints (dedup rate), language mix, and
@@ -1124,6 +1145,28 @@ WHERE {_unit_sql("text", "w1")} <
 '''
 
 
+
+SQL_PACK_SEQUENCES = f'''
+WITH toks AS (
+  SELECT doc_id, text, source,
+    len(string_split(trim(text), ' ')) AS n_tok,
+    {_unit_sql("text", "pack0")} AS u,
+    (('0x' || substring(md5('pack0/shard:' || text), 1, 15))::BIGINT % 8 + 8) % 8
+      AS shard
+  FROM documents
+),
+packed AS (
+  SELECT shard, n_tok, doc_id,
+    FLOOR((SUM(n_tok) OVER (PARTITION BY shard ORDER BY u, text
+            ROWS UNBOUNDED PRECEDING) - n_tok) / 512)::BIGINT AS seq_no
+  FROM toks
+)
+SELECT shard, seq_no, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+       MIN(doc_id) AS min_doc_id
+FROM packed GROUP BY shard, seq_no
+'''
+
+
 TRAININGDATA_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1138,6 +1181,7 @@ TRAININGDATA_QUERIES = {
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "weighted_mixture": q_weighted_mixture,
+    "pack_sequences": q_pack_sequences,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_lsh_topk_partial": q_ann_lsh_topk_partial,
@@ -1193,6 +1237,7 @@ TRAININGDATA_ORACLES = {
     "hash_sample": SQL_HASH_SAMPLE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "weighted_mixture": SQL_WEIGHTED_MIXTURE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     # partial top-k is an exact reformulation of the window rank

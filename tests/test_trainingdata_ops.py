@@ -806,3 +806,52 @@ def test_sampling_deterministic_and_stratified(spark):
     got = {r["source"] for r in mix.select("source").distinct().collect()}
     assert got == {"src0"}  # rate 1.0 keeps all, 0.0 and unweighted drop
     assert mix.count() == docs.where(F.col("source") == "src0").count()
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing: partition-invariant assignment; sequences never exceed
+    max_tokens plus their largest document; shard token totals are
+    conserved across sequences (contiguity); average fill of non-last
+    sequences is a healthy fraction of the window."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        pack_sequences,
+    )
+    from osm_legal_default_speeds_spark.operators.textops import token_count
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).withColumn("n_tok", token_count(F.col("text")))
+    maxt = 512
+
+    def assign(df):
+        return sorted(
+            (r["doc_id"], r["shard"], r["seq_no"])
+            for r in pack_sequences(
+                df, "text", F.col("n_tok"), maxt, n_shards=8
+            ).collect()
+        )
+
+    a = assign(docs)
+    assert a == assign(docs.repartition(11))
+
+    packed = pack_sequences(docs, "text", F.col("n_tok"), maxt, n_shards=8)
+    stats = packed.groupBy("shard", "seq_no").agg(
+        F.sum("n_tok").alias("tot"), F.max("n_tok").alias("biggest")
+    )
+    last = packed.groupBy("shard").agg(F.max("seq_no").alias("last_seq"))
+    joined = stats.join(last, "shard")
+    non_last = joined.where(F.col("seq_no") != F.col("last_seq"))
+    assert joined.where(F.col("tot") >= maxt + F.col("biggest")).count() == 0
+    # contiguity: per-shard sequence totals sum to the shard's tokens
+    per_shard = {
+        r["shard"]: r["t"]
+        for r in stats.groupBy("shard").agg(F.sum("tot").alias("t")).collect()
+    }
+    truth = {
+        r["shard"]: r["t"]
+        for r in packed.groupBy("shard").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    assert per_shard == truth
+    # fill quality in the docs << window regime
+    avg_fill = non_last.agg(F.avg("tot")).first()[0]
+    assert avg_fill > maxt * 0.6, avg_fill
