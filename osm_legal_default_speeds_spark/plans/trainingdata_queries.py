@@ -15,12 +15,19 @@ Coverage added on top of plans.driver_queries:
   ngram_jaccard      exact word-3-gram Jaccard on consecutive doc pairs
   text_quality       lang-ID, quality score, token counts, fingerprints
   source_stats       per-source corpus aggregates (order-independent)
+  kmv_distinct       KMV distinct-count sketch (bit-identical estimate)
+  hash_sample        deterministic Bernoulli sample by content hash
+  stratified_sample  exactly-n-per-group sample (partial top-k)
+  weighted_mixture   per-source Bernoulli training-mixture reweighting
+  pack_sequences     deterministic LLM sequence packing (running total)
   ann_topk           brute-force cosine top-k over embeddings
   ann_lsh_topk       random-hyperplane LSH bucketed approximate top-k
   ann_lsh_topk_partial  same, ranked via two-stage partial top-k (large-Q path)
   ann_multiprobe     Hamming-radius-1 multi-probe LSH (recall control)
   ann_ivf_topk       IVF coarse-quantizer cells + nprobe probing
+  ann_ivf_topk_np    (rows-only) production IVF: matmul assign + partial top-k
   embedding_near_dup embedding-cosine near-dup pairs via LSH self-join
+  curate_images      (rows-only) phash pairs -> star CC -> one rep per group
   events_rollup      6-hour bucketed per-type event aggregation
   image_verify       (rows-only) codec decode + PSNR/caption invariant
   audio_features     (rows-only) PCM decode + RMS/ZCR/Goertzel features
