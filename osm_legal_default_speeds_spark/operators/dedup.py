@@ -547,3 +547,49 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_overlap: int = 8,
+) -> DataFrame:
+    """Drop training documents that share >= ``min_overlap`` distinct
+    word n-grams with ANY text in the eval set — the standard
+    benchmark-decontamination step of public LLM data pipelines
+    (n-gram-overlap rule as described in the GPT-3 / Llama dataset
+    papers).
+
+    Scale shape: the eval side reduces to a distinct n-gram set and is
+    BROADCAST (eval suites are thousands of docs — MBs of grams);
+    training docs explode to (doc, gram), hit the broadcast in a
+    map-side semi-ish inner join, and a groupBy(doc) counts DISTINCT
+    matching grams — the only shuffle, carrying one row per (matched
+    doc, matched gram), bounded by the contamination rate, not the
+    corpus. Clean docs never shuffle at all; the final filter is a
+    broadcast anti-join of the corpus against the contaminated-id list.
+
+    Returns the surviving rows of ``docs`` (original columns).
+    """
+    gram = lambda c: F.explode(  # noqa: E731
+        F.array_distinct(shingles(c, shingle_n))
+    )
+    eval_grams = (
+        eval_docs.select(gram(F.col(text_col)).alias("g")).distinct()
+    )
+    hits = (
+        docs.select(F.col(id_col).alias("__d"), gram(F.col(text_col)).alias("g"))
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("__d")
+        .agg(F.count_distinct("g").alias("__hits"))
+        .where(F.col("__hits") >= min_overlap)
+        .select(F.col("__d").alias(id_col))
+    )
+    return docs.join(F.broadcast(hits), id_col, "left_anti")

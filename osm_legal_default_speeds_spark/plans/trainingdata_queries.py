@@ -20,6 +20,7 @@ Coverage added on top of plans.driver_queries:
   stratified_sample  exactly-n-per-group sample (partial top-k)
   weighted_mixture   per-source Bernoulli training-mixture reweighting
   pack_sequences     deterministic LLM sequence packing (running total)
+  decontaminate      eval-set n-gram-overlap decontamination
   ann_topk           brute-force cosine top-k over embeddings
   ann_lsh_topk       random-hyperplane LSH bucketed approximate top-k
   ann_lsh_topk_partial  same, ranked via two-stage partial top-k (large-Q path)
@@ -590,6 +591,24 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("n_tokens"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.decontaminate): drop
+    training docs sharing >= 8 distinct word 3-grams with an eval set.
+    Eval here = the 'xx '-prefixed near-dup variants of every
+    NEAR_DUP_MOD-th doc, so the contaminated originals are known by
+    construction."""
+    from osm_legal_default_speeds_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.where(F.col("doc_id") % NEAR_DUP_MOD == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("xx "), F.col("text")).alias("text"),
+    )
+    return decontaminate(docs, eval_docs, min_overlap=8).select("doc_id")
 
 
 def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1174,6 +1193,34 @@ FROM packed GROUP BY shard, seq_no
 '''
 
 
+
+SQL_DECONTAMINATE = f'''
+WITH ev AS (
+  SELECT 'xx ' || text AS text FROM documents WHERE doc_id % {NEAR_DUP_MOD} = 0
+),
+evtok AS (SELECT string_split(lower(text), ' ') AS t FROM ev),
+evg AS (
+  SELECT DISTINCT unnest(list_transform(
+    range(0, greatest(len(t) - 2, 1)),
+    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS g
+  FROM evtok
+),
+dtok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+dg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(0, greatest(len(t) - 2, 1)),
+    i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))) AS g
+  FROM dtok
+),
+hits AS (
+  SELECT doc_id FROM dg JOIN evg USING (g)
+  GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+'''
+
+
 TRAININGDATA_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1189,6 +1236,7 @@ TRAININGDATA_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "weighted_mixture": q_weighted_mixture,
     "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_lsh_topk_partial": q_ann_lsh_topk_partial,
@@ -1245,6 +1293,7 @@ TRAININGDATA_ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "weighted_mixture": SQL_WEIGHTED_MIXTURE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "decontaminate": SQL_DECONTAMINATE,
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     # partial top-k is an exact reformulation of the window rank

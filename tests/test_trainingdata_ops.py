@@ -855,3 +855,26 @@ def test_pack_sequences_invariants(spark):
     # fill quality in the docs << window regime
     avg_fill = non_last.agg(F.avg("tot")).first()[0]
     assert avg_fill > maxt * 0.6, avg_fill
+
+
+def test_decontaminate_drops_planted_overlap(spark, docs):
+    """Docs overlapping the eval set by >= min_overlap distinct 3-grams
+    drop; clean docs survive with all columns intact."""
+    from osm_legal_default_speeds_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    # eval set = doc 0's text with a prefix (shares all interior grams
+    # with docs 0/1/2) plus an unrelated text
+    ev = spark.createDataFrame(
+        [
+            (900, "zz the cat sat on the mat and the dog sat too"),
+            (901, "totally unrelated benchmark prompt text here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = decontaminate(docs, ev, min_overlap=5)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 not in ids and 1 not in ids  # exact text of the eval base
+    assert {3, 4, 5} <= ids  # unrelated docs survive
+    assert kept.columns == docs.columns
