@@ -8,8 +8,9 @@ that):
 - ``hash_sample``: Bernoulli by content hash — keep rows whose
   engine-portable unit hash (md5-prefix, operators.sketches) falls
   below the fraction. Deterministic in the KEY, independent of
-  partitioning, engine, and row order; map-side only (a pushed-down
-  filter, no shuffle).
+  partitioning, engine, and row order; map-side only — one Filter in
+  the scan stage, no shuffle (the md5 predicate itself cannot reach
+  the parquet reader, but column pruning still applies).
 - ``stratified_sample``: exactly n rows per group — the n SMALLEST
   unit hashes win (deterministic total order, no ties in practice).
   Implemented as the two-stage partial top-k (shuffle carries
