@@ -466,7 +466,15 @@ def _cc_star(
         cnt = edges.count()
         if cnt == prev_cnt:
             nxt = _half_round(_half_round(edges, large=True), large=False)
-            if nxt.exceptAll(edges).limit(1).count() == 0:
+            # both sets are distinct, so equal COUNTS (nxt vs edges —
+            # not the round-over-round count above, which only gates
+            # this probe) plus empty (nxt \ edges) <=> equal sets; the
+            # count check matters: nxt being a strict SUBSET of edges
+            # also empties the exceptAll but is not a fixed point
+            if (
+                nxt.count() == cnt
+                and nxt.exceptAll(edges).limit(1).count() == 0
+            ):
                 # star forest: every edge is (node, component_min);
                 # roots appear only as dst -> add their self-labels
                 roots = edges.select(F.col("dst").alias("node")).subtract(
@@ -562,10 +570,13 @@ def decontaminate(
     min_overlap: int = 8,
 ) -> DataFrame:
     """Drop training documents that share >= ``min_overlap`` distinct
-    word n-grams with ANY text in the eval set — the standard
-    benchmark-decontamination step of public LLM data pipelines
-    (n-gram-overlap rule as described in the GPT-3 / Llama dataset
-    papers).
+    word n-grams with the eval set's POOLED n-gram set (the union
+    across all eval texts) — the benchmark-decontamination step of
+    public LLM data pipelines. Note the pooling: a doc overlapping k/2
+    grams with each of two different eval texts is dropped at threshold
+    k — strictly MORE conservative than a per-eval-document rule (to
+    replicate a specific paper's per-document variant, run this once
+    per eval document or carry an eval-doc id through the join).
 
     Scale shape: the eval side reduces to a distinct n-gram set and is
     BROADCAST (eval suites are thousands of docs — MBs of grams);

@@ -12,9 +12,12 @@ that):
   the scan stage, no shuffle (the md5 predicate itself cannot reach
   the parquet reader, but column pruning still applies).
 - ``stratified_sample``: exactly n rows per group — the n SMALLEST
-  unit hashes win (deterministic total order, no ties in practice).
-  Implemented as the two-stage partial top-k (shuffle carries
-  partials only), not a global per-group sort.
+  unit hashes win. ``key_col`` must uniquely identify rows (use the id
+  column, or sample after exact dedup): winners are selected BY KEY
+  VALUE, so duplicate keys would return every row sharing a winning
+  key and break the exactly-n contract. Implemented as the two-stage
+  partial top-k (shuffle carries partials only), not a global
+  per-group sort.
 - ``weighted_mixture``: per-group Bernoulli rates from a small
   weights table (the classic training-mixture reweighting, e.g.
   upsample curated sources / downsample crawl): broadcast the weights
@@ -29,14 +32,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from osm_legal_default_speeds_spark.operators.sketches import _UNIT_DENOM
+from osm_legal_default_speeds_spark.operators.sketches import (
+    _UNIT_DENOM,
+    unit_hash,
+)
 
 
 def _salted_unit(col, salt: str):
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"), col)), 1, 15), 16, 10
-    ).cast("long")
-    return h / F.lit(_UNIT_DENOM)
+    """Salted engine-portable unit hash — sketches.unit_hash over the
+    salted key (kept as one expression so all sampling operators and
+    their DuckDB twins share a single hash definition). Numeric keys
+    cast through their plain string form (identical in DuckDB's
+    implicit || cast)."""
+    return unit_hash(F.concat(F.lit(salt + ":"), col.cast("string")))
 
 
 def hash_sample(
@@ -142,7 +150,10 @@ def pack_sequences(
     key, order within a shard = (salted unit hash, key) — independent
     of input partitioning, so a rerun or another engine packs
     identically (the property that makes packed-dataset builds
-    resumable and auditable).
+    resumable and auditable). ``key_col`` must uniquely identify rows
+    (pack AFTER dedup, or pass the id column): two rows with an equal
+    key have no defined order, so a boundary straddling them would be
+    assigned nondeterministically.
 
     Scale shape: ONE shuffle, keyed by shard (n_shards controls
     parallelism; the window's running sum is per-shard and streams in
@@ -150,15 +161,11 @@ def pack_sequences(
     plus (shard, seq_no).
     """
     u = _salted_unit(F.col(key_col), salt)
-    shard = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt + "/shard:"), F.col(key_col))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("long"),
-        F.lit(n_shards),
+    # shard from an independent salt so shard and order decorrelate;
+    # same single hash definition (unit in [0,1) scaled and floored,
+    # identical in the SQL twin)
+    shard = F.floor(
+        _salted_unit(F.col(key_col), salt + "/shard") * F.lit(n_shards)
     ).cast("int")
     base = df.withColumn("__u", u).withColumn("shard", shard)
     w = (

@@ -270,13 +270,20 @@ def assign_cells_np(
             cells = []
             for r in range(sims.shape[0]):
                 row = sims[r]
-                # partial select then full sort of the n_keep survivors;
+                # partial select then full sort of the survivors;
                 # lexsort keys: primary -sim, secondary centroid id asc
                 if n_keep < len(cids):
                     cand = np.argpartition(-row, n_keep - 1)[:n_keep]
+                    # argpartition breaks ties at the cutoff boundary
+                    # arbitrarily; the contract is cid-ascending — so
+                    # widen the candidate set with EVERY index tied at
+                    # the boundary value before the deterministic sort
+                    # (duplicate centroids are real in deduped corpora)
+                    kth = row[cand].min()
+                    cand = np.union1d(cand, np.where(row == kth)[0])
                 else:
                     cand = np.arange(len(cids))
-                order = np.lexsort((cids[cand], -row[cand]))
+                order = np.lexsort((cids[cand], -row[cand]))[:n_keep]
                 cells.append([int(cids[cand[i]]) for i in order])
             pdf = pdf.copy()
             pdf[out] = cells
@@ -315,7 +322,10 @@ def train_codebook(
     init = vectors.where(F.col(id_col) < n_centroids).collect()
     if len(init) < n_centroids:
         init = vectors.orderBy(id_col).limit(n_centroids).collect()
-    init = sorted(init, key=lambda r: r[id_col])
+    # truncate after sorting: duplicate or negative ids can make the
+    # filtered set larger than n_centroids, and the codebook size is a
+    # contract (old behavior: orderBy.limit)
+    init = sorted(init, key=lambda r: r[id_col])[:n_centroids]
     book = [
         (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
     ]

@@ -61,13 +61,20 @@ def _kmv_partials_arrow(
         acc: dict[tuple, np.ndarray] = {}
         for pdf in batches:
             if groups:
-                it = pdf.groupby(groups, sort=False)
+                # dropna=False: NULL group keys are real groups in
+                # Spark/DuckDB GROUP BY — the column twin would keep
+                # them, so the arrow path must too
+                it = pdf.groupby(groups, sort=False, dropna=False)
             else:
                 it = [((), pdf)]
             for key, sub in it:
                 if not isinstance(key, tuple):
                     key = (key,)
-                u = np.unique(sub["__u"].to_numpy())
+                u = sub["__u"].to_numpy()
+                # NULL input values hash to NULL -> NaN here; the
+                # column twin's collect_list drops nulls, so drop NaN
+                # (np.unique would otherwise keep it and inflate k)
+                u = np.unique(u[~np.isnan(u)])
                 prev = acc.get(key)
                 if prev is not None:
                     u = np.unique(np.concatenate([prev, u]))
@@ -103,7 +110,10 @@ def kmv_distinct(
     groups = list(group_cols or [])
     u = unit_hash(F.col(col)).alias("__u")
     part = F.spark_partition_id().alias("__pid")
-    hashed = df.select(*groups, u, part)
+    # null values are ignored BEFORE grouping (matches the oracle's
+    # WHERE col IS NOT NULL): a group with only null values emits no
+    # row in every path, instead of diverging between them
+    hashed = df.where(F.col(col).isNotNull()).select(*groups, u, part)
 
     if partial == "arrow":
         stage1 = _kmv_partials_arrow(hashed, groups, k).select(
@@ -151,6 +161,7 @@ WITH hashed AS (
   SELECT {gsel}
     (('0x' || substring(md5({col}), 1, 15))::BIGINT / {_UNIT_DENOM!r}) AS u
   FROM {table_expr}
+  WHERE {col} IS NOT NULL  -- null inputs are ignored (both Spark paths)
 ),
 merged AS (
   SELECT {gsel}

@@ -313,15 +313,15 @@ def run_checkpointed_iceberg(
                 spark.sparkContext.applicationId,
             )
         )
-        try:
+        # Existence is checked EXPLICITLY, never inferred from error
+        # text: a transient failure whose message happens to contain
+        # "not found" must re-raise, not trigger table (re)creation —
+        # and creation uses create(), which can never wipe an existing
+        # table's committed snapshots the way createOrReplace could.
+        if spark.catalog.tableExists(table):
             writer.overwritePartitions()
-        except Exception as e:  # first run: table does not exist yet
-            if (
-                "TABLE_OR_VIEW_NOT_FOUND" not in str(e)
-                and "not found" not in str(e).lower()
-            ):
-                raise
-            writer.using("iceberg").createOrReplace()
+        else:
+            writer.using("iceberg").create()
         rows = obs.get["n"]
         total_rows += rows
         batch_stats.append(

@@ -553,9 +553,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _read(spark, sf_dir, "documents")
-    return stratified_sample(docs, "source", "text", 3, salt="strat1").select(
-        "doc_id", "source"
-    )
+    return stratified_sample(
+        docs, "source", "doc_id", 3, salt="strat1"
+    ).select("doc_id", "source")
 
 
 def q_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,7 +585,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").withColumn(
         "n_tok", token_count(F.col("text"))
     )
-    packed = pack_sequences(docs, "text", F.col("n_tok"), 512, n_shards=8)
+    packed = pack_sequences(docs, "doc_id", F.col("n_tok"), 512, n_shards=8)
     return packed.groupBy("shard", "seq_no").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
@@ -1156,7 +1156,7 @@ WITH ranked AS (
   SELECT doc_id, source,
     ROW_NUMBER() OVER (
       PARTITION BY source
-      ORDER BY {_unit_sql("text", "strat1")}, text
+      ORDER BY {_unit_sql("doc_id", "strat1")}, doc_id
     ) AS rk
   FROM documents
 )
@@ -1176,14 +1176,13 @@ SQL_PACK_SEQUENCES = f'''
 WITH toks AS (
   SELECT doc_id, text, source,
     len(string_split(trim(text), ' ')) AS n_tok,
-    {_unit_sql("text", "pack0")} AS u,
-    (('0x' || substring(md5('pack0/shard:' || text), 1, 15))::BIGINT % 8 + 8) % 8
-      AS shard
+    {_unit_sql("doc_id", "pack0")} AS u,
+    FLOOR({_unit_sql("doc_id", "pack0/shard")} * 8)::INT AS shard
   FROM documents
 ),
 packed AS (
   SELECT shard, n_tok, doc_id,
-    FLOOR((SUM(n_tok) OVER (PARTITION BY shard ORDER BY u, text
+    FLOOR((SUM(n_tok) OVER (PARTITION BY shard ORDER BY u, doc_id
             ROWS UNBOUNDED PRECEDING) - n_tok) / 512)::BIGINT AS seq_no
   FROM toks
 )
