@@ -878,3 +878,112 @@ def test_decontaminate_drops_planted_overlap(spark, docs):
     assert 0 not in ids and 1 not in ids  # exact text of the eval base
     assert {3, 4, 5} <= ids  # unrelated docs survive
     assert kept.columns == docs.columns
+
+
+# --------------------------------------------- review-fix regressions
+
+def test_kmv_null_values_and_null_groups(spark):
+    """NULL handling must be identical across all three stage-1 paths:
+    null VALUES are ignored before grouping (a group with only null
+    values emits no row anywhere), null GROUP KEYS are real groups —
+    arrow partial == column partial == DuckDB SQL twin."""
+    import duckdb
+
+    from osm_legal_default_speeds_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_sql,
+    )
+
+    rows = [
+        ("a", "x1"), ("a", None), ("a", "x2"), ("a", "x1"),
+        (None, "y1"), (None, None), (None, "y2"),
+        ("b", None), ("b", None),  # only-null group: emits NO row
+    ]
+    df = spark.createDataFrame(rows, "g string, v string").repartition(4)
+
+    def norm(res):
+        return sorted(
+            ((r["g"], round(r["est_distinct"], 9), int(r["kmv_k"]))
+             for r in res),
+            key=lambda t: (t[0] is None, t[0] or ""),
+        )
+
+    a = norm(kmv_distinct(df, "v", k=8, group_cols=["g"],
+                          partial="arrow").collect())
+    c = norm(kmv_distinct(df, "v", k=8, group_cols=["g"],
+                          partial="column").collect())
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    o = norm(
+        dict(zip(["g", "est_distinct", "kmv_k"], row))
+        for row in con.execute(kmv_sql("t", "v", 8, ["g"])).fetchall()
+    )
+    con.close()
+
+    assert a == c == o
+    groups_seen = {g for g, _, _ in a}
+    assert groups_seen == {"a", None}  # "b" (all nulls) absent, NULL kept
+    assert ("a", 2.0, 2) in a and (None, 2.0, 2) in a
+
+
+def test_assign_cells_np_duplicate_centroid_boundary_tie(spark):
+    """Duplicate centroid vectors whose tie straddles the n-keep cutoff:
+    the NumPy path must honor the centroid-id-ascending tie-break
+    exactly like the fold oracle (np.argpartition alone splits boundary
+    ties arbitrarily — the regression this pins)."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_np,
+    )
+
+    # cids 0 and 1 share one vector; 2 is orthogonal. A query equal to
+    # the duplicate vector ties 0 and 1 at sim=1.0; with n=1 the cutoff
+    # falls INSIDE the tie -> the contract answer is [0].
+    dup = [1.0, 0.0, 0.0]
+    book = [(0, dup), (1, dup), (2, [0.0, 1.0, 0.0])]
+    cent = spark.createDataFrame(
+        [(c, v) for c, v in book],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    q = spark.createDataFrame(
+        [(10, dup), (11, [0.0, 1.0, 0.0]), (12, [0.7, 0.7, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    for n in (1, 2):
+        fold = {
+            r["vec_id"]: r["cells"]
+            for r in assign_cells(
+                q, cent, F.col("embedding"), n, "cells"
+            ).collect()
+        }
+        fast = {
+            r["vec_id"]: r["cells"]
+            for r in assign_cells_np(
+                q, book, "embedding", n, "cells"
+            ).collect()
+        }
+        assert fold == fast, (n, fold, fast)
+    assert fast[10] == [0, 1][:2]  # id-ascending through the tie
+
+
+def test_train_codebook_size_contract_with_duplicate_ids(spark):
+    """Duplicate (or negative) ids may over-fill the pushed-down
+    id < C init filter; the codebook must still contain EXACTLY C
+    centroids (the orderBy.limit contract)."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        train_codebook,
+    )
+
+    rows = [
+        (i, [float(i % 3 + 1), float((i * 7) % 5), 1.0])
+        for i in [-2, 0, 0, 1, 1, 2, 2, 3, 5, 8]
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    book = train_codebook(vecs, n_centroids=4, n_iters=2)
+    got = book.collect()
+    assert len(got) == 4
+    assert sorted(r["centroid_id"] for r in got) == [0, 1, 2, 3]
+    assert all(len(r["centroid_vec"]) == 3 for r in got)
