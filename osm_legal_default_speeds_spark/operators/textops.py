@@ -333,3 +333,113 @@ def with_text_features(
         simhash_from_hashes(F.col("__wh15"), bits).alias("simhash"),
     )
     return out.drop("__tokens", "__wh8", "__wh15")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level vocabulary statistics (heavy hitters, TF-IDF)
+# ---------------------------------------------------------------------------
+
+def top_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group heavy hitters over the whitespace vocabulary — the
+    vocabulary-building / corpus-inspection step of training-data
+    pipelines (token frequency tables, contamination tells, boilerplate
+    detection). Rank is deterministic: count desc, token asc.
+
+    Output: [group_col,] token, cnt, rank (1-based, rank <= k).
+
+    Scale shape (100 TB): explode -> groupBy(group, token) COUNT gets a
+    map-side partial aggregate (the shuffle carries one row per
+    distinct (group, token) per map task, not per occurrence); the
+    top-k then reuses ``topk_per_query``'s two-stage partial pattern,
+    so no global per-group sort and no single-reducer hot group ever
+    materializes. Zipf guarantees the count agg's reduce side is small.
+    """
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        topk_per_query,
+    )
+
+    gcols = [group_col] if group_col else []
+    exploded = df.select(
+        *gcols, F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counted = exploded.groupBy(*gcols, "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    if not group_col:
+        counted = counted.withColumn("__g", F.lit(0))
+        gkey = "__g"
+    else:
+        gkey = group_col
+    ranked = topk_per_query(
+        counted, k, query_id_col=gkey, id_col="token", sim_col="cnt"
+    )
+    out = ranked.select(
+        *gcols, "token", F.col("cnt").cast("long").alias("cnt"),
+        F.col("rank"),
+    )
+    return out
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    The idf factor is the LINEAR inverse document frequency N/df (not
+    log): multiplication and division are correctly-rounded IEEE
+    doubles, so the Spark and DuckDB twins are bit-identical — a log
+    idf would differ in the last ulp between JVM StrictMath and libm
+    and break hash equality. The top-k ORDER is identical under any
+    monotone idf transform, so the standard log variant ranks the same
+    terms. Ties: score desc, token asc.
+
+    Output: id_col, token, score (tf * N / df, double), rank.
+
+    Scale shape: two shuffles (tf groupBy keyed by (doc, token), df
+    groupBy keyed by token — both map-side combined), one shuffle
+    equi-join on token (vocabulary x doc-term frame; AQE handles the
+    Zipf-head skew — hot tokens are exactly the high-df ones whose
+    score collapses), then the two-stage partial top-k per doc. The
+    corpus size N is computed once and joined as a broadcast scalar,
+    not collected through the driver at plan time. The raw tf is not
+    carried through the top-k (recovering it would re-shuffle the
+    doc-term frame for a join-back); a caller needing it can divide
+    score by N/df.
+    """
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        topk_per_query,
+    )
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    n = df.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            (
+                F.col("tf").cast("double")
+                * (F.col("__n").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    ranked = topk_per_query(
+        scored, k, query_id_col=id_col, id_col="token", sim_col="score"
+    )
+    return ranked.select(id_col, "token", "score", "rank")

@@ -14,6 +14,8 @@ Coverage added on top of plans.driver_queries:
   simhash_near_dup   SimHash bit-band LSH near-dup pairs
   ngram_jaccard      exact word-3-gram Jaccard on consecutive doc pairs
   text_quality       lang-ID, quality score, token counts, fingerprints
+  top_tokens         per-source heavy-hitter tokens (partial top-k)
+  tfidf_top_terms    per-doc characteristic terms (linear-idf TF-IDF)
   source_stats       per-source corpus aggregates (order-independent)
   kmv_distinct       KMV distinct-count sketch (bit-identical estimate)
   hash_sample        deterministic Bernoulli sample by content hash
@@ -1220,6 +1222,80 @@ WHERE doc_id NOT IN (SELECT doc_id FROM hits)
 '''
 
 
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy-hitter tokens (vocabulary/boilerplate
+    inspection): explode -> map-side-combined count -> two-stage
+    partial top-k (operators/textops.py:top_tokens). Oracle: GROUP BY
+    + ROW_NUMBER window — same rows, different algorithm."""
+    from osm_legal_default_speeds_spark.operators.textops import top_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_tokens(docs, "text", k=10, group_col="source")
+
+
+SQL_TOP_TOKENS = """
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+counted AS (
+  SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY source, token
+),
+ranked AS (
+  SELECT source, token, cnt,
+    ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY cnt DESC, token ASC
+    ) AS rank
+  FROM counted
+)
+SELECT source, token, cnt, rank::INT AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top characteristic terms per document by TF-IDF with the LINEAR
+    inverse-frequency idf (bit-exact across engines — see
+    operators/textops.py:tf_idf_top_terms for why not log). Restricted
+    to doc_id < 50 so the contract result stays small; the operator
+    itself runs over the whole corpus for the df/N statistics."""
+    from osm_legal_default_speeds_spark.operators.textops import (
+        tf_idf_top_terms,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tf_idf_top_terms(docs, "doc_id", "text", k=3)
+    return out.where(F.col("doc_id") < 50)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+    tf.tf::DOUBLE * ((SELECT n FROM n)::DOUBLE / dfreq.df::DOUBLE) AS score
+  FROM tf JOIN dfreq USING (token)
+),
+ranked AS (
+  SELECT doc_id, token, score,
+    ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, token ASC
+    ) AS rank
+  FROM scored
+)
+SELECT doc_id, token, score, rank::INT AS rank
+FROM ranked WHERE rank <= 3 AND doc_id < 50
+"""
+
+
 TRAININGDATA_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1229,6 +1305,8 @@ TRAININGDATA_QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
+    "top_tokens": q_top_tokens,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "source_stats": q_source_stats,
     "kmv_distinct": q_kmv_distinct,
     "hash_sample": q_hash_sample,
@@ -1286,6 +1364,8 @@ TRAININGDATA_ORACLES = {
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "text_quality": SQL_TEXT_QUALITY,
+    "top_tokens": SQL_TOP_TOKENS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "source_stats": SQL_SOURCE_STATS,
     "kmv_distinct": _kmv_sql("documents", "text", 16, ["source"]),
     "hash_sample": SQL_HASH_SAMPLE,

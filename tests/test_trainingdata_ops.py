@@ -987,3 +987,53 @@ def test_train_codebook_size_contract_with_duplicate_ids(spark):
     assert len(got) == 4
     assert sorted(r["centroid_id"] for r in got) == [0, 1, 2, 3]
     assert all(len(r["centroid_vec"]) == 3 for r in got)
+
+
+def test_top_tokens_counts_and_rank(spark):
+    """Heavy hitters: counts are exact, rank is (count desc, token asc)
+    deterministic, k truncates, grouped and global forms agree."""
+    from osm_legal_default_speeds_spark.operators.textops import top_tokens
+
+    rows = [
+        (0, "s1", "a a a b b c"),
+        (1, "s1", "b c c d"),
+        (2, "s2", "x x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source"], r["rank"]): (r["token"], r["cnt"])
+        for r in top_tokens(df, "text", k=2, group_col="source").collect()
+    }
+    # s1: a=3, b=3, c=3, d=1 -> tie broken token-asc: a then b
+    assert got[("s1", 1)] == ("a", 3)
+    assert got[("s1", 2)] == ("b", 3)
+    assert got[("s2", 1)] == ("x", 2)
+    assert got[("s2", 2)] == ("y", 1)
+    glob = top_tokens(df, "text", k=3).collect()
+    assert [(r["token"], r["cnt"]) for r in sorted(glob, key=lambda r: r["rank"])] == [
+        ("a", 3), ("b", 3), ("c", 3)
+    ]
+    assert glob[0].asDict().keys() == {"token", "cnt", "rank"}
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    """The corpus-wide stopword scores below a doc-unique term; scores
+    equal tf * N / df exactly."""
+    from osm_legal_default_speeds_spark.operators.textops import (
+        tf_idf_top_terms,
+    )
+
+    rows = [
+        (0, "the cat the dog the zebra"),
+        (1, "the fish the bird"),
+        (2, "the cow"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tf_idf_top_terms(df, "doc_id", "text", k=2).collect()
+    top = {r["doc_id"]: r for r in out if r["rank"] == 1}
+    # doc 0: 'the' tf=3 df=3 -> 3*1=3; unique terms tf=1 df=1 -> 3.0 tie
+    # -> token asc picks 'cat'
+    assert top[0]["token"] == "cat" and top[0]["score"] == 3.0
+    assert top[2]["token"] == "cow" and top[2]["score"] == 3.0
+    # 'the' in doc 1: tf=2, score 2*3/3=2 < unique 1*3/1=3
+    assert top[1]["token"] == "bird" and top[1]["score"] == 3.0
