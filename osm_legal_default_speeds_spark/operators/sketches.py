@@ -174,3 +174,87 @@ SELECT {gsel}
   LEAST(len(ks), {k}) AS kmv_k
 FROM merged
 """
+
+
+# ---------------------------------------------------------------------------
+# Histogram-based exact quantiles (discrete domains)
+# ---------------------------------------------------------------------------
+
+def group_quantiles_disc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+) -> DataFrame:
+    """Exact discrete (type-1) quantiles per group: for each p the
+    SMALLEST value whose cumulative count reaches ceil(p * n). Pure
+    selection — no interpolation arithmetic — so the result is a real
+    data value and bit-identical in any engine.
+
+    Output: group_col, n (group row count), q_<p> per requested p
+    (quantile column names use the percent with '.' -> '_').
+
+    Scale shape (the point): a naive per-group sort is a full shuffle
+    of the DATA; here the first aggregation collapses rows into a
+    (group, value) HISTOGRAM — map-side combined, so the exchange
+    carries one row per distinct value per group per map task. For
+    discrete domains (token counts, lengths, status codes) that
+    histogram is tiny regardless of corpus size; the cumulative-sum
+    window then runs over histogram rows only. ceil(p * n) is IEEE
+    double multiply + ceil in BOTH engines, so boundary cases (0.9 * n
+    landing on an exact integer's ulp neighborhood) resolve
+    identically."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = hist.withColumn("__cum", F.sum("__cnt").over(w_cum)).withColumn(
+        "__n", F.sum("__cnt").over(w_all)
+    )
+    aggs = [F.max("__n").cast("long").alias("n")]
+    for p in ps:
+        name = "q_" + str(p).replace(".", "_")
+        target = F.ceil(F.lit(float(p)) * F.col("__n").cast("double"))
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum") >= target, F.col(value_col))
+            ).alias(name)
+        )
+    return cum.groupBy(group_col).agg(*aggs)
+
+
+def group_quantiles_sql(
+    table_expr: str, group_col: str, value_col: str, ps: list[float]
+) -> str:
+    """DuckDB twin of ``group_quantiles_disc`` — same histogram,
+    cumulative window, and ceil(p*n) selection."""
+    qcols = ",\n  ".join(
+        f"MIN(CASE WHEN cum >= CEIL({float(p)!r} * n::DOUBLE) "
+        f"THEN {value_col} END) AS q_{str(p).replace('.', '_')}"
+        for p in ps
+    )
+    return f"""
+WITH hist AS (
+  SELECT {group_col}, {value_col}, COUNT(*) AS cnt
+  FROM {table_expr} GROUP BY {group_col}, {value_col}
+),
+cum AS (
+  SELECT {group_col}, {value_col}, cnt,
+    SUM(cnt) OVER (
+      PARTITION BY {group_col} ORDER BY {value_col}
+      ROWS UNBOUNDED PRECEDING
+    ) AS cum,
+    SUM(cnt) OVER (PARTITION BY {group_col}) AS n
+  FROM hist
+)
+SELECT {group_col}, MAX(n)::BIGINT AS n,
+  {qcols}
+FROM cum GROUP BY {group_col}
+"""

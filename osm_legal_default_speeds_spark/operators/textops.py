@@ -443,3 +443,48 @@ def tf_idf_top_terms(
         scored, k, query_id_col=id_col, id_col="token", sim_col="score"
     )
     return ranked.select(id_col, "token", "score", "rank")
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher-style quality
+    filters for boilerplate / degenerate generation):
+
+    - ``dup_ngram_ratio``: fraction of word ``ngram_n``-grams that are
+      repeats of an earlier gram in the same doc (0 = all distinct).
+      Pure per-row array algebra over the shingle array.
+    - ``top_token_frac``: frequency of the single most common token
+      over the token count (Gopher's "fraction of most frequent word").
+
+    Scale shape: one shuffle. The per-row n-gram ratio rides the
+    exploded token frame as one extra double per (doc, token) partial
+    row — cheaper than a second join of a per-row projection back onto
+    the aggregate. groupBy(doc, token) is map-side combined; the final
+    per-doc agg is tiny. Both ratios are single IEEE divisions —
+    bit-identical in the DuckDB twin."""
+    from osm_legal_default_speeds_spark.operators.dedup import shingles
+
+    sh = shingles(F.col(text_col), ngram_n)
+    dup_ratio = (
+        (F.size(sh) - F.size(F.array_distinct(sh))).cast("double")
+        / F.size(sh).cast("double")
+    )
+    exploded = df.select(
+        F.col(id_col),
+        dup_ratio.alias("__dr"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    counted = exploded.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.first("__dr").alias("__dr")
+    )
+    return counted.groupBy(id_col).agg(
+        F.first("__dr").alias("dup_ngram_ratio"),
+        (
+            F.max("__cnt").cast("double")
+            / F.sum("__cnt").cast("double")
+        ).alias("top_token_frac"),
+    )

@@ -16,6 +16,8 @@ Coverage added on top of plans.driver_queries:
   text_quality       lang-ID, quality score, token counts, fingerprints
   top_tokens         per-source heavy-hitter tokens (partial top-k)
   tfidf_top_terms    per-doc characteristic terms (linear-idf TF-IDF)
+  length_quantiles   exact discrete quantiles via (group,value) histogram
+  repetition_stats   Gopher repetition signals (dup n-grams, top token)
   source_stats       per-source corpus aggregates (order-independent)
   kmv_distinct       KMV distinct-count sketch (bit-identical estimate)
   hash_sample        deterministic Bernoulli sample by content hash
@@ -1296,6 +1298,78 @@ FROM ranked WHERE rank <= 3 AND doc_id < 50
 """
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact discrete quantiles of the document token count
+    via the (group, value)-histogram path — the exchange carries
+    histogram rows, never data rows (operators/sketches.py:
+    group_quantiles_disc)."""
+    from osm_legal_default_speeds_spark.operators.sketches import (
+        group_quantiles_disc,
+    )
+    from osm_legal_default_speeds_spark.operators.textops import token_count
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).alias("n_tok")
+    )
+    return group_quantiles_disc(docs, "source", "n_tok", [0.5, 0.9, 0.99])
+
+
+def _sql_length_quantiles() -> str:
+    from osm_legal_default_speeds_spark.operators.sketches import (
+        group_quantiles_sql,
+    )
+
+    toks = (
+        "(SELECT source, len(string_split(lower(text), ' ')) AS n_tok"
+        " FROM documents)"
+    )
+    return group_quantiles_sql(toks, "source", "n_tok", [0.5, 0.9, 0.99])
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition quality signals
+    (operators/textops.py:repetition_stats)."""
+    from osm_legal_default_speeds_spark.operators.textops import (
+        repetition_stats,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", ngram_n=3)
+
+
+SQL_REPETITION_STATS = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_transform(
+      range(0, greatest(len(t) - 2, 1)),
+      i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')
+    ) AS sh
+  FROM tok
+),
+dr AS (
+  SELECT doc_id,
+    (len(sh) - len(list_distinct(sh)))::DOUBLE / len(sh)::DOUBLE
+      AS dup_ngram_ratio
+  FROM sh
+),
+counted AS (
+  SELECT doc_id, unnest(t) AS token FROM tok
+),
+cnts AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM counted GROUP BY doc_id, token
+),
+frac AS (
+  SELECT doc_id, MAX(cnt)::DOUBLE / SUM(cnt)::DOUBLE AS top_token_frac
+  FROM cnts GROUP BY doc_id
+)
+SELECT doc_id, dup_ngram_ratio, top_token_frac
+FROM dr JOIN frac USING (doc_id)
+"""
+
+
 TRAININGDATA_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1307,6 +1381,8 @@ TRAININGDATA_QUERIES = {
     "text_quality": q_text_quality,
     "top_tokens": q_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "length_quantiles": q_length_quantiles,
+    "repetition_stats": q_repetition_stats,
     "source_stats": q_source_stats,
     "kmv_distinct": q_kmv_distinct,
     "hash_sample": q_hash_sample,
@@ -1366,6 +1442,8 @@ TRAININGDATA_ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "top_tokens": SQL_TOP_TOKENS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "length_quantiles": _sql_length_quantiles(),
+    "repetition_stats": SQL_REPETITION_STATS,
     "source_stats": SQL_SOURCE_STATS,
     "kmv_distinct": _kmv_sql("documents", "text", 16, ["source"]),
     "hash_sample": SQL_HASH_SAMPLE,

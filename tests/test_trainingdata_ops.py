@@ -1037,3 +1037,52 @@ def test_tfidf_ranks_distinctive_terms_first(spark):
     assert top[2]["token"] == "cow" and top[2]["score"] == 3.0
     # 'the' in doc 1: tf=2, score 2*3/3=2 < unique 1*3/1=3
     assert top[1]["token"] == "bird" and top[1]["score"] == 3.0
+
+
+def test_group_quantiles_disc_exact(spark):
+    """Histogram-path quantiles equal the brute-force type-1 definition
+    (smallest value whose cumulative count reaches ceil(p*n))."""
+    import math
+
+    from osm_legal_default_speeds_spark.operators.sketches import (
+        group_quantiles_disc,
+    )
+
+    vals = {"g1": [1, 2, 2, 3, 10, 10, 10, 50], "g2": [7, 7, 7]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v int").repartition(4)
+    got = {
+        r["g"]: r
+        for r in group_quantiles_disc(df, "g", "v", [0.5, 0.9]).collect()
+    }
+
+    def brute(vs, p):
+        s = sorted(vs)
+        return s[math.ceil(p * len(s)) - 1]
+
+    for g, vs in vals.items():
+        assert got[g]["n"] == len(vs)
+        assert got[g]["q_0_5"] == brute(vs, 0.5), g
+        assert got[g]["q_0_9"] == brute(vs, 0.9), g
+
+
+def test_repetition_stats_signals(spark):
+    """Degenerate repetition maxes both signals; fully distinct text
+    zeroes the n-gram ratio and minimizes top-token dominance."""
+    from osm_legal_default_speeds_spark.operators.textops import (
+        repetition_stats,
+    )
+
+    rows = [
+        (0, "a b c d e f"),           # all distinct
+        (1, "x x x x x x"),           # total repetition
+        (2, "a b a b a b a b"),       # period-2: grams repeat, tokens split
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[0]["dup_ngram_ratio"] == 0.0
+    assert got[0]["top_token_frac"] == pytest.approx(1 / 6)
+    assert got[1]["dup_ngram_ratio"] == pytest.approx(3 / 4)  # 4 grams, 1 distinct
+    assert got[1]["top_token_frac"] == 1.0
+    assert got[2]["dup_ngram_ratio"] == pytest.approx(4 / 6)  # 6 grams, 2 distinct
+    assert got[2]["top_token_frac"] == 0.5
