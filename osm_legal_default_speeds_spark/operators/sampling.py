@@ -16,8 +16,8 @@ that):
   column, or sample after exact dedup): winners are selected BY KEY
   VALUE, so duplicate keys would return every row sharing a winning
   key and break the exactly-n contract. Implemented as the two-stage
-  partial top-k (shuffle carries partials only), not a global
-  per-group sort.
+  partial top-k (chunked per-partition sorts, no single hot reducer),
+  not a global per-group sort.
 - ``weighted_mixture``: per-group Bernoulli rates from a small
   weights table (the classic training-mixture reweighting, e.g.
   upsample curated sources / downsample crawl): broadcast the weights
@@ -63,8 +63,11 @@ def stratified_sample(
 ) -> DataFrame:
     """Exactly min(n, group size) rows per group: the n smallest salted
     unit hashes of ``key_col`` win. Two-stage partial top-k — stage 1
-    keeps n per (partition, group) so the exchange carries partials,
-    never a group's full membership."""
+    slices n per (partition, group), so no reducer ever sorts a
+    group's full membership in one task (the collect_list partial
+    buffers themselves are not truncated before the exchange; see
+    similarity.topk_per_query partial="arrow" for the variant that
+    is)."""
     u = _salted_unit(F.col(key_col), salt).alias("__u")
     base = df.withColumn("__u", u)
     entry = F.struct(F.col("__u"), F.col(key_col).alias("__k"))

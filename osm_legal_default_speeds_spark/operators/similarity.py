@@ -358,12 +358,49 @@ def train_codebook(
     )
 
 
+def _topk_partials_arrow(
+    scored: DataFrame, k: int, q: str, i: str, s: str
+) -> DataFrame:
+    """True map-side-truncating stage 1 of ``topk_per_query``: one
+    ``mapInPandas`` pass keeps a running per-query top-k (total order
+    -sim, id asc) across the partition's Arrow batches and emits at
+    most Q x k rows per partition — so nothing larger ever reaches the
+    exchange. Same accumulate-then-trim pattern as
+    ``sketches._kmv_partials_arrow``."""
+    proj = scored.select(q, i, s)
+    out_schema = proj.schema
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            pdf = pdf[[q, i, s]]
+            acc = (
+                pdf
+                if acc is None
+                else pd.concat([acc, pdf], ignore_index=True)
+            )
+            acc = (
+                acc.sort_values(
+                    [q, s, i],
+                    ascending=[True, False, True],
+                    kind="mergesort",
+                )
+                .groupby(q, sort=False, dropna=False)
+                .head(k)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    return proj.mapInPandas(kern, out_schema)
+
+
 def topk_per_query(
     scored: DataFrame,
     k: int,
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
     sim_col: str = "sim",
+    partial: str = "column",
 ) -> DataFrame:
     """Scalable per-query top-k over a (query_id, vec_id, sim) frame —
     the large-Q alternative to ``Window.partitionBy(query_id)``.
@@ -371,28 +408,54 @@ def topk_per_query(
     A global window puts EVERY candidate for a query on one task
     (full sort of that query's candidates); past broadcastable query
     sets the hot query becomes a straggler. Here stage 1 takes the
-    partial top-k per (input partition, query) — group = one
-    partition's candidates, so the agg is partition-local and the
-    shuffle carries at most (#partitions x Q x k) rows, not all
-    candidates; stage 2 merges the partials with a tiny final agg per
-    query. Both stages sort arrays of <= candidates-in-partition and
-    <= partitions*k elements respectively; no global per-query sort
-    ever happens.
+    partial top-k per (input partition, query) and stage 2 merges the
+    partials with a tiny final agg per query; no global per-query sort
+    ever happens and no reducer sees more than one chunk's candidates.
+
+    ``partial`` picks the stage-1 implementation (identical results,
+    pinned by pytest — same split as ``kmv_distinct``):
+
+    - ``"column"`` (default): groupBy(partition_id, query) +
+      collect_list + slice. All-native and plan-transparent, but
+      ``collect_list``'s partial aggregation cannot truncate, so the
+      stage-1 exchange still carries every candidate row (inside
+      per-(partition, query) buffers) — the win over the window is
+      skew-spreading and chunked sorts, NOT shuffle volume.
+    - ``"arrow"``: one ``mapInPandas`` pass emits at most Q x k rows
+      per input partition BEFORE the exchange — true map-side
+      truncation; the shuffle carries at most #partitions x Q x k
+      rows. The production mode when candidates >> Q x k.
 
     Output rows/order semantics are identical to the window form:
     rank by (-sim, id asc), deterministic. One divergence at the edges:
     a NULL sim (zero-norm vector) sorts LAST under the window's
-    DESC-nulls-last but FIRST in the struct array_sort; callers feeding
-    zero-norm vectors should filter them (the ANN entry points never
-    produce null sims on the unit-norm embeddings they document)."""
+    DESC-nulls-last but FIRST in the struct array_sort (and is dropped
+    by the arrow path's descending sort); callers feeding zero-norm
+    vectors should filter them (the ANN entry points never produce
+    null sims on the unit-norm embeddings they document)."""
     entry = F.struct(
         (-F.col(sim_col)).alias("negsim"), F.col(id_col).alias("vid")
     )
-    partial = (
-        scored.groupBy(F.spark_partition_id().alias("__pid"), query_id_col)
-        .agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("__tk"))
-        .select(query_id_col, F.explode("__tk").alias("__e"))
-    )
+    if partial == "arrow":
+        part = _topk_partials_arrow(
+            scored, k, query_id_col, id_col, sim_col
+        )
+        partial_df = part.select(query_id_col, entry.alias("__e"))
+    elif partial == "column":
+        partial_df = (
+            scored.groupBy(
+                F.spark_partition_id().alias("__pid"), query_id_col
+            )
+            .agg(
+                F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias(
+                    "__tk"
+                )
+            )
+            .select(query_id_col, F.explode("__tk").alias("__e"))
+        )
+    else:
+        raise ValueError(f"unknown partial mode {partial!r}")
+    partial = partial_df
     merged = (
         partial.groupBy(query_id_col)
         .agg(F.slice(F.array_sort(F.collect_list("__e")), 1, k).alias("__tk"))

@@ -1086,3 +1086,34 @@ def test_repetition_stats_signals(spark):
     assert got[1]["top_token_frac"] == 1.0
     assert got[2]["dup_ngram_ratio"] == pytest.approx(4 / 6)  # 6 grams, 2 distinct
     assert got[2]["top_token_frac"] == 0.5
+
+
+def test_topk_partial_arrow_matches_column(vectors):
+    """The map-side-truncating arrow stage 1 and the declarative column
+    stage 1 of topk_per_query must produce identical (query, id, sim,
+    rank) rows — including at duplicate-sim ties."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        brute_force_topk,
+        topk_per_query,
+    )
+
+    queries = vectors.limit(4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    # raw (query, vec, sim) candidate frame: rebuild the scored frame
+    # brute_force_topk ranks internally, with ALL candidates kept
+    scored = brute_force_topk(
+        vectors, queries, k=vectors.count()
+    ).select("query_id", "vec_id", "sim").repartition(8)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["sim"])
+            for r in df.collect()
+        )
+
+    col_rows = rows(topk_per_query(scored, 5, partial="column"))
+    arr_rows = rows(topk_per_query(scored, 5, partial="arrow"))
+    assert col_rows == arr_rows
+    assert len(col_rows) == 4 * 5
