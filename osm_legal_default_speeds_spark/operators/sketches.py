@@ -258,3 +258,109 @@ SELECT {group_col}, MAX(n)::BIGINT AS n,
   {qcols}
 FROM cum GROUP BY {group_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, "An improved data stream
+# summary: the count-min sketch and its applications", J. Algorithms
+# 2005). depth x width integer counters; point estimate = min over the
+# depth rows. All-integer, md5-prefix-hashed -> every estimate is
+# bit-identical in the DuckDB twin.
+#
+# Scale shape: the sketch build is explode(depth) -> groupBy(j, bucket)
+# COUNT(*); partial aggregation truncates each map task's contribution
+# to <= depth x width rows BEFORE the exchange, so the shuffle carries
+# O(tasks x depth x width) counters no matter how many input values —
+# the entire reason to sketch frequencies instead of groupBy(value).
+# Lookups broadcast the (<= depth x width)-row sketch.
+# ---------------------------------------------------------------------------
+
+
+def bucket_hash(col: Column, j: int, width: int) -> Column:
+    """Row j's bucket for a value: md5 15-hex prefix of ``"j:" + value``
+    as a positive long, mod width. DuckDB twin:
+    ``('0x' || substring(md5(j::VARCHAR || ':' || x), 1, 15))::BIGINT
+    % width``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+    return h % F.lit(int(width))
+
+
+def _jb_structs(col: str, depth: int, width: int) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                bucket_hash(F.col(col), j, width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build the sketch: one pass, each value lands in one bucket per
+    depth row. Returns (j int, bucket long, c long) — at most
+    depth x width rows (absent buckets are zero)."""
+    jb = F.explode(_jb_structs(col, depth, width)).alias("jb")
+    return (
+        df.select(jb)
+        .groupBy(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate the count of each probe value: min over the
+    depth rows, with absent buckets counting 0. The sketch side is
+    broadcast (it is <= depth x width rows by construction)."""
+    pj = probes.select(
+        F.col(col), F.explode(_jb_structs(col, depth, width)).alias("jb")
+    ).select(col, F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    joined = pj.join(F.broadcast(sketch), ["j", "bucket"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_count")
+    )
+
+
+def cms_sql(
+    table_expr: str,
+    col: str,
+    probe_expr: str,
+    depth: int = 4,
+    width: int = 256,
+) -> str:
+    """DuckDB twin of cms_sketch + cms_lookup over ``table_expr``'s
+    ``col`` values, probing the values produced by ``probe_expr`` (a
+    SELECT yielding one column named ``tok``). Bit-identical: integer
+    counters, identical hash."""
+    return f"""
+WITH vals AS (SELECT {col} AS v FROM {table_expr}),
+js AS (SELECT unnest(range(0, {depth})) AS j),
+sk AS (
+  SELECT j,
+         ('0x' || substring(md5(j::VARCHAR || ':' || v), 1, 15))::BIGINT
+           % {width} AS bucket,
+         COUNT(*)::BIGINT AS c
+  FROM vals CROSS JOIN js GROUP BY 1, 2
+),
+probes AS ({probe_expr}),
+pj AS (
+  SELECT p.tok, j.j,
+         ('0x' || substring(md5(j.j::VARCHAR || ':' || p.tok), 1, 15))::BIGINT
+           % {width} AS bucket
+  FROM probes p CROSS JOIN js j
+)
+SELECT pj.tok, MIN(COALESCE(sk.c, 0))::BIGINT AS cms_count
+FROM pj LEFT JOIN sk ON pj.j = sk.j AND pj.bucket = sk.bucket
+GROUP BY 1
+"""

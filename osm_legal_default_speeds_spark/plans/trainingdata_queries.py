@@ -34,6 +34,11 @@ Coverage added on top of plans.driver_queries:
   embedding_near_dup embedding-cosine near-dup pairs via LSH self-join
   curate_images      (rows-only) phash pairs -> star CC -> one rep per group
   events_rollup      6-hour bucketed per-type event aggregation
+  event_asof_join    most-recent-prior purchase per click/view (union+
+                     window as-of join; oracle = DuckDB ASOF LEFT JOIN)
+  window_attribution clicks in the 1-day window before each purchase
+                     (2-probe band join; oracle = raw inequality join)
+  cms_counts         count-min sketch token-frequency estimates vs exact
   image_verify       (rows-only) codec decode + PSNR/caption invariant
   audio_features     (rows-only) PCM decode + RMS/ZCR/Goertzel features
   video_frame_sample (rows-only) every-k frame decimation -> image rows
@@ -60,7 +65,14 @@ from osm_legal_default_speeds_spark.operators.dedup import (
     ngram_jaccard,
     simhash_near_dup_pairs,
 )
+from osm_legal_default_speeds_spark.operators.joins import (
+    asof_join,
+    windowed_range_join,
+)
 from osm_legal_default_speeds_spark.operators.sketches import (
+    cms_lookup,
+    cms_sketch,
+    cms_sql as _cms_sql,
     kmv_sql as _kmv_sql,
 )
 from osm_legal_default_speeds_spark.operators.similarity import (
@@ -1370,6 +1382,196 @@ FROM dr JOIN frac USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# Temporal joins over the events table (operators.joins) + count-min
+# sketch (operators.sketches): each oracled by a genuinely different
+# formulation (DuckDB's native ASOF JOIN / raw inequality join) of the
+# same semantics.
+# --------------------------------------------------------------------------
+
+ATTR_WINDOW_US = 86_400_000_000  # 1-day attribution lookback
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        # parquet ts is TIMESTAMP_NTZ; cast to session-tz timestamp
+        # first (same tz convention events_rollup's unix_timestamp
+        # already relies on — the host/driver runs UTC)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+
+def q_event_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-recent-prior purchase attached to every click/view via the
+    single-shuffle union+window as-of join. Oracle: DuckDB's built-in
+    ``ASOF LEFT JOIN`` — a completely independent implementation of the
+    same semantics."""
+    base = _events_us(spark, sf_dir)
+    left = base.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    right = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_us",
+        F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    out = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload=["purchase_value"],
+        tie_break="purchase_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.col("asof_ts_us").alias("last_purchase_ts_us"),
+        F.col("asof_purchase_value").alias("last_purchase_value"),
+    )
+
+
+SQL_EVENT_ASOF_JOIN = """
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+  FROM events
+),
+r AS (
+  -- same (key, ts) dedupe as asof_join's tie_break: keep max event_id
+  SELECT user_id, ts_us, max_by(value, event_id) AS purchase_value
+  FROM base WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+l AS (
+  SELECT event_id, user_id, ts_us, value FROM base
+  WHERE event_type IN ('click', 'view')
+)
+SELECT l.event_id, l.user_id, l.ts_us, l.value,
+       r.ts_us AS last_purchase_ts_us,
+       r.purchase_value AS last_purchase_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+"""
+
+
+def q_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: clicks of the same user in the preceding 1-day
+    window, via the 2-probe band join (never an inequality-join cross
+    product). Click values are summed as integer micro-units so the
+    aggregate is order-independent (source_stats convention). Oracle:
+    DuckDB's raw inequality join + GROUP BY."""
+    base = _events_us(spark, sf_dir)
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.col("value").alias("purchase_value")
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("click_micro"),
+    )
+    return windowed_range_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="click_ts_us",
+        window_us=ATTR_WINDOW_US,
+        aggs=[
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum("click_micro").alias("click_value_micro"),
+            F.max("click_ts_us").alias("last_click_ts_us"),
+        ],
+        left_keep=["event_id", "user_id", "ts_us", "purchase_value"],
+    )
+
+
+SQL_WINDOW_ATTRIBUTION = f"""
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+  FROM events
+),
+p AS (
+  SELECT event_id, user_id, ts_us, value AS purchase_value FROM base
+  WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts_us AS click_ts_us,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS click_micro
+  FROM base WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts_us, p.purchase_value,
+       COUNT(*)::BIGINT AS n_clicks,
+       SUM(c.click_micro)::BIGINT AS click_value_micro,
+       MAX(c.click_ts_us) AS last_click_ts_us
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.click_ts_us < p.ts_us
+ AND c.click_ts_us >= p.ts_us - {ATTR_WINDOW_US}
+GROUP BY 1, 2, 3, 4
+"""
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over every document token; point estimates for
+    the tokens of doc_id < 3 next to their exact counts (the estimate
+    is >= exact by construction — both integer-exact across engines)."""
+    from osm_legal_default_speeds_spark.operators.textops import tokens
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    sketch = cms_sketch(toks, "tok", CMS_DEPTH, CMS_WIDTH)
+    probes = toks.filter(F.col("doc_id") < 3).select("tok").distinct()
+    est = cms_lookup(sketch, probes, "tok", CMS_DEPTH, CMS_WIDTH)
+    exact = (
+        toks.join(F.broadcast(probes), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "tok").select("tok", "cms_count", "exact_count")
+
+
+_SQL_CMS_EST = _cms_sql(
+    "(SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)",
+    "tok",
+    "SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS tok "
+    "FROM documents WHERE doc_id < 3",
+    CMS_DEPTH,
+    CMS_WIDTH,
+)
+
+SQL_CMS_COUNTS = f"""
+WITH est AS ({_SQL_CMS_EST}),
+toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+ex AS (
+  SELECT tok, COUNT(*)::BIGINT AS exact_count FROM toks
+  WHERE tok IN (
+    SELECT DISTINCT unnest(string_split(lower(text), ' '))
+    FROM documents WHERE doc_id < 3
+  )
+  GROUP BY 1
+)
+SELECT est.tok, est.cms_count, ex.exact_count
+FROM est JOIN ex ON est.tok = ex.tok
+"""
+
+
 TRAININGDATA_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1399,6 +1601,9 @@ TRAININGDATA_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "events_rollup": q_events_rollup,
     "events_rollup_streaming": q_events_rollup_streaming,
+    "event_asof_join": q_event_asof_join,
+    "window_attribution": q_window_attribution,
+    "cms_counts": q_cms_counts,
     "image_meta": q_image_meta,
     "image_verify": q_image_verify,
     "audio_features": q_audio_features,
@@ -1460,6 +1665,9 @@ TRAININGDATA_ORACLES = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_rollup_streaming": SQL_EVENTS_ROLLUP,
+    "event_asof_join": SQL_EVENT_ASOF_JOIN,
+    "window_attribution": SQL_WINDOW_ATTRIBUTION,
+    "cms_counts": SQL_CMS_COUNTS,
     "image_meta": SQL_IMAGE_META,
     # image_verify/image_features/image_resize/image_phash_near_dup
     # intentionally absent: codec decode + PSNR is not SQL-expressible;

@@ -1,0 +1,139 @@
+"""Edge-case pins for the temporal join operators (operators.joins)
+and the count-min sketch (operators.sketches): semantics the sf0.01
+contract fixtures cannot force (equal-timestamp ties, empty windows,
+bucket boundaries, hash collisions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_legal_default_speeds_spark.operators.joins import (
+    asof_join,
+    windowed_range_join,
+)
+from osm_legal_default_speeds_spark.operators.sketches import (
+    cms_lookup,
+    cms_sketch,
+)
+
+
+def _asof(spark, left_rows, right_rows):
+    left = spark.createDataFrame(left_rows, "lid long, k long, ts_us long")
+    right = spark.createDataFrame(
+        right_rows, "k long, ts_us long, rid long, v string"
+    )
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload=["v"],
+        tie_break="rid",
+    )
+    return {
+        r["lid"]: (r["asof_ts_us"], r["asof_v"])
+        for r in out.collect()
+    }
+
+
+def test_asof_basic_and_no_prior(spark):
+    got = _asof(
+        spark,
+        [(1, 10, 100), (2, 10, 50), (3, 10, 5), (4, 99, 100)],
+        [(10, 20, 1, "a"), (10, 70, 2, "b")],
+    )
+    assert got[1] == (70, "b")  # latest prior
+    assert got[2] == (20, "a")  # earlier one
+    assert got[3] == (None, None)  # no prior right row -> LEFT nulls
+    assert got[4] == (None, None)  # key with no right rows at all
+
+
+def test_asof_equal_ts_matches_and_tie_break(spark):
+    # left at the exact right timestamp matches (>=, DuckDB ASOF);
+    # two right rows at the same (k, ts) dedupe to the max tie_break
+    got = _asof(
+        spark,
+        [(1, 10, 20)],
+        [(10, 20, 1, "lo"), (10, 20, 9, "hi")],
+    )
+    assert got[1] == (20, "hi")
+
+
+def test_asof_matches_per_key_not_globally(spark):
+    got = _asof(
+        spark,
+        [(1, 1, 100), (2, 2, 100)],
+        [(1, 50, 1, "k1"), (2, 60, 2, "k2")],
+    )
+    assert got[1] == (50, "k1")
+    assert got[2] == (60, "k2")
+
+
+def _range_counts(spark, left_rows, right_rows, window_us):
+    left = spark.createDataFrame(left_rows, "lid long, k long, ts_us long")
+    right = spark.createDataFrame(right_rows, "k long, r_ts long")
+    out = windowed_range_join(
+        left,
+        right,
+        on="k",
+        left_ts="ts_us",
+        right_ts="r_ts",
+        window_us=window_us,
+        aggs=[F.count(F.lit(1)).alias("n")],
+        left_keep=["lid"],
+    )
+    return {r["lid"]: r["n"] for r in out.collect()}
+
+
+def test_range_join_window_boundaries(spark):
+    # window [ts - 100, ts): ts-100 included, ts excluded
+    got = _range_counts(
+        spark,
+        [(1, 7, 1000)],
+        [(7, 900), (7, 999), (7, 1000), (7, 899)],
+        100,
+    )
+    assert got == {1: 2}  # 900 and 999; 1000 (== ts) and 899 excluded
+
+
+def test_range_join_crosses_bucket_boundary(spark):
+    # left at the very start of a bucket: all its window lives in the
+    # PREVIOUS bucket — the 2-probe explode must still find it
+    got = _range_counts(spark, [(1, 7, 200)], [(7, 150), (7, 101)], 100)
+    assert got == {1: 2}
+
+
+def test_range_join_inner_semantics(spark):
+    # left rows with an empty window are absent (documented INNER)
+    got = _range_counts(spark, [(1, 7, 1000), (2, 7, 5000)], [(7, 950)], 100)
+    assert got == {1: 1}
+
+
+def test_cms_overestimates_and_is_exact_without_collisions(spark):
+    vals = spark.createDataFrame(
+        [(w,) for w in ["a"] * 5 + ["b"] * 3 + ["c"] * 2], "tok string"
+    )
+    probes = spark.createDataFrame([("a",), ("b",), ("c",)], "tok string")
+
+    wide = cms_sketch(vals, "tok", depth=4, width=4096)
+    got = {
+        r["tok"]: r["cms_count"]
+        for r in cms_lookup(wide, probes, "tok", 4, 4096).collect()
+    }
+    assert got == {"a": 5, "b": 3, "c": 2}  # no collisions at this width
+
+    # width 1: every value shares the single bucket -> estimate = total
+    tiny = cms_sketch(vals, "tok", depth=2, width=1)
+    got1 = {
+        r["tok"]: r["cms_count"]
+        for r in cms_lookup(tiny, probes, "tok", 2, 1).collect()
+    }
+    assert got1 == {"a": 10, "b": 10, "c": 10}
+
+
+def test_cms_absent_value_estimates_zero_or_collision(spark):
+    vals = spark.createDataFrame([("x",), ("y",)], "tok string")
+    probes = spark.createDataFrame([("never-seen",)], "tok string")
+    sk = cms_sketch(vals, "tok", depth=4, width=4096)
+    (row,) = cms_lookup(sk, probes, "tok", 4, 4096).collect()
+    assert row["cms_count"] == 0
