@@ -39,6 +39,9 @@ Coverage added on top of plans.driver_queries:
   window_attribution clicks in the 1-day window before each purchase
                      (2-probe band join; oracle = raw inequality join)
   cms_counts         count-min sketch token-frequency estimates vs exact
+  image_text_quality caption-side text features on the image table
+                     (oracled A+B composition)
+  image_patches      (rows-only) ViT-style patch lattice + per-patch phash
   image_verify       (rows-only) codec decode + PSNR/caption invariant
   audio_features     (rows-only) PCM decode + RMS/ZCR/Goertzel features
   video_frame_sample (rows-only) every-k frame decimation -> image rows
@@ -1056,6 +1059,57 @@ FROM orders WHERE o_orderkey < 400
 SQL_IMAGE_META = _sql_image_meta()
 
 
+def q_image_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal A+B composition, fully ORACLED: the real payload
+    generator (mapInPandas, codecs and all) produces image+caption
+    rows; the text operators then score the CAPTION column exactly as
+    they score documents, with image-side dims riding along. DuckDB
+    regenerates captions/dims as pure id functions and recomputes the
+    identical features — caption-equality and curation logic verified
+    end to end without touching pixels."""
+    from osm_legal_default_speeds_spark.operators.textops import (
+        with_text_features,
+    )
+    from osm_legal_default_speeds_spark.payload.images import images_from_ids
+
+    o = _read(spark, sf_dir, "orders")
+    ids = o.where(F.col("o_orderkey") < 400).select(
+        F.col("o_orderkey").alias("id")
+    )
+    feats = with_text_features(images_from_ids(ids), "caption", lang="en")
+    return feats.select(
+        "image_id",
+        "w",
+        "h",
+        "n_tokens",
+        "distinct_ratio",
+        "lang_pred",
+        "quality",
+        "fingerprint",
+    )
+
+
+def _sql_image_text_quality() -> str:
+    from osm_legal_default_speeds_spark.payload.images import CAPTION_SQL
+
+    cap = CAPTION_SQL.format(id="o_orderkey")
+    src = (
+        f"(SELECT o_orderkey AS doc_id, {cap} AS text "
+        "FROM orders WHERE o_orderkey < 400)"
+    )
+    return f"""
+WITH feats AS ({_sql_text_quality(src)})
+SELECT 'img-' || doc_id AS image_id,
+       (24 + (doc_id % 5) * 8)::INT AS w,
+       (16 + (doc_id % 7) * 8)::INT AS h,
+       n_tokens, distinct_ratio, lang_pred, quality, fingerprint
+FROM feats
+"""
+
+
+SQL_IMAGE_TEXT_QUALITY = _sql_image_text_quality()
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (real PCM codec + Goertzel DSP): decode + feature
     extraction over the synthesized audio payload table."""
@@ -1077,6 +1131,21 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return sample_frames(synth_video_table(spark, 96, parts=8), every=2).select(
         "video_id", "frame_no", "w", "h", "fmt", "caption"
+    )
+
+
+def q_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (codec round-trip): ViT-style 2x2 patch lattice per
+    image — decode, crop, re-encode, per-patch phash. Metadata
+    projection only; patch bytes stay inside the narrow pass."""
+    from osm_legal_default_speeds_spark.payload.images import (
+        sample_patches,
+        synth_image_table,
+    )
+
+    images = synth_image_table(spark, 256, parts=8)
+    return sample_patches(images, grid=2, pw=8, ph=8).select(
+        "image_id", "patch_id", "x", "y", "pw", "ph", "fmt", "phash"
     )
 
 
@@ -1605,6 +1674,8 @@ TRAININGDATA_QUERIES = {
     "window_attribution": q_window_attribution,
     "cms_counts": q_cms_counts,
     "image_meta": q_image_meta,
+    "image_text_quality": q_image_text_quality,
+    "image_patches": q_image_patches,
     "image_verify": q_image_verify,
     "audio_features": q_audio_features,
     "video_frame_sample": q_video_frame_sample,
@@ -1669,6 +1740,7 @@ TRAININGDATA_ORACLES = {
     "window_attribution": SQL_WINDOW_ATTRIBUTION,
     "cms_counts": SQL_CMS_COUNTS,
     "image_meta": SQL_IMAGE_META,
+    "image_text_quality": SQL_IMAGE_TEXT_QUALITY,
     # image_verify/image_features/image_resize/image_phash_near_dup
     # intentionally absent: codec decode + PSNR is not SQL-expressible;
     # the driver records rows-only checks for them.
