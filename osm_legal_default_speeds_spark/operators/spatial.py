@@ -84,6 +84,49 @@ def grid_parent(cell: Column, res: int) -> Column:
     return (px * F.lit(grid_ny(res - 1)) + py).cast("long")
 
 
+# Z-order (Morton) clustering key — the write-layout companion to the
+# grid index: interleaving the cell x/y bits makes lexicographically
+# adjacent keys spatially adjacent, so range-partitioning parquet/
+# Iceberg writes by the key gives every file a tight lon/lat bounding
+# box and min/max column stats prune spatial predicates at the scan
+# (the public technique behind Delta/Iceberg Z-ORDER clustering). Pure
+# integer bit-math -> bit-identical in the DuckDB twin.
+
+_Z_SPREAD = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _zspread(v: Column) -> Column:
+    """Spread the low 32 bits of v so bit i lands at bit 2i (classic
+    magic-mask dilation; every mask is positive, so signed-long
+    semantics agree across engines)."""
+    for shift, mask in _Z_SPREAD:
+        v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+    return v
+
+
+def zorder_key(x: Column, y: Column) -> Column:
+    """Morton interleave of two non-negative ints (< 2^31): bit i of x
+    lands at bit 2i, of y at 2i+1."""
+    return _zspread(x.cast("long")).bitwiseOR(
+        F.shiftleft(_zspread(y.cast("long")), 1)
+    )
+
+
+def zorder_cell(lon: Column, lat: Column, res: int) -> Column:
+    """Z-order key of the grid cell at ``res`` (same x/y clamping as
+    ``grid_cell``; a DIFFERENT id space — interleaved, not
+    ``x * 2^res + y``). ``key >> 2`` is the enclosing quadrant one
+    level coarser, so prefix ranges are spatial windows."""
+    x, y = grid_cell_xy(lon, lat, res)
+    return zorder_key(x, y)
+
+
 def grid_cell_ea(lon: Column, lat: Column, res: int) -> Column:
     """EQUAL-AREA cell id: longitude uniform x ``sin(lat)`` uniform
     (Lambert cylindrical equal-area bands). Every cell covers the same

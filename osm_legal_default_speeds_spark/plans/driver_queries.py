@@ -718,6 +718,55 @@ FROM roads
 """
 
 
+def q_zorder_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) write-clustering key per road at grid res 7,
+    plus the enclosing quadrant (``key >> 2``) — the layout key that
+    makes file-level min/max stats prune spatial scans. Oracle: the
+    identical magic-mask bit dilation in DuckDB integer ops."""
+    from osm_legal_default_speeds_spark.operators.spatial import zorder_cell
+
+    roads = _roads_df(spark, sf_dir)
+    z7 = zorder_cell(F.col("lon"), F.col("lat"), 7)
+    return roads.select(
+        "road_id",
+        z7.alias("z7"),
+        F.shiftright(z7, 2).alias("quad6"),
+    )
+
+
+def _sql_zorder_encode() -> str:
+    from osm_legal_default_speeds_spark.operators.spatial import _Z_SPREAD
+
+    # one CTE per dilation stage, both coordinates in lockstep
+    stages = []
+    prev = "xy"
+    for i, (shift, mask) in enumerate(_Z_SPREAD):
+        name = f"s{i}"
+        stages.append(
+            f"{name} AS (SELECT road_id,\n"
+            f"  ((x | (x << {shift})) & {mask}) AS x,\n"
+            f"  ((y | (y << {shift})) & {mask}) AS y\n"
+            f"  FROM {prev})"
+        )
+        prev = name
+    chain = ",\n".join(stages)
+    return f"""
+WITH roads AS ({_ROADS_SQL}),
+xy AS (
+  SELECT road_id,
+    LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 256), 0), 255)::BIGINT AS x,
+    LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * 128), 0), 127)::BIGINT AS y
+  FROM roads
+),
+{chain}
+SELECT road_id, (x | (y << 1)) AS z7, ((x | (y << 1)) >> 2) AS quad6
+FROM {prev}
+"""
+
+
+SQL_ZORDER_ENCODE = _sql_zorder_encode()
+
+
 def q_grid_encode_ea(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-area (Lambert cylindrical band) id space end-to-end:
     encode at res 7, roll up through the shared parent layout, and
@@ -1189,6 +1238,7 @@ QUERIES = {
     "result_assembly_native": q_result_assembly_native,
     "grid_encode": q_grid_encode,
     "grid_encode_ea": q_grid_encode_ea,
+    "zorder_encode": q_zorder_encode,
     "hex_encode": q_hex_encode,
     "rasterize_polygons": q_rasterize,
     "vectorize_cells": q_vectorize,
@@ -1218,6 +1268,7 @@ ORACLES = {
     "result_assembly_native": SQL_RESULT_ASSEMBLY,
     "grid_encode": SQL_GRID_ENCODE,
     "grid_encode_ea": SQL_GRID_ENCODE_EA,
+    "zorder_encode": SQL_ZORDER_ENCODE,
     "hex_encode": SQL_HEX_ENCODE,
     "rasterize_polygons": SQL_RASTERIZE,
     "vectorize_cells": SQL_VECTORIZE,

@@ -137,3 +137,44 @@ def test_cms_absent_value_estimates_zero_or_collision(spark):
     sk = cms_sketch(vals, "tok", depth=4, width=4096)
     (row,) = cms_lookup(sk, probes, "tok", 4, 4096).collect()
     assert row["cms_count"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Z-order key (operators.spatial.zorder_key / zorder_cell)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_known_vectors(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import zorder_key
+
+    df = spark.createDataFrame(
+        [(5, 3), (0, 0), (1, 0), (0, 1), (2**31 - 1, 0)], "x long, y long"
+    ).select(zorder_key(F.col("x"), F.col("y")).alias("z"))
+    got = [r["z"] for r in df.collect()]
+    # x=0b101,y=0b011 -> z=0b011011 = 27; x bits at even positions
+    assert got[0] == 27
+    assert got[1] == 0
+    assert got[2] == 1  # x bit 0 -> z bit 0
+    assert got[3] == 2  # y bit 0 -> z bit 1
+    # max 31-bit x dilates without sign corruption
+    assert got[4] == sum(1 << (2 * i) for i in range(31))
+
+
+def test_zorder_quadrant_is_spatial(spark):
+    # all 4 cells of one res-1 quadrant (2x2 block) share key >> 2
+    from osm_legal_default_speeds_spark.operators.spatial import zorder_key
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+    )
+    by_quad = {}
+    for r in df.collect():
+        by_quad.setdefault(r["z"] >> 2, []).append((r["x"], r["y"]))
+    assert len(by_quad) == 16  # 8x8 cells -> 16 quadrants of 4
+    for cells in by_quad.values():
+        xs = [c[0] for c in cells]
+        ys = [c[1] for c in cells]
+        assert len(cells) == 4
+        assert max(xs) - min(xs) == 1 and max(ys) - min(ys) == 1
+        assert min(xs) % 2 == 0 and min(ys) % 2 == 0
