@@ -34,6 +34,8 @@ Coverage added on top of plans.driver_queries:
   embedding_near_dup embedding-cosine near-dup pairs via LSH self-join
   curate_images      (rows-only) phash pairs -> star CC -> one rep per group
   events_rollup      6-hour bucketed per-type event aggregation
+  events_dedup_streaming  watermarked streaming ingestion dedup
+                     (planted duplicates collapse to the base table)
   event_asof_join    most-recent-prior purchase per click/view (union+
                      window as-of join; oracle = DuckDB ASOF LEFT JOIN)
   window_attribution clicks in the 1-day window before each purchase
@@ -1018,6 +1020,40 @@ def q_events_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup: stage the events table WITH planted
+    exact-duplicate rows (every 10th event repeated, scattered across
+    files so duplicates land in different micro-batches), drain it
+    through watermarked ``dropDuplicatesWithinWatermark``, and expect
+    exactly the original table back. Oracle: the un-augmented events
+    table — the duplicates collapsing away IS the check."""
+    import tempfile
+
+    from osm_legal_default_speeds_spark.streaming.event_rollup import (
+        streaming_dedup,
+    )
+
+    d = tempfile.mkdtemp(prefix="evdup_src_")
+    ck = tempfile.mkdtemp(prefix="evdup_ck_")
+    ev = _read(spark, sf_dir, "events")
+    aug = ev.unionAll(ev.where(F.col("event_id") % 10 == 0))
+    aug.repartition(8).write.mode("overwrite").parquet(d)
+    out = streaming_dedup(spark, d, ck, sink_table="q_stream_dedup")
+    return out.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+SQL_EVENTS_DEDUP_STREAMING = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # image_verify — rows-only (codec decode is not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -1670,6 +1706,7 @@ TRAININGDATA_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "events_rollup": q_events_rollup,
     "events_rollup_streaming": q_events_rollup_streaming,
+    "events_dedup_streaming": q_events_dedup_streaming,
     "event_asof_join": q_event_asof_join,
     "window_attribution": q_window_attribution,
     "cms_counts": q_cms_counts,
@@ -1736,6 +1773,7 @@ TRAININGDATA_ORACLES = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_rollup_streaming": SQL_EVENTS_ROLLUP,
+    "events_dedup_streaming": SQL_EVENTS_DEDUP_STREAMING,
     "event_asof_join": SQL_EVENT_ASOF_JOIN,
     "window_attribution": SQL_WINDOW_ATTRIBUTION,
     "cms_counts": SQL_CMS_COUNTS,

@@ -111,6 +111,53 @@ def streaming_event_rollup(
     return spark.table(sink_table)
 
 
+def streaming_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    sink_table: str = "stream_dedup",
+    keys: list[str] | None = None,
+    watermark: str = "35 days",
+    max_files_per_trigger: int = 2,
+) -> DataFrame:
+    """Streaming ingestion deduplication — the streaming twin of
+    ``operators.dedup.exact_dedup``: ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark(keys)`` emits the FIRST row seen
+    per key (append mode, immediately) and keeps per-key state only
+    until the watermark passes the row's event time, so state is
+    O(keys within the watermark horizon), not O(stream).
+
+    At 100 TB/day ingestion this is the dedup that works: an exact
+    batch groupBy over the full history is unboundedly expensive,
+    while the watermarked state store bounds both memory and the
+    late-duplicate window explicitly (a duplicate arriving later than
+    the watermark delay is NOT caught — that bound is the documented
+    contract, tune ``watermark`` to the upstream's redelivery horizon).
+
+    Drains ``src_dir`` with Trigger.AvailableNow into a memory sink
+    (test-only, as ``streaming_event_rollup`` documents) and returns
+    the sink DataFrame."""
+    keys = keys or ["event_id"]
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+    )
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def streaming_rollup_to_parquet(
     spark: SparkSession,
     src_dir: str,

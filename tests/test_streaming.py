@@ -198,3 +198,60 @@ def test_file_sink_kill_and_resume_exactly_once(spark, tmp_path, events_dir):
     # no reprocessing: both phases together read each input row once
     total_rows = spark.read.parquet(EVENTS).count()
     assert rows_phase1 + rows_phase2 == total_rows
+
+
+def test_streaming_dedup_across_micro_batches(spark, tmp_path):
+    """Duplicates planted in DIFFERENT files (drained one file per
+    trigger, so they arrive in different micro-batches) must still
+    collapse: the state store carries first-seen keys across batches."""
+    from osm_legal_default_speeds_spark.streaming.event_rollup import (
+        streaming_dedup,
+    )
+
+    src = str(tmp_path / "dupsrc")
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}"),
+        (2, "2024-01-01 01:00:00", 11, "view", 2.0, "{}"),
+    ]
+    dup = [(1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}")]
+    schema = (
+        "event_id bigint, ts_s string, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+
+    def write_one(data, sub):
+        (
+            spark.createDataFrame(data, schema)
+            .select(
+                "event_id",
+                F.col("ts_s").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/{sub}")
+        )
+
+    # two separate single-file directories merged into one source dir
+    write_one(rows, "a")
+    write_one(dup, "b")
+    import glob
+    import shutil
+
+    merged = str(tmp_path / "merged")
+    os.makedirs(merged)
+    for i, f in enumerate(sorted(glob.glob(f"{src}/*/part-*.parquet"))):
+        shutil.copy(f, f"{merged}/f{i}.parquet")
+
+    out = streaming_dedup(
+        spark,
+        merged,
+        str(tmp_path / "dck"),
+        sink_table="t_dedup_mb",
+        max_files_per_trigger=1,
+    )
+    got = sorted(r["event_id"] for r in out.collect())
+    assert got == [1, 2]
