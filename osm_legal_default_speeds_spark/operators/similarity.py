@@ -665,3 +665,173 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= min_cosine)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze & Schmid, "Product quantization
+# for nearest neighbor search", TPAMI 2011) — the memory-compression
+# scale path: a d-dim float vector (d x 8 bytes) becomes m single-byte
+# codes, so a 100 TB float corpus serves ANN from ~1.5 TB of codes.
+#
+# Division of labor at scale:
+# - training runs on a DETERMINISTIC pushed-down SAMPLE collected to
+#   the driver (the standard practice — FAISS trains PQ on a sample);
+#   the codebooks are m x ksub x (d/m) doubles, trivially broadcast;
+# - ENCODING is the distributed pass: one narrow mapInPandas matmul
+#   per subspace, no shuffle, output is the tiny codes column;
+# - SERVING (adc) scans codes only: per query a (m x ksub) lookup
+#   table is built once driver-side, each Arrow batch scores rows by
+#   table-gather + sum (never touching floats of the corpus), with
+#   per-batch partial top-k so the final window sees
+#   partitions x Q x k candidate rows, exactly like
+#   brute_force_topk_np.
+# ---------------------------------------------------------------------------
+
+
+def train_pq(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iters: int = 10,
+    sample_ids: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means codebooks, shape (m, ksub, d/m).
+    Deterministic: the sample is the pushed-down ``id < sample_ids``
+    filter ordered by id, init is the first ksub sample subvectors,
+    ties in assignment break to the lowest centroid index (argmin)."""
+    rows = vectors.where(F.col(id_col) < sample_ids).select(
+        id_col, vec_col
+    ).collect()
+    rows.sort(key=lambda r: r[id_col])
+    X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if n < ksub:
+        raise ValueError(f"sample of {n} rows cannot seed ksub={ksub}")
+    dsub = d // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[:ksub].copy()
+        for _ in range(n_iters):
+            d2 = (
+                (Xs * Xs).sum(1)[:, None]
+                - 2.0 * (Xs @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    C[c] = Xs[mask].mean(0)
+                # empty cells keep their previous centroid (same
+                # convention as train_codebook)
+        books[s] = C
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed PQ encoding: (id, codes array<int> of length m).
+    One narrow mapInPandas pass; per subspace the batch scores all
+    ksub centroids with a single matmul and argmins (the row's own
+    squared norm is constant per row, so it is dropped)."""
+    m, ksub, dsub = codebooks.shape
+    books = codebooks.copy()
+    cnorm = (books * books).sum(axis=2)  # (m, ksub)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                Xs = mat[:, s * dsub : (s + 1) * dsub]
+                d2 = cnorm[s][None, :] - 2.0 * (Xs @ books[s].T)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        enc, f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Reconstruct (n, d) vectors from (n, m) codes — test helper for
+    the reconstruction-error invariant."""
+    m, ksub, dsub = codebooks.shape
+    return np.concatenate(
+        [codebooks[s][codes[:, s]] for s in range(m)], axis=1
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: list[tuple],
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, the m x ksub
+    inner-product table q_s . c and the shared reconstructed-norm
+    table |c|^2 are precomputed; each batch's score is a table gather
+    + sum, normalized by the reconstructed vector norm (approximate
+    cosine). Output (query_id, id, score, rank); per-batch partial
+    top-k keeps the final window tiny."""
+    m, ksub, dsub = codebooks.shape
+    qids = [q[0] for q in queries]
+    qm = np.asarray([q[1] for q in queries], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    # qtab[qi, s, c] = q_s . c ; ntab[s, c] = |c|^2
+    qtab = np.einsum(
+        "qsd,scd->qsc", qn.reshape(len(qids), m, dsub), codebooks
+    )
+    ntab = (codebooks * codebooks).sum(axis=2)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            sims = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            rn2 = np.zeros(len(ids), dtype=np.float64)
+            for s in range(m):
+                cs = codes[:, s]
+                sims += qtab[:, s, :][:, cs]
+                rn2 += ntab[s, cs]
+            rn = np.sqrt(rn2)
+            rn[rn == 0.0] = 1.0
+            sims /= rn[None, :]
+            n_keep = min(k, len(ids))
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(len(qids)):
+                col = sims[qi]
+                cand = np.argpartition(-col, n_keep - 1)[:n_keep]
+                for i in cand:
+                    out_q.append(qids[qi])
+                    out_id.append(ids[i])
+                    out_sim.append(col[i])
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_id, "score": out_sim}
+            )
+
+    partial = codes_df.select(id_col, "codes").mapInPandas(
+        score, f"query_id long, {id_col} long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

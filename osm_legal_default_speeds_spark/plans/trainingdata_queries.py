@@ -31,6 +31,8 @@ Coverage added on top of plans.driver_queries:
   ann_multiprobe     Hamming-radius-1 multi-probe LSH (recall control)
   ann_ivf_topk       IVF coarse-quantizer cells + nprobe probing
   ann_ivf_topk_np    (rows-only) production IVF: matmul assign + partial top-k
+  ann_pq_topk        (rows-only) product-quantization ANN: sample-trained
+                     codebooks, distributed encode, ADC top-k over codes
   embedding_near_dup embedding-cosine near-dup pairs via LSH self-join
   curate_images      (rows-only) phash pairs -> star CC -> one rep per group
   events_rollup      6-hour bucketed per-type event aggregation
@@ -896,6 +898,29 @@ def q_ann_ivf_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN serving path (rows-only: float matmul
+    + table gather — not SQL-expressible): train per-subspace
+    codebooks on the deterministic sample, ENCODE the corpus to m
+    single-byte codes distributed, then asymmetric-distance top-k over
+    the codes only. Recall vs the exact scan is pinned by pytest
+    (test_pq_recall_vs_exact)."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq,
+    )
+
+    vecs = _read(spark, sf_dir, "embeddings")
+    books = train_pq(vecs, m=8, ksub=16, n_iters=10)
+    codes = pq_encode(vecs, books)
+    queries = [
+        (r["query_id"], list(r["query_vec"]))
+        for r in _queries_df(spark, sf_dir).collect()
+    ]
+    return pq_adc_topk(codes, queries, books, k=ANN_K)
+
+
 SQL_ANN_IVF_TOPK = f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings
@@ -1703,6 +1728,7 @@ TRAININGDATA_QUERIES = {
     "ann_multiprobe": q_ann_multiprobe,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_topk_np": q_ann_ivf_topk_np,
+    "ann_pq_topk": q_ann_pq_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "events_rollup": q_events_rollup,
     "events_rollup_streaming": q_events_rollup_streaming,
