@@ -22,7 +22,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from osm_legal_default_speeds_spark.operators.textops import tokens
 
@@ -604,3 +604,87 @@ def decontaminate(
         .select(F.col("__d").alias(id_col))
     )
     return docs.join(F.broadcast(hits), id_col, "left_anti")
+
+
+def cross_doc_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-SUBSTRING detection — the span-level
+    dedup signal of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022): whole-doc dedup misses a
+    boilerplate paragraph pasted into thousands of otherwise-unique
+    pages; this finds it. Every word ``n``-gram occurring in >= 2
+    DISTINCT docs marks a span ``[pos, min(pos + n, len))``; per doc,
+    overlapping/adjacent spans merge into islands (the classic
+    running-max island scan) and the output is per-doc island coverage:
+
+      (id, n_tokens, dup_span_tokens, n_spans, dup_span_frac)
+
+    Scale shape: grams are hashed to 16-byte md5 BEFORE the shuffle
+    (the exchange carries (id, len, pos, 16B), never gram text); the
+    shared-gram filter is a groupBy(gh) with map-side partial
+    aggregation; the hits join is a plain equi-join on gh (skew =
+    boilerplate grams — exactly what AQE skew splitting handles); the
+    island scan is one window per doc over HIT rows only (clean docs
+    never reach it). Within-doc-only repeats are excluded by
+    count_distinct(id) >= 2 (that signal is repetition_stats')."""
+    t = tokens(F.col(text_col))
+    g = docs.select(
+        id_col,
+        F.size(t).alias("__len"),
+        F.posexplode(shingles(F.col(text_col), n)).alias("pos", "gram"),
+    ).select(
+        id_col, "__len", "pos", F.md5(F.col("gram")).alias("gh")
+    )
+    shared = (
+        g.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = g.join(shared, "gh")
+
+    span_end = F.least(F.col("pos") + F.lit(n), F.col("__len"))
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = hits.withColumn(
+        "__new",
+        (
+            F.col("pos")
+            > F.coalesce(F.max(span_end).over(w_prev), F.lit(-1))
+        ).cast("int"),
+    ).withColumn("__isl", F.sum("__new").over(w_run))
+    islands = marked.groupBy(id_col, "__isl").agg(
+        (
+            F.least(F.max("pos") + F.lit(n), F.max("__len"))
+            - F.min("pos")
+        )
+        .cast("long")
+        .alias("cov")
+    )
+    per_doc = islands.groupBy(id_col).agg(
+        F.sum("cov").alias("dup_span_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    lens = docs.select(id_col, F.size(t).alias("n_tokens"))
+    return lens.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_span_tokens", F.lit(0)).alias("dup_span_tokens"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        (
+            F.coalesce("dup_span_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_span_frac"),
+    )

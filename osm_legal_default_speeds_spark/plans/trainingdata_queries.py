@@ -13,6 +13,8 @@ Coverage added on top of plans.driver_queries:
   curate_corpus      exact dedup -> near-dup removal -> quality filter
   simhash_near_dup   SimHash bit-band LSH near-dup pairs
   ngram_jaccard      exact word-3-gram Jaccard on consecutive doc pairs
+  cross_doc_spans    cross-document duplicated-substring spans (island
+                     coverage per doc; Lee et al. span-level dedup)
   text_quality       lang-ID, quality score, token counts, fingerprints
   top_tokens         per-source heavy-hitter tokens (partial top-k)
   tfidf_top_terms    per-doc characteristic terms (linear-idf TF-IDF)
@@ -1519,6 +1521,70 @@ FROM dr JOIN frac USING (doc_id)
 # same semantics.
 # --------------------------------------------------------------------------
 
+CROSS_SPAN_N = 8  # word n-gram width for cross-doc span dedup
+
+
+def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level cross-document dedup signal (Lee et al. ACL 2022)
+    over the near-dup-augmented corpus: the planted 'xx '-prefixed
+    copies shift every gram by one position, so shared spans must
+    merge across offsets — exercising the island scan, not just
+    whole-doc equality."""
+    from osm_legal_default_speeds_spark.operators.dedup import (
+        cross_doc_spans,
+    )
+
+    return cross_doc_spans(
+        _docs_near_aug(spark, sf_dir), n=CROSS_SPAN_N
+    )
+
+
+SQL_CROSS_DOC_SPANS = f"""
+WITH aug AS ({SQL_DOCS_NEAR_AUG}),
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM aug),
+grams AS (
+  SELECT doc_id, len(t) AS len,
+    unnest(range(0, greatest(len(t) - {CROSS_SPAN_N} + 1, 1))) AS pos,
+    unnest(list_transform(range(0, greatest(len(t) - {CROSS_SPAN_N} + 1, 1)),
+           i -> md5(array_to_string(list_slice(t, i + 1, i + {CROSS_SPAN_N}), ' ')))) AS gh
+  FROM tok
+),
+shared AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, len, pos FROM grams WHERE gh IN (SELECT gh FROM shared)),
+marked AS (
+  SELECT doc_id, len, pos,
+    CASE WHEN pos > COALESCE(MAX(LEAST(pos + {CROSS_SPAN_N}, len)) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS newf
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, len, pos,
+    SUM(newf) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM marked
+),
+islands AS (
+  SELECT doc_id, isl_id,
+    (LEAST(MAX(pos) + {CROSS_SPAN_N}, MAX(len)) - MIN(pos))::BIGINT AS cov
+  FROM isl GROUP BY doc_id, isl_id
+),
+per_doc AS (
+  SELECT doc_id, SUM(cov)::BIGINT AS dup_span_tokens,
+         COUNT(*)::BIGINT AS n_spans
+  FROM islands GROUP BY doc_id
+),
+lens AS (SELECT doc_id, len(t) AS n_tokens FROM tok)
+SELECT l.doc_id, l.n_tokens,
+  COALESCE(p.dup_span_tokens, 0)::BIGINT AS dup_span_tokens,
+  COALESCE(p.n_spans, 0)::BIGINT AS n_spans,
+  COALESCE(p.dup_span_tokens, 0)::DOUBLE / l.n_tokens::DOUBLE
+    AS dup_span_frac
+FROM lens l LEFT JOIN per_doc p ON l.doc_id = p.doc_id
+"""
+
+
 ATTR_WINDOW_US = 86_400_000_000  # 1-day attribution lookback
 
 
@@ -1709,6 +1775,7 @@ TRAININGDATA_QUERIES = {
     "drop_near_dups": q_drop_near_dups,
     "curate_corpus": q_curate_corpus,
     "simhash_near_dup": q_simhash_near_dup,
+    "cross_doc_spans": q_cross_doc_spans,
     "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
     "top_tokens": q_top_tokens,
@@ -1777,6 +1844,7 @@ TRAININGDATA_ORACLES = {
     "drop_near_dups": SQL_DROP_NEAR_DUPS,
     "curate_corpus": SQL_CURATE_CORPUS,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
+    "cross_doc_spans": SQL_CROSS_DOC_SPANS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "text_quality": SQL_TEXT_QUALITY,
     "top_tokens": SQL_TOP_TOKENS,

@@ -1208,3 +1208,38 @@ def test_pq_recall_vs_exact(vectors, spark):
     assert sum(recalls) / len(recalls) >= 0.4
     for q, ids in ap.items():
         assert q in ids  # self-hit survives quantization
+
+
+def test_cross_doc_spans_islands_and_merging(spark):
+    from osm_legal_default_speeds_spark.operators.dedup import (
+        cross_doc_spans,
+    )
+
+    s1 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    t1 = "t1 t2 t3 t4 t5 t6 t7 t8"
+    rows = [
+        (0, f"u1 u2 {s1} m1 m2 m3 {t1} u3"),      # two separated islands
+        (1, f"{s1} z1 z2 z3 z4 z5 z6 z7 z8 {t1}"),
+        (2, "completely different tokens here with nothing shared at all"),
+        (3, f"{s1} s9"),                            # overlapping spans merge
+        (4, f"w0 {s1} s9"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in cross_doc_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"), n=8
+        ).collect()
+    }
+    # doc 0: len 22, hits at pos 2 ([2,10)) and pos 13 ([13,21))
+    assert out[0]["n_spans"] == 2 and out[0]["dup_span_tokens"] == 16
+    assert abs(out[0]["dup_span_frac"] - 16 / 22) < 1e-12
+    # doc 1: len 24, hits at pos 0 and pos 16
+    assert out[1]["n_spans"] == 2 and out[1]["dup_span_tokens"] == 16
+    # doc 2: clean
+    assert out[2]["n_spans"] == 0 and out[2]["dup_span_tokens"] == 0
+    assert out[2]["dup_span_frac"] == 0.0
+    # doc 3: len 9 — spans [0,8) and [1,9) MERGE into one island of 9
+    assert out[3]["n_spans"] == 1 and out[3]["dup_span_tokens"] == 9
+    assert out[3]["dup_span_frac"] == 1.0
+    # doc 4: len 10 — spans [1,9),[2,10) merge, leading w0 uncovered
+    assert out[4]["n_spans"] == 1 and out[4]["dup_span_tokens"] == 9
