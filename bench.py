@@ -525,12 +525,84 @@ def scaling_worker() -> None:
     print(json.dumps({"rows": n, "wall_s": wall, "control_wall_s": ctrl_wall}))
 
 
+# Round-3 operator additions, benched separately (`--extended`) so the
+# default headline JSON stays comparable across rounds.
+EXTENDED_QUERIES = (
+    "event_asof_join",
+    "window_attribution",
+    "cms_counts",
+    "cross_doc_spans",
+    "zorder_encode",
+    "ann_pq_topk",
+    "image_text_quality",
+    # events_dedup_streaming excluded: the stream drains eagerly when
+    # the query callable builds the sink (untimed), so timing its
+    # returned DataFrame would only measure the memory-table scan
+)
+
+
+def bench_named(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...]
+) -> tuple[dict, dict, dict]:
+    from osm_legal_default_speeds_spark.plans.driver_queries import QUERIES
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    all_runs: dict[str, list[float]] = {}
+    for name in names:
+        if name not in QUERIES:
+            continue
+        df = QUERIES[name](spark, sf_dir)
+        samples: list[float] = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows[name] = _run(df)
+            samples.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(samples)
+        all_runs[name] = samples
+    return timings, rows, all_runs
+
+
+def run_extended(sf_dir: str) -> None:
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = make_spark("bench-extended")
+    try:
+        spark.range(1000).select(F.sum("id")).collect()
+        _warm = F.pandas_udf(lambda x: x, "long")
+        n = spark.sparkContext.defaultParallelism
+        spark.range(0, n * 1000, 1, n * 2).select(
+            F.sum(_warm(F.col("id")))
+        ).collect()
+        load_before = os.getloadavg()
+        timings, rows, all_runs = bench_named(spark, sf_dir, EXTENDED_QUERIES)
+        load_after = os.getloadavg()
+    finally:
+        spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "extended operator set (temporal joins, sketches, "
+                "span dedup, PQ ANN, multimodal scoring)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "runs": all_runs,
+                "loadavg_1m": [round(load_before[0], 2), round(load_after[0], 2)],
+                "rows": rows,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling-worker" in sys.argv:
         return scaling_worker()
     if "--scaling" in sys.argv:
         return run_scaling(sf_dir)
+    if "--extended" in sys.argv:
+        return run_extended(sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = make_spark()
     try:
