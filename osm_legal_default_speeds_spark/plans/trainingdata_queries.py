@@ -27,6 +27,8 @@ Coverage added on top of plans.driver_queries:
   weighted_mixture   per-source Bernoulli training-mixture reweighting
   pack_sequences     deterministic LLM sequence packing (running total)
   decontaminate      eval-set n-gram-overlap decontamination
+  chunk_docs         overlapping context-window chunking (map-side explode)
+  pii_redact         typed PII redaction + per-category counts
   ann_topk           brute-force cosine top-k over embeddings
   ann_lsh_topk       random-hyperplane LSH bucketed approximate top-k
   ann_lsh_topk_partial  same, ranked via two-stage partial top-k (large-Q path)
@@ -1768,6 +1770,132 @@ FROM est JOIN ex ON est.tok = ex.tok
 """
 
 
+# --------------------------------------------------------------------------
+# chunk_docs / pii_redact — corpus-preparation passes (corpusprep.py)
+# --------------------------------------------------------------------------
+
+CHUNK_LEN = 32
+CHUNK_STRIDE = 24
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking of the documents table —
+    map-side explode, literal-space tokenization (text round-trips
+    verbatim). Oracle: identical start-offset filter + list_slice."""
+    from osm_legal_default_speeds_spark.operators.corpusprep import (
+        chunk_documents,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, CHUNK_LEN, CHUNK_STRIDE)
+
+
+SQL_CHUNK_DOCS = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+st AS (
+  SELECT doc_id, t,
+    unnest(list_filter(range(0, len(t), {CHUNK_STRIDE}),
+      s -> s = 0 OR s - {CHUNK_STRIDE} + {CHUNK_LEN} < len(t))) AS start
+  FROM tok
+)
+SELECT doc_id,
+  (start // {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+  start,
+  len(list_slice(t, start + 1, start + {CHUNK_LEN})) AS n_tok,
+  array_to_string(list_slice(t, start + 1, start + {CHUNK_LEN}), ' ')
+    AS chunk_text
+FROM st
+"""
+
+
+def _docs_pii_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's documents table contains no PII, so both engines
+    plant the same deterministic addresses/IPs/phones (same pattern as
+    _docs_exact_aug)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@ex.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    (did % 199).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" tel +45"), (F.lit(10000000) + did).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+SQL_DOCS_PII_AUG = """
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || doc_id || '@ex.example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+         THEN ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 199)
+         ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+         THEN ' tel +45' || (10000000 + doc_id) ELSE '' END
+    AS text
+  FROM documents
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the planted-PII corpus: per-category counts
+    on the original text + placeholder-redacted text. Pure codegen
+    regexp expressions; oracle = DuckDB regexp_replace(..., 'g') with
+    the identical RE2-safe patterns."""
+    from osm_legal_default_speeds_spark.operators.corpusprep import pii_redact
+
+    return pii_redact(_docs_pii_aug(spark, sf_dir)).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "clean_text"
+    )
+
+
+def _sql_pii_redact() -> str:
+    from osm_legal_default_speeds_spark.operators.corpusprep import _PII_RULES
+
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS {name}"
+        for name, pat, _ in _PII_RULES
+    )
+    clean = "text"
+    for _, pat, placeholder in _PII_RULES:
+        clean = f"regexp_replace({clean}, '{pat}', '{placeholder}', 'g')"
+    return f"""
+WITH aug AS ({SQL_DOCS_PII_AUG})
+SELECT doc_id,
+  {counts},
+  {clean} AS clean_text
+FROM aug
+"""
+
+
+SQL_PII_REDACT = _sql_pii_redact()
+
+
 TRAININGDATA_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1789,6 +1917,8 @@ TRAININGDATA_QUERIES = {
     "weighted_mixture": q_weighted_mixture,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
+    "chunk_docs": q_chunk_docs,
+    "pii_redact": q_pii_redact,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_lsh_topk_partial": q_ann_lsh_topk_partial,
@@ -1858,6 +1988,8 @@ TRAININGDATA_ORACLES = {
     "weighted_mixture": SQL_WEIGHTED_MIXTURE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
+    "chunk_docs": SQL_CHUNK_DOCS,
+    "pii_redact": SQL_PII_REDACT,
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     # partial top-k is an exact reformulation of the window rank
