@@ -980,3 +980,143 @@ def tile_rollup(
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
     return partial.groupBy(tile_col).agg(F.sum("_cnt").cast("long").alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# Linear features: exact supercover rasterization of segments
+# ---------------------------------------------------------------------------
+
+def segment_cells(
+    x0: Column, y0: Column, x1: Column, y1: Column, nx: int, ny: int
+) -> Column:
+    """Ordered array<struct<cx,cy>> of every grid cell a straight
+    segment in CONTINUOUS cell coordinates passes through (exact
+    supercover, the line-rasterization dual of rasterize_polygons'
+    cell-center rule).
+
+    Algorithm (pure native array math, no iteration): the segment's
+    parameter t in [0,1] is cut at every crossing of an integer grid
+    line — tx = {(k - x0)/dx : k integer strictly between x0 and x1},
+    same for ty — the cut set is sorted, and the MIDPOINT of each
+    interval identifies the (unique) cell that interval lies in. Cells
+    are emitted in traversal order; corner-exact crossings collapse to
+    one cut (array_distinct on t), so only cells the interior actually
+    enters appear. All arithmetic is +,-,*,/ and floor on doubles —
+    correctly-rounded IEEE in both engines, so the DuckDB twin is
+    bit-identical.
+
+    Scale: per-row array work bounded by the segment's cell span; no
+    shuffle, no Python. Road-network segments span 1-10 cells at tile
+    resolutions, so output fan-out is small and bounded; degenerate
+    (point) segments yield exactly their containing cell."""
+    dx = x1 - x0
+    dy = y1 - y0
+
+    def crossings(a0: Column, delta: Column, lo: Column, hi: Column) -> Column:
+        ks = F.when(
+            (delta != 0) & (F.floor(hi) >= F.ceil(lo)),
+            F.sequence(F.ceil(lo), F.floor(hi)),
+        ).otherwise(F.array().cast("array<long>"))
+        ts = F.transform(ks, lambda k: (k - a0) / delta)
+        return F.filter(ts, lambda t: (t > 0) & (t < 1))
+
+    tx = crossings(x0, dx, F.least(x0, x1), F.greatest(x0, x1))
+    ty = crossings(y0, dy, F.least(y0, y1), F.greatest(y0, y1))
+    ts = F.array_sort(
+        F.array_distinct(
+            F.concat(F.array(F.lit(0.0), F.lit(1.0)), tx, ty)
+        )
+    )
+    mids = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - 1),
+        lambda i: (F.element_at(ts, i) + F.element_at(ts, i + 1)) / 2.0,
+    )
+
+    def clamp(c: Column, hi: int) -> Column:
+        return F.least(F.greatest(c, F.lit(0)), F.lit(hi - 1))
+
+    cells = F.transform(
+        mids,
+        lambda m: F.struct(
+            clamp(F.floor(x0 + m * dx), nx).alias("cx"),
+            clamp(F.floor(y0 + m * dy), ny).alias("cy"),
+        ),
+    )
+    return F.array_distinct(cells)
+
+
+def rasterize_segments(
+    segs: DataFrame,
+    res: int,
+    id_col: str = "seg_id",
+    lon0: str = "lon0",
+    lat0: str = "lat0",
+    lon1: str = "lon1",
+    lat1: str = "lat1",
+) -> DataFrame:
+    """Rasterize lon/lat segments onto the res grid: one output row
+    per (segment, crossed cell), in traversal order (``seq``). This is
+    the road-network coverage operator — which tiles does each way
+    touch — and the exact input tile_rollup needs for per-tile road
+    statistics. Map-side explode only; the fan-out rides the narrow
+    (id, seq, cx, cy, cell) tuple, never the geometry."""
+    nx, ny = grid_nx(res), grid_ny(res)
+
+    def gx(c: str) -> Column:
+        return (F.col(c) + 180.0) / 360.0 * nx
+
+    def gy(c: str) -> Column:
+        return (F.col(c) + 90.0) / 180.0 * ny
+
+    cells = segment_cells(gx(lon0), gy(lat0), gx(lon1), gy(lat1), nx, ny)
+    return segs.select(
+        id_col, F.posexplode(cells).alias("seq", "c")
+    ).select(
+        id_col,
+        "seq",
+        F.col("c.cx").alias("cell_x"),
+        F.col("c.cy").alias("cell_y"),
+        (F.col("c.cx") * ny + F.col("c.cy")).alias("cell"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tile pyramid: one-pass multi-resolution rollup
+# ---------------------------------------------------------------------------
+
+def tile_pyramid(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    min_res: int,
+    max_res: int,
+) -> DataFrame:
+    """Per-cell row counts at EVERY resolution in [min_res, max_res]
+    in one pass — the raster-pyramid build (web-map zoom levels,
+    density overviews). Each row explodes into one (res, cell) tuple
+    per level (cells computed independently per level — cheaper than
+    chaining grid_parent and keeps every level a pure function of the
+    row), then a single salted-free groupBy aggregates all levels at
+    once: ONE shuffle whose map-side partial combine reduces traffic
+    to O(distinct (res, cell) per partition), not O(rows x levels).
+    The alternative — L successive parent-rollup shuffles — moves less
+    map output per stage but pays L exchanges and a barrier per level;
+    at 100 TB one combined exchange of all-level partials is strictly
+    less data movement because the finest level dominates both."""
+    if min_res > max_res:
+        raise ValueError("min_res must be <= max_res")
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("res"),
+                grid_cell(lon, lat, r).alias("cell"),
+            )
+            for r in range(min_res, max_res + 1)
+        ]
+    )
+    return (
+        df.select(F.explode(levels).alias("l"))
+        .groupBy(F.col("l.res").alias("res"), F.col("l.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )

@@ -23,6 +23,8 @@ Query -> SURVEY §2 coverage (full inventory-to-query map: COVERAGE.md):
   hex_encode         graft: hexagonal equal-area index (axial cube round)
   rasterize_polygons graft: polygon -> covering cells (cell-center rule)
   vectorize_cells    graft: cells -> merged-run rectangles (raster->vector)
+  rasterize_segments graft: exact supercover line rasterization (ways)
+  tile_pyramid       graft: one-pass multi-resolution tile counts
   pip_jurisdiction   graft: broadcast PIP join (cell index -> exact test)
   pip_polygon        graft: general-polygon PIP (packed-vertex ray cast)
   knn_nearest        graft: kNN border resolution (argmin over dim)
@@ -1129,6 +1131,148 @@ FROM runs GROUP BY region_code, x, run
 """
 
 
+# --------------------------------------------------------------------------
+# rasterize_segments / tile_pyramid (linear features + pyramid rollup)
+# --------------------------------------------------------------------------
+
+_SEG_RES = 6
+_SEG_NX = 1 << (_SEG_RES + 1)
+_SEG_NY = 1 << _SEG_RES
+_PYR_MIN_RES = 3
+_PYR_MAX_RES = 6
+
+
+def _segs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic short road segments: each road point plus an
+    integer-derived lon/lat delta (spans 0-3 cells at res 6 — the
+    realistic way-segment fan-out)."""
+    r = _roads_df(spark, sf_dir)
+    return r.select(
+        F.col("road_id").alias("seg_id"),
+        F.col("lon").alias("lon0"),
+        F.col("lat").alias("lat0"),
+        (F.col("lon") + (F.col("road_id") % 13 - 6) * 0.7).alias("lon1"),
+        (F.col("lat") + (F.col("road_id") % 11 - 5) * 0.45).alias("lat1"),
+    )
+
+
+_SEGS_SQL = f"""
+  SELECT road_id AS seg_id, lon AS lon0, lat AS lat0,
+    lon + (road_id % 13 - 6) * 0.7 AS lon1,
+    lat + (road_id % 11 - 5) * 0.45 AS lat1
+  FROM roads
+"""
+
+
+def q_rasterize_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact supercover rasterization of road segments (midpoint-cut
+    contract, operators/spatial.py::segment_cells). Oracle: the same
+    parameter-cut algorithm in DuckDB list functions — every float op
+    is +,-,*,/ or floor/ceil on doubles, so both engines are
+    bit-identical."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        rasterize_segments,
+    )
+
+    return rasterize_segments(_segs_df(spark, sf_dir), _SEG_RES)
+
+
+def _sql_crossings(a0: str, a1: str) -> str:
+    d = f"({a1} - {a0})"
+    lo = f"least({a0}, {a1})"
+    hi = f"greatest({a0}, {a1})"
+    return f"""CASE WHEN {d} <> 0 AND floor({hi}) >= ceil({lo})
+      THEN list_filter(
+             list_transform(
+               range(ceil({lo})::BIGINT, floor({hi})::BIGINT + 1),
+               k -> (k - {a0}) / {d}),
+             t -> t > 0 AND t < 1)
+      ELSE [] END"""
+
+
+SQL_RASTERIZE_SEGMENTS = f"""
+WITH roads AS ({_ROADS_SQL}),
+segs AS ({_SEGS_SQL}),
+g AS (
+  SELECT seg_id,
+    (lon0 + 180.0) / 360.0 * {_SEG_NX} AS x0,
+    (lat0 + 90.0) / 180.0 * {_SEG_NY} AS y0,
+    (lon1 + 180.0) / 360.0 * {_SEG_NX} AS x1,
+    (lat1 + 90.0) / 180.0 * {_SEG_NY} AS y1
+  FROM segs
+),
+tc AS (
+  SELECT seg_id, x0, y0, x1, y1,
+    list_sort(list_distinct(
+      [0.0, 1.0]
+      || {_sql_crossings('x0', 'x1')}
+      || {_sql_crossings('y0', 'y1')}
+    )) AS ts
+  FROM g
+),
+iv AS (
+  SELECT seg_id, x0, y0, x1, y1, ts,
+    unnest(range(1, len(ts))) AS i
+  FROM tc
+),
+cellrows AS (
+  SELECT seg_id, i,
+    least(greatest(
+      floor(x0 + ((ts[i] + ts[i + 1]) / 2.0) * (x1 - x0)), 0),
+      {_SEG_NX - 1})::BIGINT AS cell_x,
+    least(greatest(
+      floor(y0 + ((ts[i] + ts[i + 1]) / 2.0) * (y1 - y0)), 0),
+      {_SEG_NY - 1})::BIGINT AS cell_y
+  FROM iv
+),
+dedup AS (
+  SELECT seg_id, i, cell_x, cell_y FROM cellrows
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY seg_id, cell_x, cell_y ORDER BY i) = 1
+)
+SELECT seg_id,
+  ROW_NUMBER() OVER (PARTITION BY seg_id ORDER BY i) - 1 AS seq,
+  cell_x, cell_y,
+  (cell_x * {_SEG_NY} + cell_y) AS cell
+FROM dedup
+"""
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-resolution tile counts (raster pyramid) over the
+    road points: single exchange carrying all-level partials."""
+    from osm_legal_default_speeds_spark.operators.spatial import tile_pyramid
+
+    return tile_pyramid(
+        _roads_df(spark, sf_dir), "lon", "lat", _PYR_MIN_RES, _PYR_MAX_RES
+    )
+
+
+def _sql_tile_pyramid() -> str:
+    levels = []
+    for r in range(_PYR_MIN_RES, _PYR_MAX_RES + 1):
+        nx, ny = 1 << (r + 1), 1 << r
+        levels.append(
+            f"SELECT {r} AS res,\n"
+            f"  (LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * {nx}), 0), "
+            f"{nx - 1})::BIGINT * {ny}\n"
+            f"   + LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * {ny}), 0), "
+            f"{ny - 1})::BIGINT) AS cell\n"
+            f"FROM roads"
+        )
+    body = "\nUNION ALL\n".join(levels)
+    return f"""
+WITH roads AS ({_ROADS_SQL}),
+lv AS (
+{body}
+)
+SELECT res, cell, count(*)::BIGINT AS n_rows FROM lv GROUP BY 1, 2
+"""
+
+
+SQL_TILE_PYRAMID = _sql_tile_pyramid()
+
+
 def q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
     return roads.select(
@@ -1242,6 +1386,8 @@ QUERIES = {
     "hex_encode": q_hex_encode,
     "rasterize_polygons": q_rasterize,
     "vectorize_cells": q_vectorize,
+    "rasterize_segments": q_rasterize_segments,
+    "tile_pyramid": q_tile_pyramid,
     "pip_jurisdiction": q_pip_jurisdiction,
     "pip_polygon": q_pip_polygon,
     "knn_nearest": q_knn_nearest,
@@ -1272,6 +1418,8 @@ ORACLES = {
     "hex_encode": SQL_HEX_ENCODE,
     "rasterize_polygons": SQL_RASTERIZE,
     "vectorize_cells": SQL_VECTORIZE,
+    "rasterize_segments": SQL_RASTERIZE_SEGMENTS,
+    "tile_pyramid": SQL_TILE_PYRAMID,
     "pip_jurisdiction": SQL_PIP_JURISDICTION,
     "pip_polygon": SQL_PIP_POLYGON,
     "knn_nearest": SQL_KNN_NEAREST,
