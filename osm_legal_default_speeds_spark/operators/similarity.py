@@ -835,3 +835,70 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup: Abbas et al. 2023,
+# arXiv:2303.09540) — cluster the embedding space with a coarse
+# codebook, then inside each cluster drop every vector that has a
+# lower-id near-identical neighbor (cosine >= min_cosine). The cluster
+# pass turns the O(n^2) pairwise scan into O(n^2 / C): production runs
+# pick C ~ n/1000 so each cell holds ~10^3 vectors and the per-cell
+# self-join stays tiny; the oracle-scale default (first-n codebook,
+# interpreted fold cosine) is exactly ivf_topk's, and the production
+# assignment path is assign_cells_np (NumPy matmul, mapInPandas).
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_centroids: int,
+    min_cosine: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    np_assign: bool = False,
+) -> DataFrame:
+    """Keep one representative of every cluster-local near-duplicate
+    group: (vec_id, cell) for surviving rows.
+
+    Drop rule: a row is dropped iff SOME lower-id row in its cell has
+    cosine >= min_cosine with it (the deterministic greedy variant of
+    SemDeDup's keep-one rule — no component closure needed, because
+    semantic dup groups are cliques at practical thresholds; contrast
+    drop_near_dups, which closes over components for text). The cell
+    self-join uses SHUFFLE_HASH hints on both (identical) sides so the
+    assignment pipeline is computed once (ReuseExchange) and nothing
+    corpus-sized is broadcast; the final anti-join broadcasts the
+    known-small loser set explicitly."""
+    v_in = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    if centroids is None:
+        centroids = v_in.where(F.col("vid") < n_centroids).select(
+            F.col("vid").alias("centroid_id"),
+            F.col("vec").alias("centroid_vec"),
+        )
+    if np_assign:
+        codebook = [
+            (r["centroid_id"], list(r["centroid_vec"]))
+            for r in centroids.collect()
+        ]
+        assigned = assign_cells_np(v_in, codebook, "vec", 1, "cells")
+    else:
+        assigned = assign_cells(v_in, centroids, F.col("vec"), 1, "cells")
+    v = assigned.select(
+        "vid", "vec", F.element_at("cells", 1).alias("cell")
+    )
+    a = v.hint("shuffle_hash").alias("a")
+    b = v.hint("shuffle_hash").alias("b")
+    losers = (
+        a.join(b, "cell")
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .where(cosine(F.col("a.vec"), F.col("b.vec")) >= F.lit(min_cosine))
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+    )
+    return v.select("vid", "cell").join(
+        F.broadcast(losers), "vid", "left_anti"
+    )

@@ -38,6 +38,7 @@ Coverage added on top of plans.driver_queries:
   ann_pq_topk        (rows-only) product-quantization ANN: sample-trained
                      codebooks, distributed encode, ADC top-k over codes
   embedding_near_dup embedding-cosine near-dup pairs via LSH self-join
+  semantic_dedup     SemDeDup: cluster-local cosine pruning, keep min-id
   curate_images      (rows-only) phash pairs -> star CC -> one rep per group
   events_rollup      6-hour bucketed per-type event aggregation
   events_dedup_streaming  watermarked streaming ingestion dedup
@@ -989,6 +990,51 @@ WHERE {_sql_cosine('a.vec', 'b.vec')} >= {ND_MIN_COS}
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the planted-dup embedding
+    corpus: coarse-cluster (first-IVF_C codebook, same convention as
+    ann_ivf_topk), drop rows with a lower-id near-identical neighbor
+    in their cell. Oracle: identical fold cosine + argmax + NOT IN."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    dups = e.where(F.col("vec_id") % ND_DUP_MOD == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    aug = e.select("vec_id", "embedding", "label").unionAll(dups)
+    return semantic_dedup(aug, n_centroids=IVF_C, min_cosine=ND_MIN_COS)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % {ND_DUP_MOD} = 0
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM aug WHERE vec_id < {IVF_C}
+),
+vcell AS (
+  SELECT a.vec_id AS vid, a.embedding AS vec, c.cid AS cell
+  FROM aug a, cent c
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY a.vec_id
+    ORDER BY -({_sql_cosine('a.embedding', 'c.cvec')}) ASC, c.cid ASC
+  ) = 1
+),
+losers AS (
+  SELECT DISTINCT b.vid
+  FROM vcell a JOIN vcell b ON a.cell = b.cell AND a.vid < b.vid
+  WHERE {_sql_cosine('a.vec', 'b.vec')} >= {ND_MIN_COS}
+)
+SELECT vid, cell FROM vcell
+WHERE vid NOT IN (SELECT vid FROM losers)
+"""
+
+
 # --------------------------------------------------------------------------
 # events_rollup — 6-hour epoch-aligned buckets per event type
 # --------------------------------------------------------------------------
@@ -1927,6 +1973,7 @@ TRAININGDATA_QUERIES = {
     "ann_ivf_topk_np": q_ann_ivf_topk_np,
     "ann_pq_topk": q_ann_pq_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "semantic_dedup": q_semantic_dedup,
     "events_rollup": q_events_rollup,
     "events_rollup_streaming": q_events_rollup_streaming,
     "events_dedup_streaming": q_events_dedup_streaming,
@@ -1997,6 +2044,7 @@ TRAININGDATA_ORACLES = {
     "ann_multiprobe": SQL_ANN_MULTIPROBE,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_rollup_streaming": SQL_EVENTS_ROLLUP,
     "events_dedup_streaming": SQL_EVENTS_DEDUP_STREAMING,

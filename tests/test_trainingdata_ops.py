@@ -1243,3 +1243,63 @@ def test_cross_doc_spans_islands_and_merging(spark):
     assert out[3]["dup_span_frac"] == 1.0
     # doc 4: len 10 — spans [1,9),[2,10) merge, leading w0 uncovered
     assert out[4]["n_spans"] == 1 and out[4]["dup_span_tokens"] == 9
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def _semdedup_fixture(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    # plant near-identical copies of vectors 5 and 17 (tiny jitter)
+    for new_id, src in ((100, 5), (101, 5), (102, 17)):
+        rows.append((new_id, [v * 1.0000001 for v in rows[src][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    vecs = _semdedup_fixture(spark)
+    kept = {r.vid for r in semantic_dedup(vecs, 4, 0.999).collect()}
+    # copies (higher ids) dropped, originals kept
+    assert {100, 101, 102}.isdisjoint(kept)
+    assert {5, 17} <= kept
+    # a scaled copy lands in the same cell as its source (cosine is
+    # scale-invariant), so no survivor pair is near-identical
+    assert len(kept) == 40
+
+
+def test_semantic_dedup_np_assign_parity(spark):
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    vecs = _semdedup_fixture(spark)
+    a = sorted((r.vid, r.cell) for r in semantic_dedup(vecs, 4, 0.999).collect())
+    b = sorted(
+        (r.vid, r.cell)
+        for r in semantic_dedup(vecs, 4, 0.999, np_assign=True).collect()
+    )
+    assert a == b
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    vecs = _semdedup_fixture(spark)
+    one = sorted(r.vid for r in semantic_dedup(vecs, 4, 0.999).collect())
+    many = sorted(
+        r.vid
+        for r in semantic_dedup(vecs.repartition(13), 4, 0.999).collect()
+    )
+    assert one == many
