@@ -535,6 +535,11 @@ EXTENDED_QUERIES = (
     "zorder_encode",
     "ann_pq_topk",
     "image_text_quality",
+    "chunk_docs",
+    "pii_redact",
+    "rasterize_segments",
+    "tile_pyramid",
+    "semantic_dedup",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

@@ -190,10 +190,18 @@ def assign_cells(
     vec: Column,
     n: int,
     out: str,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Append ``out`` = array of the ``n`` nearest centroid ids by
-    cosine (ties by centroid id): broadcast codebook collected into one
-    array column, per-row sort of (-cos, cid) structs. Map-side only."""
+    ``metric`` (ties by centroid id): broadcast codebook collected into
+    one array column, per-row sort of (-sim, cid) structs. Map-side
+    only.
+
+    metric="cosine" is the ivf_topk oracle contract. metric="dot"
+    scores dot(vec, cvec) — pass PRE-NORMALIZED centroids and the
+    argmax equals cosine's at a third of the interpreted-fold cost
+    (no norm(vec)/norm(cvec) recomputation per centroid); used by
+    semantic_dedup."""
     cent = F.broadcast(centroids)
     joined = df.crossJoin(
         cent.groupBy().agg(
@@ -205,10 +213,16 @@ def assign_cells(
             ).alias("__cbook")
         )
     )
+    if metric == "cosine":
+        sim = lambda c: cosine(vec, c.getField("cvec"))
+    elif metric == "dot":
+        sim = lambda c: dot(vec, c.getField("cvec"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     cells = F.transform(
         F.col("__cbook"),
         lambda c: F.struct(
-            (-cosine(vec, c.getField("cvec"))).alias("negcos"),
+            (-sim(c)).alias("negcos"),
             c.getField("cid").alias("cid"),
         ),
     )
@@ -858,12 +872,16 @@ def semantic_dedup(
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
     np_assign: bool = False,
+    np_pairs: bool = False,
 ) -> DataFrame:
     """Keep one representative of every cluster-local near-duplicate
     group: (vec_id, cell) for surviving rows.
 
     Drop rule: a row is dropped iff SOME lower-id row in its cell has
-    cosine >= min_cosine with it (the deterministic greedy variant of
+    cosine >= min_cosine with it, where cosine is evaluated as the dot
+    of the per-row pre-normalized vectors (mathematically identical to
+    dot/(|a||b|), last-ulp different — the oracle twin mirrors the
+    normalized form exactly). This is the deterministic greedy variant of
     SemDeDup's keep-one rule — no component closure needed, because
     semantic dup groups are cliques at practical thresholds; contrast
     drop_near_dups, which closes over components for text). The cell
@@ -879,26 +897,80 @@ def semantic_dedup(
             F.col("vid").alias("centroid_id"),
             F.col("vec").alias("centroid_vec"),
         )
+    # Normalize the (tiny) codebook once, then assign by plain DOT:
+    # same argmax as cosine (|vec| is constant across centroids,
+    # |cnvec| = 1) at a third of the interpreted-fold cost per
+    # (row, centroid) — no norm recomputation inside the scoring loop.
+    cn = centroids.select(
+        "centroid_id",
+        F.transform(
+            F.col("centroid_vec"),
+            lambda x: x.cast("double") / norm(F.col("centroid_vec")),
+        ).alias("centroid_vec"),
+    )
     if np_assign:
         codebook = [
             (r["centroid_id"], list(r["centroid_vec"]))
-            for r in centroids.collect()
+            for r in cn.collect()
         ]
         assigned = assign_cells_np(v_in, codebook, "vec", 1, "cells")
     else:
-        assigned = assign_cells(v_in, centroids, F.col("vec"), 1, "cells")
-    v = assigned.select(
-        "vid", "vec", F.element_at("cells", 1).alias("cell")
+        assigned = assign_cells(
+            v_in, cn, F.col("vec"), 1, "cells", metric="dot"
+        )
+    # Stage NORMALIZED vectors before the pair join, with the norm as
+    # its OWN column referenced twice — Catalyst's CollapseProject
+    # would otherwise re-inline the norm fold into the transform
+    # lambda and evaluate it once PER ELEMENT (no HOF CSE, see
+    # CLAUDE.md); the shuffle on cell then materializes nvec, so each
+    # of the O(n^2/C) pairs pays ONE dot fold instead of three.
+    staged = assigned.withColumn("nrm", norm(F.col("vec")))
+    v = staged.select(
+        "vid",
+        F.transform(
+            F.col("vec"), lambda x: x.cast("double") / F.col("nrm")
+        ).alias("nvec"),
+        "nrm",
+        F.element_at("cells", 1).alias("cell"),
     )
-    a = v.hint("shuffle_hash").alias("a")
-    b = v.hint("shuffle_hash").alias("b")
-    losers = (
-        a.join(b, "cell")
-        .where(F.col("a.vid") < F.col("b.vid"))
-        .where(cosine(F.col("a.vec"), F.col("b.vec")) >= F.lit(min_cosine))
-        .select(F.col("b.vid").alias("vid"))
-        .distinct()
-    )
+    if np_pairs:
+        # Production pair scoring (the shape SemDeDup actually runs):
+        # one dense (m x d) @ (d x m) matmul per cell via
+        # applyInPandas — ONE exchange on cell, no row-pair
+        # multiplication through the shuffle. Cells are sized ~n/C by
+        # codebook choice, so m ~ 10^3 and the matmul is trivial.
+        # Rows-only semantics (numpy pairwise summation differs from
+        # the fold in the last ulps); fold-path parity is pytest-pinned.
+        def drop_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            vids = pdf["vid"].to_numpy()
+            order = np.argsort(vids)
+            vids = vids[order]
+            mat = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["nvec"]]
+            )[order]
+            sims = mat @ mat.T
+            iu = np.triu_indices(len(vids), k=1)
+            losers = np.unique(iu[1][sims[iu] >= min_cosine])
+            return pd.DataFrame({"vid": vids[losers]})
+
+        losers = v.groupBy("cell").applyInPandas(drop_cell, "vid long")
+    else:
+        a = v.hint("shuffle_hash").alias("a")
+        b = v.hint("shuffle_hash").alias("b")
+        pair_dot = F.aggregate(
+            F.zip_with(
+                F.col("a.nvec"), F.col("b.nvec"), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        losers = (
+            a.join(b, "cell")
+            .where(F.col("a.vid") < F.col("b.vid"))
+            .where(pair_dot >= F.lit(min_cosine))
+            .select(F.col("b.vid").alias("vid"))
+            .distinct()
+        )
     return v.select("vid", "cell").join(
         F.broadcast(losers), "vid", "left_anti"
     )

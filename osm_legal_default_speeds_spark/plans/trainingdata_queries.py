@@ -990,11 +990,15 @@ WHERE {_sql_cosine('a.vec', 'b.vec')} >= {ND_MIN_COS}
 """
 
 
+SD_C = 32  # SemDeDup codebook: C scales with n (keeps cells ~n/C small)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the planted-dup embedding
-    corpus: coarse-cluster (first-IVF_C codebook, same convention as
-    ann_ivf_topk), drop rows with a lower-id near-identical neighbor
-    in their cell. Oracle: identical fold cosine + argmax + NOT IN."""
+    corpus: coarse-cluster (first-SD_C codebook, same convention as
+    ann_ivf_topk's), drop rows with a lower-id near-identical neighbor
+    in their cell. Oracle: identical argmax assignment + normalized
+    dot + NOT IN."""
     from osm_legal_default_speeds_spark.operators.similarity import (
         semantic_dedup,
     )
@@ -1004,7 +1008,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
     )
     aug = e.select("vec_id", "embedding", "label").unionAll(dups)
-    return semantic_dedup(aug, n_centroids=IVF_C, min_cosine=ND_MIN_COS)
+    return semantic_dedup(aug, n_centroids=SD_C, min_cosine=ND_MIN_COS)
 
 
 SQL_SEMANTIC_DEDUP = f"""
@@ -1015,20 +1019,31 @@ WITH aug AS (
   WHERE vec_id % {ND_DUP_MOD} = 0
 ),
 cent AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM aug WHERE vec_id < {IVF_C}
+  SELECT vec_id AS cid,
+    list_transform(embedding,
+      x -> (x::DOUBLE) / sqrt({_sql_dot('embedding', 'embedding')}))
+      AS cnvec
+  FROM aug WHERE vec_id < {SD_C}
+),
+vn AS (
+  SELECT vec_id, embedding,
+    sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM aug
 ),
 vcell AS (
-  SELECT a.vec_id AS vid, a.embedding AS vec, c.cid AS cell
-  FROM aug a, cent c
+  SELECT v.vec_id AS vid,
+    list_transform(v.embedding, x -> (x::DOUBLE) / v.nrm) AS nvec,
+    c.cid AS cell
+  FROM vn v, cent c
   QUALIFY ROW_NUMBER() OVER (
-    PARTITION BY a.vec_id
-    ORDER BY -({_sql_cosine('a.embedding', 'c.cvec')}) ASC, c.cid ASC
+    PARTITION BY v.vec_id
+    ORDER BY -({_sql_dot('v.embedding', 'c.cnvec')}) ASC, c.cid ASC
   ) = 1
 ),
 losers AS (
   SELECT DISTINCT b.vid
   FROM vcell a JOIN vcell b ON a.cell = b.cell AND a.vid < b.vid
-  WHERE {_sql_cosine('a.vec', 'b.vec')} >= {ND_MIN_COS}
+  WHERE {_sql_dot('a.nvec', 'b.nvec')} >= {ND_MIN_COS}
 )
 SELECT vid, cell FROM vcell
 WHERE vid NOT IN (SELECT vid FROM losers)

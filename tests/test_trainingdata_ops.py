@@ -1303,3 +1303,19 @@ def test_semantic_dedup_partition_invariant(spark):
         for r in semantic_dedup(vecs.repartition(13), 4, 0.999).collect()
     )
     assert one == many
+
+
+def test_semantic_dedup_np_pairs_parity(spark):
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    vecs = _semdedup_fixture(spark)
+    a = sorted((r.vid, r.cell) for r in semantic_dedup(vecs, 4, 0.999).collect())
+    b = sorted(
+        (r.vid, r.cell)
+        for r in semantic_dedup(
+            vecs, 4, 0.999, np_assign=True, np_pairs=True
+        ).collect()
+    )
+    assert a == b
