@@ -1120,3 +1120,122 @@ def tile_pyramid(
         .groupBy(F.col("l.res").alias("res"), F.col("l.cell").alias("cell"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
+
+
+# --------------------------------------------------------------------------
+# Distance-band join ("all pairs within r") — the classic DJ/range
+# spatial join (reference's kNN/PIP joins answer "which one"; this
+# answers "which all within radius", e.g. roads near a border strip,
+# image sites within r of each other for burst dedup).
+# --------------------------------------------------------------------------
+
+def within_distance_res(radius: float) -> int:
+    """Largest grid res whose square cell side (180/2^res degrees)
+    still covers ``radius``, so every pair within the radius lies in
+    the 3x3 neighbor ring — the 1-ring candidate guarantee."""
+    import math
+
+    if radius <= 0:
+        raise ValueError("radius must be > 0")
+    return max(0, min(20, int(math.floor(math.log2(180.0 / radius)))))
+
+
+def _deg_dist2(lon_a: Column, lat_a: Column, lon_b: Column, lat_b: Column) -> Column:
+    """Squared planar degree distance with longitude wrap (shorter way
+    around the antimeridian). Built from correctly-rounded IEEE ops
+    only (+, -, *, abs, least) so the DuckDB twin is bit-identical."""
+    adlon = F.abs(lon_a - lon_b)
+    dlon = F.least(adlon, F.lit(360.0) - adlon)
+    dlat = lat_a - lat_b
+    return dlon * dlon + dlat * dlat
+
+
+def within_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    lon: str = "lon",
+    lat: str = "lat",
+    res: int | None = None,
+    self_pairs: bool = False,
+) -> DataFrame:
+    """All (left row, right row) pairs within planar degree distance
+    ``radius`` (longitude wrap-aware): (left_id, right_id, dist).
+
+    Plan: both sides are narrowed to (id, lon, lat) and cell-indexed at
+    a res whose cell side covers the radius; the LEFT side explodes its
+    3x3 neighbor ring (a 9x multiplication of 3-column rows — the whole
+    point is that only this skinny projection is multiplied, never the
+    payload), then ONE shuffle-hash equi-join on cell + the exact
+    distance filter. Candidates are exact-complete by the 1-ring
+    guarantee (``within_distance_res``), and each qualifying pair is
+    emitted exactly once because the build side keeps its single home
+    cell. Per-pair cost is a handful of codegen'd doubles; there is no
+    inequality cross product anywhere.
+
+    At 100 TB: shuffle volume is 9|L| + |R| skinny rows hashed on cell;
+    dense-city hot cells are ordinary join skew, which AQE's skew-join
+    split handles because both sides are plain equi-join relations.
+    Rejoin ids to payloads afterwards (broadcast if the pair set is
+    small, shuffle join otherwise) — this operator deliberately returns
+    ids only.
+
+    ``self_pairs=True`` treats left/right as the SAME logical table and
+    keeps each unordered pair once (``id_a < id_b``).
+    """
+    if res is None:
+        res = within_distance_res(radius)
+    if 180.0 / (1 << res) < radius:
+        raise ValueError(
+            f"cell side at res {res} is smaller than radius {radius}; "
+            "the 1-ring candidate guarantee would not hold"
+        )
+    cell = grid_cell(F.col(lon), F.col(lat), res)
+    probe = left.select(
+        F.col(left_id).alias("__ida"),
+        F.col(lon).alias("__lona"),
+        F.col(lat).alias("__lata"),
+        F.explode(neighbor_cells(cell, res, 1)).alias("__cell"),
+    )
+    build = right.select(
+        F.col(right_id).alias("__idb"),
+        F.col(lon).alias("__lonb"),
+        F.col(lat).alias("__latb"),
+        cell.alias("__cell"),
+    )
+    pair = probe.hint("shuffle_hash").join(
+        build.hint("shuffle_hash"), "__cell"
+    )
+    if self_pairs:
+        pair = pair.where(F.col("__ida") < F.col("__idb"))
+    d2 = _deg_dist2(
+        F.col("__lona"), F.col("__lata"), F.col("__lonb"), F.col("__latb")
+    )
+    return (
+        pair.where(d2 <= F.lit(radius * radius))
+        .select(
+            F.col("__ida").alias(left_id),
+            F.col("__idb").alias(right_id),
+            F.sqrt(d2).alias("dist"),
+        )
+    )
+
+
+def within_distance_pairs(
+    df: DataFrame,
+    radius: float,
+    id_col: str = "id",
+    lon: str = "lon",
+    lat: str = "lat",
+    res: int | None = None,
+) -> DataFrame:
+    """Self-join form of :func:`within_distance_join`: each unordered
+    pair of distinct rows within ``radius`` exactly once, as
+    (id_a, id_b, dist) with id_a < id_b."""
+    a = df.select(F.col(id_col).alias("id_a"), lon, lat)
+    b = df.select(F.col(id_col).alias("id_b"), lon, lat)
+    return within_distance_join(
+        a, b, radius, "id_a", "id_b", lon, lat, res, self_pairs=True
+    )

@@ -1349,6 +1349,61 @@ FROM xy,
 SQL_TILE_NEIGHBORS = _sql_tile_neighbors()
 
 
+WITHIN_RADIUS = 1.0  # degrees; res auto-picks 7 (cell side 1.406 >= r)
+
+
+def q_within_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-band self-join: every unordered pair of sampled roads
+    within 1 planar degree (lon wrap-aware), via the 1-ring
+    cell-bucketed equi-join — no inequality cross product. Oracle: the
+    genuinely different brute-force inequality join over the same
+    subset (the oracle is O(n^2); the operator is the scale path).
+
+    Points are md5-scattered rather than the roads lattice: the
+    lattice's pairwise distances depend only on the id offset, and no
+    offset lands inside 1 degree, so it cannot exercise the join."""
+    from osm_legal_default_speeds_spark.operators.sketches import unit_hash
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_pairs,
+    )
+
+    k = F.col("road_id")
+    roads = (
+        _roads_df(spark, sf_dir)
+        .where(k % 3 == 0)
+        .select(
+            "road_id",
+            (unit_hash(F.concat(k.cast("string"), F.lit(":lon"))) * 360.0 - 180.0).alias("lon"),
+            (unit_hash(F.concat(k.cast("string"), F.lit(":lat"))) * 170.0 - 85.0).alias("lat"),
+        )
+    )
+    return within_distance_pairs(roads, WITHIN_RADIUS, id_col="road_id")
+
+
+_UNIT_DENOM_SQL = repr(float(1 << 60))
+
+SQL_WITHIN_PAIRS = f"""
+WITH roads AS ({_ROADS_SQL}),
+pts AS (
+  SELECT road_id,
+    ('0x' || substring(md5(road_id::VARCHAR || ':lon'), 1, 15))::BIGINT
+      / {_UNIT_DENOM_SQL} * 360.0 - 180.0 AS lon,
+    ('0x' || substring(md5(road_id::VARCHAR || ':lat'), 1, 15))::BIGINT
+      / {_UNIT_DENOM_SQL} * 170.0 - 85.0 AS lat
+  FROM roads WHERE road_id % 3 = 0
+),
+cand AS (
+  SELECT a.road_id AS id_a, b.road_id AS id_b,
+         LEAST(ABS(a.lon - b.lon), 360.0 - ABS(a.lon - b.lon)) AS dlon,
+         a.lat - b.lat AS dlat
+  FROM pts a JOIN pts b ON a.road_id < b.road_id
+)
+SELECT id_a, id_b, sqrt(dlon * dlon + dlat * dlat) AS dist
+FROM cand
+WHERE dlon * dlon + dlat * dlat <= {WITHIN_RADIUS * WITHIN_RADIUS!r}
+"""
+
+
 def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
     tiled = assign_tiles(roads, tile_res=5)
@@ -1393,6 +1448,7 @@ QUERIES = {
     "knn_nearest": q_knn_nearest,
     "tile_rollup": q_tile_rollup,
     "tile_neighbors": q_tile_neighbors,
+    "within_pairs": q_within_pairs,
     "relation_semijoin": q_relation_semijoin,
     "relation_semijoin_native": q_relation_semijoin_native,
     "override_column": q_override_column,
@@ -1425,6 +1481,7 @@ ORACLES = {
     "knn_nearest": SQL_KNN_NEAREST,
     "tile_rollup": SQL_TILE_ROLLUP,
     "tile_neighbors": SQL_TILE_NEIGHBORS,
+    "within_pairs": SQL_WITHIN_PAIRS,
     "relation_semijoin": SQL_RELATION_SEMIJOIN,
     "relation_semijoin_native": SQL_RELATION_SEMIJOIN,
     "override_column": SQL_OVERRIDE_COLUMN,

@@ -178,3 +178,106 @@ def test_zorder_quadrant_is_spatial(spark):
         assert len(cells) == 4
         assert max(xs) - min(xs) == 1 and max(ys) - min(ys) == 1
         assert min(xs) % 2 == 0 and min(ys) % 2 == 0
+
+
+# ---------------------------------------------------------------------------
+# Distance-band join (operators.spatial.within_distance_join/_pairs)
+# ---------------------------------------------------------------------------
+
+def _wd_points(spark):
+    import random
+
+    random.seed(11)
+    rows = [
+        (i, random.uniform(-180, 180), random.uniform(-85, 85))
+        for i in range(300)
+    ]
+    # antimeridian pair (wrapped dlon 0.1), pole-edge cluster, exact dup
+    rows += [
+        (1000, -179.95, 10.0),
+        (1001, 179.95, 10.0),
+        (1002, 0.0, 84.9),
+        (1003, 0.05, 84.8),
+        (1004, 0.0, 84.9),
+    ]
+    return spark.createDataFrame(rows, "id long, lon double, lat double")
+
+
+def _wd_brute(df, radius):
+    from osm_legal_default_speeds_spark.operators.spatial import _deg_dist2
+
+    a, b = df.alias("a"), df.alias("b")
+    d2 = _deg_dist2(
+        F.col("a.lon"), F.col("a.lat"), F.col("b.lon"), F.col("b.lat")
+    )
+    return sorted(
+        (r.id_a, r.id_b, round(r.dist, 12))
+        for r in a.crossJoin(b)
+        .where(F.col("a.id") < F.col("b.id"))
+        .where(d2 <= radius * radius)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.sqrt(d2).alias("dist"),
+        )
+        .collect()
+    )
+
+
+@pytest.mark.parametrize("radius", [0.5, 3.0, 11.0])
+def test_within_pairs_matches_brute_force(spark, radius):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_pairs,
+    )
+
+    df = _wd_points(spark)
+    got = sorted(
+        (r.id_a, r.id_b, round(r.dist, 12))
+        for r in within_distance_pairs(df, radius).collect()
+    )
+    assert got == _wd_brute(df, radius)
+    # each unordered pair exactly once
+    assert len(got) == len({(a, b) for a, b, _ in got})
+    assert all(a < b for a, b, _ in got)
+
+
+def test_within_pairs_wraps_antimeridian_and_keeps_zero_dist(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_pairs,
+    )
+
+    df = _wd_points(spark)
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in within_distance_pairs(df, 0.5).collect()
+    }
+    assert (1000, 1001) in pairs  # wrapped dlon = 0.1, planar 359.9
+    assert pairs[(1000, 1001)] == pytest.approx(0.1, abs=1e-9)
+    assert pairs[(1002, 1004)] == 0.0  # exact duplicate location
+
+
+def test_within_join_rejects_res_breaking_ring_guarantee(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_pairs,
+        within_distance_res,
+    )
+
+    df = _wd_points(spark)
+    with pytest.raises(ValueError):
+        within_distance_pairs(df, 3.0, res=10)  # cell side 0.176 < 3.0
+    assert within_distance_res(1.0) == 7
+    assert within_distance_res(180.0) == 0
+    with pytest.raises(ValueError):
+        within_distance_res(0.0)
+
+
+def test_within_join_plan_has_no_cross_product_or_sort_merge(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_pairs,
+    )
+
+    df = _wd_points(spark)
+    plan = within_distance_pairs(df, 2.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
