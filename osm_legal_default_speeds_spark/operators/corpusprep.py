@@ -115,3 +115,105 @@ def pii_redact(
     for _, pattern, placeholder in _PII_RULES:
         clean = F.regexp_replace(clean, pattern, placeholder)
     return out.withColumn(out_col, clean)
+
+
+# ---------------------------------------------------------------------------
+# Line-level cleaning (C4-style) and cross-corpus boilerplate removal
+# ---------------------------------------------------------------------------
+
+_TERMINALS = (".", "!", "?", '"')
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    min_words: int = 3,
+    deny_substrings: tuple[str, ...] = ("{", "javascript", "lorem ipsum"),
+) -> DataFrame:
+    """C4-style line filtering inside each document: keep only lines
+    that (a) end in terminal punctuation (. ! ? \"), (b) have at least
+    ``min_words`` space-separated words, and (c) contain none of the
+    lowercase ``deny_substrings``. Appends ``out_col`` (kept lines
+    re-joined with newlines) plus ``n_lines_kept`` / ``n_lines_dropped``.
+
+    Map-side only: one split + one array filter per row, no shuffle,
+    no Python. The per-line predicate avoids regex entirely (terminal
+    check is a last-character IN, word count a split length) so the
+    DuckDB twin is trivially identical. Lines are trimmed of
+    carriage returns only, not whitespace — C4 drops a line with
+    trailing spaces after the period, and so does this."""
+    nl = F.lit("\n")
+    lines = F.split(F.col(text_col), "\n", -1)
+
+    def keep(line):
+        last = F.substring(line, -1, 1)
+        cond = last.isin(*_TERMINALS)
+        cond = cond & (F.size(F.split(line, " ", -1)) >= F.lit(min_words))
+        low = F.lower(line)
+        for s in deny_substrings:
+            cond = cond & ~low.contains(F.lit(s))
+        return cond
+
+    kept = F.filter(lines, keep)
+    return (
+        df.withColumn(out_col, F.array_join(kept, "\n"))
+        .withColumn("n_lines_kept", F.size(kept).cast("long"))
+        .withColumn(
+            "n_lines_dropped", (F.size(lines) - F.size(kept)).cast("long")
+        )
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove every line that occurs in >= ``min_docs`` DISTINCT
+    documents (the CCNet/RefinedWeb boilerplate pass: navigation bars,
+    cookie banners, license footers repeat across pages; prose does
+    not). Appends ``out_col`` with surviving lines re-joined in
+    original order, plus ``n_lines_dropped``.
+
+    Plan: ONE aggregation shuffle finds the boilerplate set — lines
+    explode to md5 hashes (16-byte keys, never full line text, cross
+    the exchange; map-side partial combine collapses per-partition
+    repeats), `count(DISTINCT doc)` >= min_docs. That set is by
+    construction the corpus' shared boilerplate — small at any scale
+    (it grows with the number of distinct templates, not with rows) —
+    so it broadcasts as ONE array column and reconstruction is a
+    map-side array filter over the original rows: line order is
+    preserved for free because the doc row is never taken apart. The
+    O(|boilerplate|) membership probe per line is an interpreted HOF
+    scan; swap the probe array for a broadcast-join against exploded
+    lines if a corpus ever yields a boilerplate set too large to probe
+    — at that point the corpus is mostly template and line dedup is
+    the wrong tool anyway."""
+    lines = F.split(F.col(text_col), "\n", -1)
+    common = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(lines).alias("__line"),
+        )
+        .groupBy(F.md5(F.col("__line")).alias("__h"))
+        .agg(F.count_distinct(F.col("__id")).alias("__n"))
+        .where(F.col("__n") >= F.lit(min_docs))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("__h")).alias("__common"))
+    )
+    kept = F.filter(
+        lines,
+        lambda line: ~F.array_contains(F.col("__common"), F.md5(line)),
+    )
+    out = df.crossJoin(F.broadcast(common))
+    return (
+        out.withColumn(out_col, F.array_join(kept, "\n"))
+        .withColumn(
+            "n_lines_dropped",
+            (F.size(lines) - F.size(kept)).cast("long"),
+        )
+        .drop("__common")
+    )

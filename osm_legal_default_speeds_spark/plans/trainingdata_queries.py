@@ -1957,6 +1957,119 @@ FROM aug
 SQL_PII_REDACT = _sql_pii_redact()
 
 
+def _docs_lines_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line variants of the (single-line) documents table: three
+    content lines sliced from the doc's own words, a license footer in
+    every doc, a newsletter banner in half, a one-word junk line in a
+    third — the fixture both line operators need (driver docs have no
+    newlines). Every doc has >= 10 words, so all slices are full."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ", -1)
+    did = F.col("doc_id")
+    l1 = F.concat(F.array_join(F.slice(w, 1, 6), " "), F.lit("."))
+    l2 = F.array_join(F.slice(w, 7, 4), " ")  # no terminal punctuation
+    l3 = F.concat(F.array_join(F.slice(w, 2, 7), " "), F.lit("!"))
+    return d.select(
+        did.alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            l1,
+            l2,
+            F.lit("all rights reserved worldwide."),
+            l3,
+            F.when(did % 2 == 0, F.lit("subscribe to our newsletter today.")),
+            F.when(did % 3 == 0, F.concat(F.element_at(w, 1), F.lit("."))),
+        ).alias("text"),
+    )
+
+
+SQL_DOCS_LINES_AUG = """
+  SELECT doc_id,
+    concat_ws(chr(10),
+      array_to_string(t[1:6], ' ') || '.',
+      array_to_string(t[7:10], ' '),
+      'all rights reserved worldwide.',
+      array_to_string(t[2:8], ' ') || '!',
+      CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today.' END,
+      CASE WHEN doc_id % 3 = 0 THEN t[1] || '.' END
+    ) AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-document line filtering (terminal punctuation,
+    min words, deny substrings) over the multi-line fixture. Map-side
+    only; oracle = the identical list_filter predicate."""
+    from osm_legal_default_speeds_spark.operators.corpusprep import (
+        clean_lines,
+    )
+
+    return clean_lines(_docs_lines_aug(spark, sf_dir)).select(
+        "doc_id", "clean_text", "n_lines_kept", "n_lines_dropped"
+    )
+
+
+SQL_CLEAN_LINES = f"""
+WITH aug AS ({SQL_DOCS_LINES_AUG}),
+ln AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug),
+k AS (
+  SELECT doc_id, lines,
+    list_filter(lines, l ->
+      l[-1] IN ('.', '!', '?', '"')
+      AND len(string_split(l, ' ')) >= 3
+      AND NOT contains(lower(l), '{{')
+      AND NOT contains(lower(l), 'javascript')
+      AND NOT contains(lower(l), 'lorem ipsum')) AS kept
+  FROM ln
+)
+SELECT doc_id,
+  -- DuckDB's array_to_string([]) is NULL; Spark's array_join([]) is ''
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+  len(kept)::BIGINT AS n_lines_kept,
+  (len(lines) - len(kept))::BIGINT AS n_lines_dropped
+FROM k
+"""
+
+
+LINE_DEDUP_MIN_DOCS = 3
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate line removal: lines in >= 3 distinct
+    docs (the planted footer/banner/junk lines) vanish from every doc,
+    order preserved. One agg shuffle + broadcast probe set; oracle =
+    GROUP BY line HAVING + the identical list_filter."""
+    from osm_legal_default_speeds_spark.operators.corpusprep import (
+        dedup_lines,
+    )
+
+    return dedup_lines(
+        _docs_lines_aug(spark, sf_dir), min_docs=LINE_DEDUP_MIN_DOCS
+    ).select("doc_id", "clean_text", "n_lines_dropped")
+
+
+SQL_LINE_DEDUP = f"""
+WITH aug AS ({SQL_DOCS_LINES_AUG}),
+ln AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug),
+ex AS (SELECT doc_id, unnest(lines) AS line FROM ln),
+common AS (
+  SELECT md5(line) AS h FROM ex
+  GROUP BY line HAVING count(DISTINCT doc_id) >= {LINE_DEDUP_MIN_DOCS}
+),
+cs AS (SELECT coalesce(list(h), []::VARCHAR[]) AS hs FROM common)
+SELECT doc_id,
+  -- DuckDB's array_to_string([]) is NULL; Spark's array_join([]) is ''
+  coalesce(array_to_string(
+    list_filter(lines, l -> NOT list_contains(hs, md5(l))), chr(10)
+  ), '') AS clean_text,
+  (len(lines)
+   - len(list_filter(lines, l -> NOT list_contains(hs, md5(l)))))::BIGINT
+    AS n_lines_dropped
+FROM ln, cs
+"""
+
+
 TRAININGDATA_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1980,6 +2093,8 @@ TRAININGDATA_QUERIES = {
     "decontaminate": q_decontaminate,
     "chunk_docs": q_chunk_docs,
     "pii_redact": q_pii_redact,
+    "clean_lines": q_clean_lines,
+    "line_dedup": q_line_dedup,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_lsh_topk_partial": q_ann_lsh_topk_partial,
@@ -2052,6 +2167,8 @@ TRAININGDATA_ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "pii_redact": SQL_PII_REDACT,
+    "clean_lines": SQL_CLEAN_LINES,
+    "line_dedup": SQL_LINE_DEDUP,
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     # partial top-k is an exact reformulation of the window rank

@@ -102,3 +102,98 @@ def test_chunk_plan_is_map_side_only(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = chunk_documents(df, 2, 1)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# clean_lines / dedup_lines
+# ---------------------------------------------------------------------------
+
+
+def test_clean_lines_rules(spark):
+    doc = "\n".join(
+        [
+            "this line is a keeper.",          # kept
+            "no terminal punctuation here",    # dropped: no . ! ? "
+            "too short.",                      # dropped: < 3 words
+            "shouting is fine too!",           # kept
+            'quoted lines also count."',       # kept
+            "contains { a brace in it.",       # dropped: deny substring
+            "click here for JavaScript magic.",  # dropped: case-folded deny
+            "Lorem Ipsum dolor sit amet.",     # dropped: deny
+            "is this a question?",             # kept
+        ]
+    )
+    from osm_legal_default_speeds_spark.operators.corpusprep import clean_lines
+
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = clean_lines(df).collect()[0]
+    assert r.clean_text == "\n".join(
+        [
+            "this line is a keeper.",
+            "shouting is fine too!",
+            'quoted lines also count."',
+            "is this a question?",
+        ]
+    )
+    assert (r.n_lines_kept, r.n_lines_dropped) == (4, 5)
+
+
+def test_clean_lines_empty_and_all_dropped(spark):
+    from osm_legal_default_speeds_spark.operators.corpusprep import clean_lines
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "nope\nstill nope")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in clean_lines(df).collect()}
+    # empty text splits to [''], which fails every rule
+    assert got[1].clean_text == "" and got[1].n_lines_dropped == 1
+    assert got[2].clean_text == "" and got[2].n_lines_kept == 0
+
+
+def test_clean_lines_is_map_side_only(spark):
+    from osm_legal_default_speeds_spark.operators.corpusprep import clean_lines
+
+    df = spark.createDataFrame([(1, "a b c.")], "doc_id long, text string")
+    plan = clean_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dedup_lines_removes_boilerplate_preserves_order(spark):
+    footer = "all rights reserved."
+    rows = [
+        (1, f"alpha unique one.\n{footer}\nbeta unique one."),
+        (2, f"{footer}\nalpha unique two."),
+        (3, f"gamma unique three.\n{footer}"),
+        (4, "delta has no footer at all."),
+    ]
+    from osm_legal_default_speeds_spark.operators.corpusprep import dedup_lines
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_lines(df, min_docs=3).collect()}
+    assert got[1].clean_text == "alpha unique one.\nbeta unique one."
+    assert got[2].clean_text == "alpha unique two."
+    assert got[3].clean_text == "gamma unique three."
+    assert got[4].clean_text == rows[3][1]
+    assert [got[i].n_lines_dropped for i in (1, 2, 3, 4)] == [1, 1, 1, 0]
+
+
+def test_dedup_lines_counts_distinct_docs_not_occurrences(spark):
+    # a line repeated 5x inside ONE doc is not boilerplate
+    rep = "repeat me."
+    rows = [(1, "\n".join([rep] * 5)), (2, "other text here.")]
+    from osm_legal_default_speeds_spark.operators.corpusprep import dedup_lines
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_lines(df, min_docs=2).collect()}
+    assert got[1].clean_text == "\n".join([rep] * 5)
+    assert got[1].n_lines_dropped == 0
+
+
+def test_dedup_lines_no_common_lines_is_identity(spark):
+    rows = [(1, "one of a kind."), (2, "also unique.")]
+    from osm_legal_default_speeds_spark.operators.corpusprep import dedup_lines
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_lines(df, min_docs=2).collect()}
+    assert got[1].clean_text == rows[0][1]
+    assert got[2].clean_text == rows[1][1]
