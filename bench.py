@@ -540,6 +540,10 @@ EXTENDED_QUERIES = (
     "rasterize_segments",
     "tile_pyramid",
     "semantic_dedup",
+    "snap_segments",
+    "tile_smooth",
+    "polygon_overlay",
+    "simplify_lines",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

@@ -1239,3 +1239,353 @@ def within_distance_pairs(
     return within_distance_join(
         a, b, radius, "id_a", "id_b", lon, lat, res, self_pairs=True
     )
+
+
+# --------------------------------------------------------------------------
+# Map matching: snap points to the nearest road segment within a radius
+# (the reference resolves "which jurisdiction does this point belong
+# to"; this resolves "which WAY does this GPS/image point belong to" —
+# the standard map-matching primitive for attaching camera captures to
+# the road network before speed-limit inference).
+# --------------------------------------------------------------------------
+
+def point_segment_snap(
+    px: Column, py: Column, x0: Column, y0: Column, x1: Column, y1: Column
+) -> tuple[Column, Column, Column]:
+    """(snap_x, snap_y, d2): closest point on segment (x0,y0)-(x1,y1)
+    to p, and the squared distance. Classic clamped projection —
+    t = clamp(dot(p-a, b-a) / |b-a|^2, 0, 1) — written with +,-,*,/
+    and least/greatest only, so the DuckDB twin (same parenthesization)
+    is bit-identical. Degenerate zero-length segments snap to their
+    single endpoint (t = 0)."""
+    dx = x1 - x0
+    dy = y1 - y0
+    len2 = dx * dx + dy * dy
+    t_raw = F.when(len2 == 0, F.lit(0.0)).otherwise(
+        ((px - x0) * dx + (py - y0) * dy) / len2
+    )
+    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    qx = x0 + t * dx
+    qy = y0 + t * dy
+    ddx = px - qx
+    ddy = py - qy
+    return qx, qy, ddx * ddx + ddy * ddy
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: float,
+    point_id: str = "id",
+    lon: str = "lon",
+    lat: str = "lat",
+    seg_id: str = "seg_id",
+    lon0: str = "lon0",
+    lat0: str = "lat0",
+    lon1: str = "lon1",
+    lat1: str = "lat1",
+    res: int | None = None,
+) -> DataFrame:
+    """Snap each point to the nearest segment STRICTLY within planar
+    degree distance ``radius``: (point_id, seg_id, snap_lon, snap_lat,
+    dist), argmin ties broken by smallest seg_id. Points with no
+    segment within the radius are dropped (left-join the result back
+    to keep them).
+
+    Plan (the segment twin of ``within_distance_join``): points
+    explode their 3x3 neighbor ring at a res whose cell side covers
+    the radius; segments explode their exact supercover cells
+    (``segment_cells`` — every cell the segment passes through); ONE
+    shuffle-hash equi-join on cell, the exact clamped-projection
+    distance filter, then a groupBy(point) min-struct argmin (which
+    also collapses the duplicate candidates a segment spanning several
+    ring cells produces). No inequality cross product anywhere; the
+    shuffle carries 9 skinny rows per point + one per (segment,
+    crossed cell).
+
+    Completeness: if dist(p, s) < radius <= cell_side, the closest
+    point q on s lies within one cell of p in each axis, and q's cell
+    is one of s's supercover cells, so the pair is found via the
+    1-ring. (The STRICT inequality matters: at dist == radius ==
+    cell_side exactly, a lattice-degenerate corner case can place q's
+    only cell outside the ring; strictness excludes it in both
+    engines identically.)
+
+    Antimeridian: candidate cells wrap (``neighbor_cells`` pmods lon),
+    and the point's longitude is shifted by a whole number of turns
+    into the segment's frame before projecting — floor-based, so the
+    oracle reproduces it bit-for-bit. Segments themselves must not
+    cross +-180 (split upstream, as admin/road datasets do).
+
+    At 100 TB: shuffle volume is 9|P| + sum(cells per segment) skinny
+    rows hashed on cell; dense-city hot cells are plain equi-join skew
+    (AQE splits them). Payloads never ride along — join ids back."""
+    if res is None:
+        res = within_distance_res(radius)
+    if 180.0 / (1 << res) < radius:
+        raise ValueError(
+            f"cell side at res {res} is smaller than radius {radius}; "
+            "the 1-ring candidate guarantee would not hold"
+        )
+    nx, ny = grid_nx(res), grid_ny(res)
+
+    def gx(c: str) -> Column:
+        return (F.col(c) + 180.0) / 360.0 * nx
+
+    def gy(c: str) -> Column:
+        return (F.col(c) + 90.0) / 180.0 * ny
+
+    cells = segment_cells(gx(lon0), gy(lat0), gx(lon1), gy(lat1), nx, ny)
+    build = segments.select(
+        F.col(seg_id).alias("__sid"),
+        F.col(lon0).alias("__x0"),
+        F.col(lat0).alias("__y0"),
+        F.col(lon1).alias("__x1"),
+        F.col(lat1).alias("__y1"),
+        F.explode(cells).alias("__c"),
+    ).select(
+        "__sid", "__x0", "__y0", "__x1", "__y1",
+        (F.col("__c.cx") * ny + F.col("__c.cy")).cast("long").alias("__cell"),
+    )
+    probe = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col(lon).alias("__plon"),
+        F.col(lat).alias("__plat"),
+        F.explode(
+            neighbor_cells(grid_cell(F.col(lon), F.col(lat), res), res, 1)
+        ).alias("__cell"),
+    )
+    cand = probe.hint("shuffle_hash").join(build.hint("shuffle_hash"), "__cell")
+    # shift the point into the segment's longitude frame (whole turns)
+    mid = (F.col("__x0") + F.col("__x1")) / 2.0
+    px = F.col("__plon") + F.floor((mid - F.col("__plon")) / 360.0 + 0.5) * 360.0
+    qx, qy, d2 = point_segment_snap(
+        px, F.col("__plat"),
+        F.col("__x0"), F.col("__y0"), F.col("__x1"), F.col("__y1"),
+    )
+    scored = cand.select(
+        "__pid",
+        F.struct(
+            d2.alias("d2"),
+            F.col("__sid").alias("sid"),
+            qx.alias("qx"),
+            qy.alias("qy"),
+        ).alias("__m"),
+    ).where(F.col("__m.d2") < F.lit(radius * radius))
+    best = scored.groupBy("__pid").agg(F.min("__m").alias("m"))
+    return best.select(
+        F.col("__pid").alias(point_id),
+        F.col("m.sid").alias(seg_id),
+        F.col("m.qx").alias("snap_lon"),
+        F.col("m.qy").alias("snap_lat"),
+        F.sqrt(F.col("m.d2")).alias("dist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kernel density smoothing over the tile grid (heatmap tiles)
+# --------------------------------------------------------------------------
+
+def tile_smooth(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    res: int,
+    w_center: int = 4,
+    w_edge: int = 2,
+    w_corner: int = 1,
+) -> DataFrame:
+    """Discrete 3x3-kernel density per cell — the heatmap-tile
+    operator: (cell, density) where density = sum over the cell's
+    neighborhood of kernel_weight * point_count. Integer weights keep
+    the aggregate order-independent and bit-exact cross-engine.
+
+    Plan: ONE row-bearing shuffle (groupBy cell -> counts, map-side
+    partial combine), then the 9-way kernel SCATTER runs over cells —
+    each count row emits (neighbor, w * n) contributions — and a
+    second groupBy over O(9 x occupied cells) rows merges them. The
+    convolution therefore never touches row-scale data; at 100 TB the
+    second exchange moves kilobytes per thousand tiles. Cells with
+    zero points but occupied neighbors appear with their smoothed
+    mass, exactly like a raster convolution (edge rows clamp at the
+    poles, longitude wraps). Requires res >= 2 so the 3-wide kernel
+    cannot wrap onto itself."""
+    if res < 2:
+        raise ValueError("tile_smooth needs res >= 2 (kernel would self-wrap)")
+    nx, ny = grid_nx(res), grid_ny(res)
+    counts = df.groupBy(
+        grid_cell(F.col(lon_col), F.col(lat_col), res).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    x = F.floor(F.col("cell") / F.lit(ny)).cast("long")
+    y = (F.col("cell") - x * ny).cast("long")
+    contribs = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            w = (
+                w_center
+                if dx == 0 and dy == 0
+                else (w_edge if dx == 0 or dy == 0 else w_corner)
+            )
+            yy = y + dy
+            xx = F.pmod(x + dx, F.lit(nx))
+            contribs.append(
+                F.when(
+                    (yy >= 0) & (yy < ny),
+                    F.struct(
+                        (xx * ny + yy).cast("long").alias("tgt"),
+                        F.lit(int(w)).cast("long").alias("w"),
+                    ),
+                )
+            )
+    arr = F.filter(F.array(*contribs), lambda c: c.isNotNull())
+    scat = counts.select(F.col("n"), F.explode(arr).alias("c"))
+    return scat.groupBy(F.col("c.tgt").alias("cell")).agg(
+        F.sum(F.col("c.w") * F.col("n")).alias("density")
+    )
+
+
+# --------------------------------------------------------------------------
+# Raster-space polygon overlay join (which admin area x which
+# ecoregion/coverage layer, with area weights) — the distributed
+# alternative to exact polygon clipping: both layers rasterize under
+# the cell-center rule and intersect as plain (cell, id) relations.
+# --------------------------------------------------------------------------
+
+def polygon_overlay(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    res: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Overlay two polygon layers: (id_a, id_b, n_cells, area_deg2)
+    for every pair of polygons whose rasterizations share at least one
+    cell at ``res``. area_deg2 = n_cells x cell area is the standard
+    raster approximation of the intersection area (error O(perimeter x
+    cell_side) — pick res to taste; the equal-area grid variant of the
+    same composition uses grid_cell_ea ids upstream).
+
+    Plan: two independent exact rasterizations (each a map-side
+    explode bounded by bbox x vertices), ONE shuffle-hash equi-join on
+    cell (both sides skinny (id, cell) relations — never a
+    geometry-by-geometry cross product, which is the naive overlay's
+    downfall), and a groupBy pair count whose map-side combine shrinks
+    the exchange to O(intersecting pairs). Polygon-count scale is
+    unbounded on BOTH sides — neither layer is broadcast."""
+    ra = rasterize_polygons(polys_a, res).select(
+        F.col("region_code").alias(id_a), "cell"
+    )
+    rb = rasterize_polygons(polys_b, res).select(
+        F.col("region_code").alias(id_b), "cell"
+    )
+    nx, ny = grid_nx(res), grid_ny(res)
+    cell_area = (360.0 / nx) * (180.0 / ny)
+    j = ra.hint("shuffle_hash").join(rb.hint("shuffle_hash"), "cell")
+    return j.groupBy(id_a, id_b).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (F.count(F.lit(1)) * F.lit(cell_area)).alias("area_deg2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Polyline simplification (Douglas-Peucker) — per-zoom way geometry
+# reduction for vector tiles. Rows are independent (one polyline
+# each), so the operator is an Arrow-batched mapInPandas with a
+# numpy-vectorized split search per recursion level: the classic
+# "per-partition imperative logic" case the DataFrame algebra cannot
+# express (data-dependent recursion depth), kept off the hot path of
+# everything else.
+# --------------------------------------------------------------------------
+
+def _dp_keep_mask(xs, ys, tol: float):
+    """Boolean keep-mask for one polyline under Douglas-Peucker with
+    tolerance ``tol``. All comparisons use SQUARED cross products
+    (cross^2 > tol^2 * seg_len2) — pure *,-,+ on doubles, no sqrt/
+    hypot — so the DuckDB recursive-CTE oracle computing the identical
+    expressions is bit-identical, including argmax tie-breaks (first
+    maximum). Stack order is deterministic (left interval first)."""
+    import numpy as np
+
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    tol2 = tol * tol
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        x0, y0, x1, y1 = xs[i], ys[i], xs[j], ys[j]
+        dx, dy = x1 - x0, y1 - y0
+        seg2 = dx * dx + dy * dy
+        px = xs[i + 1 : j]
+        py = ys[i + 1 : j]
+        if seg2 == 0.0:
+            ddx = px - x0
+            ddy = py - y0
+            score = ddx * ddx + ddy * ddy
+            thresh = tol2
+        else:
+            cross = dx * (py - y0) - dy * (px - x0)
+            score = cross * cross
+            thresh = tol2 * seg2
+        k = int(np.argmax(score))  # first max — mirrored by the oracle
+        if score[k] > thresh:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((m, j))
+            stack.append((i, m))
+    return keep
+
+
+def simplify_lines(
+    lines: DataFrame,
+    tol: float,
+    id_col: str = "line_id",
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """Douglas-Peucker polyline simplification: one output row per
+    KEPT vertex — (line_id, seq, x, y) with seq re-numbered 0..k-1 in
+    traversal order. Exploded scalar rows (not arrays) so results are
+    engine-portable and hash-stable.
+
+    Guarantees: endpoints always kept; every dropped vertex lies
+    within ``tol`` perpendicular degrees of the simplified polyline's
+    generating split segment; deterministic (first-max split choice);
+    idempotent (running the output through the same tol is a no-op).
+
+    Scale: per-row work is O(n log n) typical / O(n^2) worst on the
+    line's OWN vertex count (ways are 10-10^3 vertices), zero shuffle,
+    Arrow-batched numpy — the standard per-zoom preprocessing step
+    before ``rasterize_segments``/vector-tile encode. Degenerate
+    inputs: lines with < 2 vertices pass through unchanged."""
+    import pandas as pd
+
+    schema = f"{id_col} long, seq int, x double, y double"
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, seqs, oxs, oys = [], [], [], []
+            for lid, xs, ys in zip(pdf[id_col], pdf[xs_col], pdf[ys_col]):
+                xs = np.asarray(xs, dtype=np.float64)
+                ys = np.asarray(ys, dtype=np.float64)
+                n = len(xs)
+                if n <= 2:
+                    keep = np.ones(n, dtype=bool)
+                else:
+                    keep = _dp_keep_mask(xs, ys, tol)
+                kx = xs[keep]
+                ky = ys[keep]
+                k = len(kx)
+                ids.extend([lid] * k)
+                seqs.extend(range(k))
+                oxs.extend(kx.tolist())
+                oys.extend(ky.tolist())
+            yield pd.DataFrame(
+                {id_col: ids, "seq": seqs, "x": oxs, "y": oys}
+            )
+
+    return lines.mapInPandas(kernel, schema)

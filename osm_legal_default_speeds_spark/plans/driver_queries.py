@@ -1492,3 +1492,298 @@ ORACLES = {
     # the indexed path shares the full-scan oracle
     "knn_indexed": SQL_KNN_NEAREST,
 }
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: map matching, heatmap smoothing, polygon overlay,
+# Douglas-Peucker simplification
+# --------------------------------------------------------------------------
+
+SNAP_RADIUS = 1.0  # degrees; res auto-picks 7 (cell side 1.40625 >= r)
+
+
+def q_snap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching: snap sampled road points to the nearest (strictly
+    within 1 degree) road segment from a DISJOINT sample, via supercover
+    cell bucketing + 1-ring candidate join + min-struct argmin. Oracle:
+    brute-force cross join with the identical clamped-projection
+    arithmetic (the oracle is O(|P| x |S|); the operator is the scale
+    path)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        snap_to_segments,
+    )
+
+    pts = (
+        _roads_df(spark, sf_dir)
+        .where(F.col("road_id") % 3 == 1)
+        .select("road_id", "lon", "lat")
+    )
+    # the operator contract requires segments split at +-180; the raw
+    # _segs_df fixture lets lon1 run past the antimeridian (harmless
+    # for rasterize_segments, whose oracle clamps identically), so keep
+    # only segments that stay in range (|lon0| <= 170 bounds lon1 by
+    # 170 + 4.2 < 180)
+    segs = _segs_df(spark, sf_dir).where(
+        (F.col("seg_id") % 3 == 2) & (F.abs(F.col("lon0")) <= 170.0)
+    )
+    return snap_to_segments(
+        pts, segs, SNAP_RADIUS, point_id="road_id"
+    )
+
+
+SQL_SNAP_SEGMENTS = f"""
+WITH roads AS ({_ROADS_SQL}),
+segs0 AS ({_SEGS_SQL}),
+pts AS (SELECT road_id, lon, lat FROM roads WHERE road_id % 3 = 1),
+segs AS (SELECT * FROM segs0 WHERE seg_id % 3 = 2 AND ABS(lon0) <= 170.0),
+cand AS (
+  SELECT p.road_id, s.seg_id,
+    p.lon + FLOOR(((s.lon0 + s.lon1) / 2.0 - p.lon) / 360.0 + 0.5) * 360.0 AS px,
+    p.lat AS py, s.lon0 AS x0, s.lat0 AS y0,
+    s.lon1 - s.lon0 AS dx, s.lat1 - s.lat0 AS dy
+  FROM pts p CROSS JOIN segs s
+),
+proj AS (
+  SELECT road_id, seg_id, px, py, x0, y0, dx, dy,
+    LEAST(GREATEST(CASE WHEN dx * dx + dy * dy = 0.0 THEN 0.0
+      ELSE ((px - x0) * dx + (py - y0) * dy) / (dx * dx + dy * dy) END,
+      0.0), 1.0) AS t
+  FROM cand
+),
+scored AS (
+  SELECT road_id, seg_id, x0 + t * dx AS qx, y0 + t * dy AS qy,
+    (px - (x0 + t * dx)) * (px - (x0 + t * dx))
+      + (py - (y0 + t * dy)) * (py - (y0 + t * dy)) AS d2
+  FROM proj
+)
+SELECT road_id, seg_id, qx AS snap_lon, qy AS snap_lat, sqrt(d2) AS dist
+FROM scored WHERE d2 < {SNAP_RADIUS * SNAP_RADIUS!r}
+QUALIFY ROW_NUMBER() OVER (PARTITION BY road_id ORDER BY d2, seg_id) = 1
+"""
+
+
+_SMOOTH_RES = 5  # nx=64, ny=32 (shared with tile_rollup's grid)
+
+
+def q_tile_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heatmap tiles: 3x3 discrete-kernel (4/2/1) density smoothing of
+    road-point counts. Cells with zero points but occupied neighbors
+    receive mass, exactly like a raster convolution."""
+    from osm_legal_default_speeds_spark.operators.spatial import tile_smooth
+
+    return tile_smooth(
+        _roads_df(spark, sf_dir), "lon", "lat", _SMOOTH_RES
+    )
+
+
+def _sql_tile_smooth(res: int) -> str:
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        grid_nx,
+        grid_ny,
+    )
+
+    nx, ny = grid_nx(res), grid_ny(res)
+    kernel = ",".join(
+        f"({dx},{dy},{4 if dx == 0 and dy == 0 else (2 if dx == 0 or dy == 0 else 1)})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    return f"""
+WITH roads AS ({_ROADS_SQL}),
+counts AS (
+  SELECT (LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * {nx}), 0), {nx - 1})::BIGINT * {ny}
+          + LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * {ny}), 0), {ny - 1})::BIGINT) AS cell,
+         COUNT(*)::BIGINT AS n
+  FROM roads GROUP BY 1
+),
+xy AS (SELECT cell, n, (cell // {ny})::BIGINT AS x, (cell % {ny})::BIGINT AS y FROM counts),
+scat AS (
+  SELECT ((((x + k.dx) % {nx}) + {nx}) % {nx}) * {ny} + (y + k.dy) AS cell,
+         k.w::BIGINT * n AS c
+  FROM xy, (VALUES {kernel}) k(dx, dy, w)
+  WHERE y + k.dy >= 0 AND y + k.dy < {ny}
+)
+SELECT cell, SUM(c)::BIGINT AS density FROM scat GROUP BY 1
+"""
+
+
+SQL_TILE_SMOOTH = _sql_tile_smooth(_SMOOTH_RES)
+
+
+def synth_overlay_squares():
+    """Second polygon layer for the overlay query: 24.6-degree CCW
+    squares ('ecoregions') on a 30 x 50 degree lattice offset from the
+    jurisdiction layer. Vertex coordinates carry .3/.7 fractional
+    offsets so no res-6 cell center lands exactly on an edge (same
+    fixture guarantee as synth_polygons — the strict half-plane oracle
+    and the half-open ray cast then agree)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        PolygonBoundary,
+    )
+
+    polys = []
+    s = 24.6
+    for i in range(12):
+        x0 = -180.0 + i * 30.0 + 3.7
+        for j in range(3):
+            y0 = -75.0 + j * 50.0 + 2.3
+            ring = (
+                (x0, y0),
+                (x0 + s, y0),
+                (x0 + s, y0 + s),
+                (x0, y0 + s),
+            )
+            polys.append(
+                PolygonBoundary(f"E{i:02d}{j}", (ring,), priority=i * 3 + j)
+            )
+    return polys
+
+
+def q_polygon_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-space overlay of the jurisdiction polygons x the
+    ecoregion squares at res 6: (id_a, id_b, n_cells, area_deg2) per
+    intersecting pair — the distributed alternative to exact clipping.
+    sf_dir is unused by design: both inputs are polygon tables."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        polygon_overlay,
+        polygons_to_df,
+    )
+
+    return polygon_overlay(
+        polygons_to_df(spark, synth_polygons()),
+        polygons_to_df(spark, synth_overlay_squares()),
+        res=_RASTER_RES,
+    )
+
+
+def _overlay_sql() -> str:
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        grid_nx,
+        grid_ny,
+    )
+
+    nx, ny = grid_nx(_RASTER_RES), grid_ny(_RASTER_RES)
+    cell_area = (360.0 / nx) * (180.0 / ny)
+    return f"""
+WITH ra AS ({_rasterize_sql(synth_polygons(), _RASTER_RES)}),
+rb AS ({_rasterize_sql(synth_overlay_squares(), _RASTER_RES)})
+SELECT ra.region_code AS id_a, rb.region_code AS id_b,
+       COUNT(*)::BIGINT AS n_cells,
+       COUNT(*) * {cell_area!r} AS area_deg2
+FROM ra JOIN rb USING (cell)
+GROUP BY 1, 2
+"""
+
+
+SQL_POLYGON_OVERLAY = _overlay_sql()
+
+
+_DP_TOL = 0.1
+
+
+def _lines_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic zigzag polylines (5-11 vertices) anchored at road
+    points: x advances 0.5/step, y wiggles by an integer-hash fraction
+    of 0.3 degrees — enough structure that DP both keeps and drops
+    interior vertices at tol 0.1."""
+    r = _roads_df(spark, sf_dir).where(F.col("road_id") % 5 == 0)
+    n = (F.col("road_id") % 7 + 5).cast("int")
+    seq = F.sequence(F.lit(0), (n - 1).cast("int"))
+    xs = F.transform(seq, lambda i: F.col("lon") + i * 0.5)
+    ys = F.transform(
+        seq,
+        lambda i: F.col("lat")
+        + ((F.col("road_id") * (i + F.lit(1)) * F.lit(2654435761)) % 1000)
+        / 1000.0
+        * 0.3,
+    )
+    return r.select(
+        F.col("road_id").alias("line_id"), xs.alias("xs"), ys.alias("ys")
+    )
+
+
+def q_simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker at tol 0.1 over the zigzag fixture, exploded to
+    (line_id, seq, x, y) kept-vertex rows. Oracle: the IDENTICAL
+    squared-cross-product recursion as a DuckDB recursive CTE over the
+    same lists — every split decision compares bit-identical doubles,
+    including the first-max argmax tie-break (list_position of
+    list_max)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        simplify_lines,
+    )
+
+    return simplify_lines(_lines_df(spark, sf_dir), tol=_DP_TOL)
+
+
+def _simplify_sql(tol: float) -> str:
+    tol2 = tol * tol
+    return f"""
+WITH RECURSIVE roads AS ({_ROADS_SQL}),
+lines AS (
+  SELECT road_id AS line_id,
+    list_transform(range(0, 5 + road_id % 7), i -> lon + i * 0.5) AS xs,
+    list_transform(range(0, 5 + road_id % 7),
+      i -> lat + ((road_id * (i + 1) * 2654435761) % 1000) / 1000.0 * 0.3) AS ys
+  FROM roads WHERE road_id % 5 = 0
+),
+splits(line_id, i, j) AS (
+  SELECT line_id, 1::BIGINT, len(xs)::BIGINT FROM lines
+  UNION ALL
+  SELECT s.line_id,
+         CASE WHEN b.b = 0 THEN s.i ELSE t.k END,
+         CASE WHEN b.b = 0 THEN t.k ELSE s.j END
+  FROM splits s
+  JOIN lines l ON l.line_id = s.line_id,
+  LATERAL (SELECT l.xs[s.i] AS x0, l.ys[s.i] AS y0,
+                  l.xs[s.j] - l.xs[s.i] AS dx, l.ys[s.j] - l.ys[s.i] AS dy) g,
+  LATERAL (SELECT g.dx * g.dx + g.dy * g.dy AS seg2) g2,
+  LATERAL (SELECT CASE WHEN g2.seg2 = 0.0
+             THEN list_transform(range(s.i + 1, s.j),
+               m -> (l.xs[m] - g.x0) * (l.xs[m] - g.x0)
+                    + (l.ys[m] - g.y0) * (l.ys[m] - g.y0))
+             ELSE list_transform(range(s.i + 1, s.j),
+               m -> (g.dx * (l.ys[m] - g.y0) - g.dy * (l.xs[m] - g.x0))
+                    * (g.dx * (l.ys[m] - g.y0) - g.dy * (l.xs[m] - g.x0)))
+           END AS scores,
+           CASE WHEN g2.seg2 = 0.0 THEN {tol2!r} ELSE {tol2!r} * g2.seg2 END AS thresh) sc,
+  LATERAL (SELECT s.i + list_position(sc.scores, list_max(sc.scores)) AS k,
+                  list_max(sc.scores) AS mx) t,
+  (VALUES (0), (1)) b(b)
+  WHERE s.j > s.i + 1 AND t.mx > sc.thresh
+),
+kept AS (
+  SELECT DISTINCT line_id, idx FROM (
+    SELECT line_id, i AS idx FROM splits
+    UNION ALL SELECT line_id, j AS idx FROM splits)
+),
+out AS (
+  SELECT kept.line_id,
+         ROW_NUMBER() OVER (PARTITION BY kept.line_id ORDER BY idx) - 1 AS seq,
+         l.xs[idx] AS x, l.ys[idx] AS y
+  FROM kept JOIN lines l ON l.line_id = kept.line_id
+)
+SELECT line_id, seq::INT AS seq, x, y FROM out
+"""
+
+
+SQL_SIMPLIFY_LINES = _simplify_sql(_DP_TOL)
+
+
+QUERIES.update(
+    {
+        "snap_segments": q_snap_segments,
+        "tile_smooth": q_tile_smooth,
+        "polygon_overlay": q_polygon_overlay,
+        "simplify_lines": q_simplify_lines,
+    }
+)
+
+ORACLES.update(
+    {
+        "snap_segments": SQL_SNAP_SEGMENTS,
+        "tile_smooth": SQL_TILE_SMOOTH,
+        "polygon_overlay": SQL_POLYGON_OVERLAY,
+        "simplify_lines": SQL_SIMPLIFY_LINES,
+    }
+)

@@ -1,0 +1,372 @@
+"""snap_to_segments / tile_smooth / polygon_overlay / simplify_lines:
+independent Python twins, geometric invariants, and plan-shape pins."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_legal_default_speeds_spark.operators.spatial import (
+    PolygonBoundary,
+    _dp_keep_mask,
+    grid_cell_py,
+    grid_nx,
+    grid_ny,
+    polygon_overlay,
+    polygons_to_df,
+    rasterize_polygons,
+    simplify_lines,
+    snap_to_segments,
+    tile_smooth,
+)
+
+
+# --------------------------------------------------------------------------
+# snap_to_segments
+# --------------------------------------------------------------------------
+
+def _snap_py(px, py, x0, y0, x1, y1):
+    """Independent clamped-projection twin (plain Python floats)."""
+    dx, dy = x1 - x0, y1 - y0
+    len2 = dx * dx + dy * dy
+    t = 0.0 if len2 == 0 else ((px - x0) * dx + (py - y0) * dy) / len2
+    t = min(max(t, 0.0), 1.0)
+    qx, qy = x0 + t * dx, y0 + t * dy
+    return qx, qy, (px - qx) ** 2 + (py - qy) ** 2
+
+
+def _brute_best(p, segs, radius):
+    """(seg_id, d2) of the nearest segment strictly within radius, ties
+    by smallest seg_id; None if none."""
+    best = None
+    for sid, x0, y0, x1, y1 in segs:
+        mid = (x0 + x1) / 2.0
+        px = p[1] + math.floor((mid - p[1]) / 360.0 + 0.5) * 360.0
+        _, _, d2 = _snap_py(px, p[2], x0, y0, x1, y1)
+        if d2 < radius * radius and (best is None or (d2, sid) < best):
+            best = (d2, sid)
+    return best
+
+
+def _scatter(n, seed, lo_lon=-178.0, hi_lon=178.0, lo_lat=-80.0, hi_lat=80.0):
+    pts = []
+    for i in range(n):
+        h = (i * 2654435761 + seed * 40503) % 100000
+        lon = lo_lon + (h / 100000.0) * (hi_lon - lo_lon)
+        h2 = (i * 97 + seed * 7919 + 13) % 100000
+        lat = lo_lat + (h2 / 100000.0) * (hi_lat - lo_lat)
+        pts.append((i, lon, lat))
+    return pts
+
+
+@pytest.fixture(scope="module")
+def snap_fixture(spark):
+    pts = _scatter(300, seed=1)
+    segs = []
+    for i, lon, lat in _scatter(150, seed=2, lo_lon=-170.0, hi_lon=170.0):
+        dlon = ((i % 9) - 4) * 0.6
+        dlat = ((i % 7) - 3) * 0.4
+        segs.append((i, lon, lat, lon + dlon, lat + dlat))
+    pdf = spark.createDataFrame(pts, "id long, lon double, lat double")
+    sdf = spark.createDataFrame(
+        segs, "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double"
+    )
+    return pts, segs, pdf, sdf
+
+
+def test_snap_matches_brute_force(spark, snap_fixture):
+    pts, segs, pdf, sdf = snap_fixture
+    radius = 1.2
+    got = {
+        r["id"]: (r["seg_id"], r["dist"])
+        for r in snap_to_segments(pdf, sdf, radius, point_id="id").collect()
+    }
+    n_matched = 0
+    for p in pts:
+        best = _brute_best(p, segs, radius)
+        if best is None:
+            assert p[0] not in got
+        else:
+            n_matched += 1
+            d2, sid = best
+            assert got[p[0]][0] == sid
+            assert got[p[0]][1] == pytest.approx(math.sqrt(d2), abs=1e-12)
+    assert n_matched == len(got) and n_matched > 20
+
+
+def test_snap_strictly_within_radius(spark, snap_fixture):
+    _, _, pdf, sdf = snap_fixture
+    radius = 0.8
+    rows = snap_to_segments(pdf, sdf, radius, point_id="id").collect()
+    assert rows and all(r["dist"] < radius for r in rows)
+
+
+def test_snap_tie_breaks_by_smallest_seg_id(spark):
+    pdf = spark.createDataFrame([(0, 10.0, 10.0)], "id long, lon double, lat double")
+    # two identical segments, different ids
+    sdf = spark.createDataFrame(
+        [(7, 9.0, 10.5, 11.0, 10.5), (3, 9.0, 10.5, 11.0, 10.5)],
+        "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double",
+    )
+    [r] = snap_to_segments(pdf, sdf, 1.0, point_id="id").collect()
+    assert r["seg_id"] == 3 and r["dist"] == pytest.approx(0.5)
+
+
+def test_snap_degenerate_point_segment(spark):
+    pdf = spark.createDataFrame([(0, 20.0, 20.0)], "id long, lon double, lat double")
+    sdf = spark.createDataFrame(
+        [(1, 20.3, 20.4, 20.3, 20.4)],
+        "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double",
+    )
+    [r] = snap_to_segments(pdf, sdf, 1.0, point_id="id").collect()
+    assert r["snap_lon"] == 20.3 and r["snap_lat"] == 20.4
+    assert r["dist"] == pytest.approx(0.5)
+
+
+def test_snap_across_antimeridian(spark):
+    """Point at +179.9 snaps to a segment at -179.95 (0.15 deg the
+    short way around)."""
+    pdf = spark.createDataFrame([(0, 179.9, 5.0)], "id long, lon double, lat double")
+    sdf = spark.createDataFrame(
+        [(1, -179.95, 4.0, -179.95, 6.0)],
+        "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double",
+    )
+    [r] = snap_to_segments(pdf, sdf, 1.0, point_id="id").collect()
+    assert r["seg_id"] == 1
+    assert r["dist"] == pytest.approx(0.15, abs=1e-9)
+    assert r["snap_lat"] == pytest.approx(5.0)
+
+
+def test_snap_plan_has_no_cross_product(spark, snap_fixture):
+    _, _, pdf, sdf = snap_fixture
+    plan = snap_to_segments(pdf, sdf, 1.0, point_id="id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# tile_smooth
+# --------------------------------------------------------------------------
+
+def _smooth_py(pts, res, w=(4, 2, 1)):
+    nx, ny = grid_nx(res), grid_ny(res)
+    counts = {}
+    for _, lon, lat in pts:
+        c = grid_cell_py(lon, lat, res)
+        counts[c] = counts.get(c, 0) + 1
+    out = {}
+    for c, n in counts.items():
+        x, y = divmod(c, ny)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                yy = y + dy
+                if yy < 0 or yy >= ny:
+                    continue
+                ww = w[abs(dx) + abs(dy)]
+                tgt = ((x + dx) % nx) * ny + yy
+                out[tgt] = out.get(tgt, 0) + ww * n
+    return out
+
+
+def test_tile_smooth_matches_python_twin(spark):
+    pts = _scatter(500, seed=3, lo_lat=-88.0, hi_lat=88.0)
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    got = {r["cell"]: r["density"] for r in tile_smooth(df, "lon", "lat", 4).collect()}
+    assert got == _smooth_py(pts, 4)
+
+
+def test_tile_smooth_spreads_to_empty_neighbors(spark):
+    df = spark.createDataFrame([(0, 0.1, 0.1)], "id long, lon double, lat double")
+    rows = tile_smooth(df, "lon", "lat", 5).collect()
+    # one point -> full 3x3 kernel footprint
+    assert len(rows) == 9
+    assert sorted(r["density"] for r in rows) == [1, 1, 1, 1, 2, 2, 2, 2, 4]
+
+
+def test_tile_smooth_rejects_tiny_grid(spark):
+    df = spark.createDataFrame([(0, 0.0, 0.0)], "id long, lon double, lat double")
+    with pytest.raises(ValueError):
+        tile_smooth(df, "lon", "lat", 1)
+
+
+# --------------------------------------------------------------------------
+# polygon_overlay
+# --------------------------------------------------------------------------
+
+def _tri(code, cx, cy, r=8.0, priority=0):
+    return PolygonBoundary(
+        code,
+        (((cx - r, cy - r), (cx + r, cy - r), (cx, cy + r)),),
+        priority=priority,
+    )
+
+
+def test_polygon_overlay_matches_rasterize_composition(spark):
+    la = [_tri("A1", 10.3, 10.3), _tri("A2", 40.3, 10.3)]
+    lb = [_tri("B1", 12.3, 12.3), _tri("B2", 80.3, 10.3)]
+    res = 6
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_cells"], r["area_deg2"])
+        for r in polygon_overlay(
+            polygons_to_df(spark, la), polygons_to_df(spark, lb), res
+        ).collect()
+    }
+    ra = rasterize_polygons(polygons_to_df(spark, la), res).collect()
+    rb = rasterize_polygons(polygons_to_df(spark, lb), res).collect()
+    bcells = {}
+    for r in rb:
+        bcells.setdefault(r["cell"], []).append(r["region_code"])
+    want = {}
+    for r in ra:
+        for b in bcells.get(r["cell"], []):
+            want[(r["region_code"], b)] = want.get((r["region_code"], b), 0) + 1
+    nx, ny = grid_nx(res), grid_ny(res)
+    cell_area = (360.0 / nx) * (180.0 / ny)
+    assert set(got) == set(want)
+    for k, n in want.items():
+        assert got[k] == (n, n * cell_area)
+    # disjoint pair never appears
+    assert ("A2", "B2") not in got and ("A1", "B1") in got
+
+
+# --------------------------------------------------------------------------
+# simplify_lines (Douglas-Peucker)
+# --------------------------------------------------------------------------
+
+def _dp_py(xs, ys, tol):
+    """Classic textbook DP with sqrt distances — an INDEPENDENT twin of
+    the squared-comparison production kernel."""
+    n = len(xs)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        x0, y0, x1, y1 = xs[i], ys[i], xs[j], ys[j]
+        seg = math.hypot(x1 - x0, y1 - y0)
+        best_d, best_k = -1.0, -1
+        for m in range(i + 1, j):
+            if seg == 0:
+                d = math.hypot(xs[m] - x0, ys[m] - y0)
+            else:
+                d = abs((x1 - x0) * (ys[m] - y0) - (y1 - y0) * (xs[m] - x0)) / seg
+            if d > best_d:
+                best_d, best_k = d, m
+        if best_d > tol:
+            keep[best_k] = True
+            stack.append((best_k, j))
+            stack.append((i, best_k))
+    return keep
+
+
+def _lines_fixture(spark, n_lines=40):
+    rows = []
+    for lid in range(n_lines):
+        nv = 5 + lid % 9
+        xs = [lid * 2.0 + i * 0.5 for i in range(nv)]
+        ys = [((lid * (i + 1) * 2654435761) % 1000) / 1000.0 for i in range(nv)]
+        rows.append((lid, xs, ys))
+    return rows, spark.createDataFrame(
+        rows, "line_id long, xs array<double>, ys array<double>"
+    )
+
+
+def test_simplify_matches_independent_twin(spark):
+    rows, df = _lines_fixture(spark)
+    tol = 0.2
+    got = {}
+    for r in simplify_lines(df, tol).collect():
+        got.setdefault(r["line_id"], []).append((r["seq"], r["x"], r["y"]))
+    dropped_any = kept_all = 0
+    for lid, xs, ys in rows:
+        keep = _dp_py(xs, ys, tol)
+        want = [
+            (s, x, y)
+            for s, (x, y) in enumerate(
+                (x, y) for x, y, k in zip(xs, ys, keep) if k
+            )
+        ]
+        assert sorted(got[lid]) == want, f"line {lid}"
+        if sum(keep) < len(xs):
+            dropped_any += 1
+        else:
+            kept_all += 1
+    assert dropped_any > 0  # the fixture must actually exercise drops
+    # endpoints always kept
+    for lid, xs, ys in rows:
+        pts = sorted(got[lid])
+        assert pts[0][1:] == (xs[0], ys[0])
+        assert pts[-1][1:] == (xs[-1], ys[-1])
+
+
+def test_simplify_max_deviation_property(spark):
+    """Every DROPPED vertex lies within tol of the segment between its
+    enclosing kept pair (the DP guarantee)."""
+    rows, df = _lines_fixture(spark, n_lines=25)
+    tol = 0.25
+    got = {}
+    for r in simplify_lines(df, tol).collect():
+        got.setdefault(r["line_id"], []).append((r["seq"], r["x"], r["y"]))
+    for lid, xs, ys in rows:
+        kept = [(x, y) for _, x, y in sorted(got[lid])]
+        kept_idx = []
+        ki = 0
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            if ki < len(kept) and (x, y) == kept[ki]:
+                kept_idx.append(i)
+                ki += 1
+        assert ki == len(kept)
+        for a, b in zip(kept_idx, kept_idx[1:]):
+            x0, y0, x1, y1 = xs[a], ys[a], xs[b], ys[b]
+            seg = math.hypot(x1 - x0, y1 - y0)
+            for m in range(a + 1, b):
+                if seg == 0:
+                    d = math.hypot(xs[m] - x0, ys[m] - y0)
+                else:
+                    d = abs(
+                        (x1 - x0) * (ys[m] - y0) - (y1 - y0) * (xs[m] - x0)
+                    ) / seg
+                assert d <= tol + 1e-12
+
+
+def test_simplify_idempotent_and_degenerate(spark):
+    rows, df = _lines_fixture(spark, n_lines=15)
+    tol = 0.2
+    first = simplify_lines(df, tol)
+    again_in = (
+        first.groupBy("line_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("seq", "x", "y"))).alias("v")
+        )
+        .select(
+            "line_id",
+            F.transform("v", lambda s: s["x"]).alias("xs"),
+            F.transform("v", lambda s: s["y"]).alias("ys"),
+        )
+    )
+    a = sorted(
+        (r["line_id"], r["seq"], r["x"], r["y"]) for r in first.collect()
+    )
+    b = sorted(
+        (r["line_id"], r["seq"], r["x"], r["y"])
+        for r in simplify_lines(again_in, tol).collect()
+    )
+    assert a == b
+    # collinear line collapses to its endpoints; short lines pass through
+    deg = spark.createDataFrame(
+        [
+            (100, [0.0, 1.0, 2.0, 3.0], [0.0, 0.0, 0.0, 0.0]),
+            (101, [5.0, 6.0], [1.0, 2.0]),
+            (102, [7.0], [1.0]),
+        ],
+        "line_id long, xs array<double>, ys array<double>",
+    )
+    out = {}
+    for r in simplify_lines(deg, tol).collect():
+        out.setdefault(r["line_id"], []).append((r["x"], r["y"]))
+    assert sorted(out[100]) == [(0.0, 0.0), (3.0, 0.0)]
+    assert sorted(out[101]) == [(5.0, 1.0), (6.0, 2.0)]
+    assert out[102] == [(7.0, 1.0)]
