@@ -1787,3 +1787,74 @@ ORACLES.update(
         "simplify_lines": SQL_SIMPLIFY_LINES,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Great-circle meter-radius join
+# --------------------------------------------------------------------------
+
+HAVERSINE_RADIUS_M = 150000.0  # 150 km
+_HAV_LAT_CAP = 84.0
+
+
+def q_within_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-metric distance-band self-join: every unordered pair of
+    md5-scattered road points within 150 km GREAT-CIRCLE distance
+    (|lat| <= 84 contract). Pair IDS only — dist_m stays engine-side
+    so a libm 1-ulp wobble cannot flip a hash digit; set membership
+    flips only for pairs within ~0.2 mm of the radius, which the
+    scattered fixture cannot produce. Oracle: brute-force inequality
+    join with the identical haversine expression."""
+    from osm_legal_default_speeds_spark.operators.sketches import unit_hash
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_join_meters,
+    )
+
+    k = F.col("road_id")
+    pts = (
+        _roads_df(spark, sf_dir)
+        .where(k % 4 == 0)
+        .select(
+            "road_id",
+            (unit_hash(F.concat(k.cast("string"), F.lit(":mlon"))) * 360.0 - 180.0).alias("lon"),
+            (unit_hash(F.concat(k.cast("string"), F.lit(":mlat"))) * 170.0 - 85.0).alias("lat"),
+        )
+    )
+    a = pts.select(F.col("road_id").alias("id_a"), "lon", "lat")
+    b = pts.select(F.col("road_id").alias("id_b"), "lon", "lat")
+    return within_distance_join_meters(
+        a,
+        b,
+        HAVERSINE_RADIUS_M,
+        lat_cap=_HAV_LAT_CAP,
+        self_pairs=True,
+        with_dist=False,
+    )
+
+
+SQL_WITHIN_PAIRS_M = f"""
+WITH roads AS ({_ROADS_SQL}),
+pts AS (
+  SELECT road_id,
+    ('0x' || substring(md5(road_id::VARCHAR || ':mlon'), 1, 15))::BIGINT
+      / {_UNIT_DENOM_SQL} * 360.0 - 180.0 AS lon,
+    ('0x' || substring(md5(road_id::VARCHAR || ':mlat'), 1, 15))::BIGINT
+      / {_UNIT_DENOM_SQL} * 170.0 - 85.0 AS lat
+  FROM roads WHERE road_id % 4 = 0
+),
+capped AS (SELECT * FROM pts WHERE ABS(lat) <= {_HAV_LAT_CAP!r}),
+cand AS (
+  SELECT a.road_id AS id_a, b.road_id AS id_b,
+    SIN(RADIANS(b.lat - a.lat) / 2) AS sdlat,
+    SIN(RADIANS(b.lon - a.lon) / 2) AS sdlon,
+    COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) AS cc
+  FROM capped a JOIN capped b ON a.road_id < b.road_id
+)
+SELECT id_a, id_b FROM cand
+WHERE 2.0 * 6371000.0 * ASIN(LEAST(SQRT(sdlat * sdlat + cc * sdlon * sdlon), 1.0))
+      <= {HAVERSINE_RADIUS_M!r}
+"""
+
+
+QUERIES.update({"within_pairs_m": q_within_pairs_m})
+ORACLES.update({"within_pairs_m": SQL_WITHIN_PAIRS_M})

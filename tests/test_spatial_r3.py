@@ -370,3 +370,103 @@ def test_simplify_idempotent_and_degenerate(spark):
     assert sorted(out[100]) == [(0.0, 0.0), (3.0, 0.0)]
     assert sorted(out[101]) == [(5.0, 1.0), (6.0, 2.0)]
     assert out[102] == [(7.0, 1.0)]
+
+
+# --------------------------------------------------------------------------
+# within_distance_join_meters (great-circle)
+# --------------------------------------------------------------------------
+
+def _hav_py(lon_a, lat_a, lon_b, lat_b):
+    r = math.radians
+    a = (
+        math.sin(r(lat_b - lat_a) / 2) ** 2
+        + math.cos(r(lat_a)) * math.cos(r(lat_b)) * math.sin(r(lon_b - lon_a) / 2) ** 2
+    )
+    return 2 * 6371000.0 * math.asin(min(math.sqrt(a), 1.0))
+
+
+def test_haversine_join_matches_brute_force(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_join_meters,
+    )
+
+    pts = _scatter(250, seed=9, lo_lat=-85.0, hi_lat=85.0)
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    a = df.select(F.col("id").alias("id_a"), "lon", "lat")
+    b = df.select(F.col("id").alias("id_b"), "lon", "lat")
+    radius = 400_000.0
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_m"]
+        for r in within_distance_join_meters(
+            a, b, radius, lat_cap=84.0, self_pairs=True
+        ).collect()
+    }
+    want = {}
+    capped = [p for p in pts if abs(p[2]) <= 84.0]
+    for i, (ia, lon1, lat1) in enumerate(capped):
+        for ib, lon2, lat2 in capped[i + 1 :]:
+            d = _hav_py(lon1, lat1, lon2, lat2)
+            if d <= radius:
+                key = (min(ia, ib), max(ia, ib))
+                want[key] = d
+    assert set(got) == set(want) and len(want) > 5
+    for k, d in want.items():
+        assert got[k] == pytest.approx(d, rel=1e-12)
+
+
+def test_haversine_known_city_pair(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_join_meters,
+    )
+
+    # Paris <-> London: ~343.5 km great-circle
+    df = spark.createDataFrame(
+        [(1, 2.3522, 48.8566), (2, -0.1276, 51.5072)],
+        "id long, lon double, lat double",
+    )
+    a = df.select(F.col("id").alias("id_a"), "lon", "lat")
+    b = df.select(F.col("id").alias("id_b"), "lon", "lat")
+    [row] = within_distance_join_meters(
+        a, b, 350_000.0, self_pairs=True
+    ).collect()
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert row["dist_m"] == pytest.approx(343_500, rel=0.01)
+    # 340 km excludes it
+    assert (
+        within_distance_join_meters(a, b, 340_000.0, self_pairs=True).count()
+        == 0
+    )
+
+
+def test_haversine_join_high_latitude_and_cap(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_join_meters,
+    )
+
+    # at lat 83.5, 10 degrees of lon is only ~126 km: a naive
+    # degree-radius candidate ring would miss the pair
+    df = spark.createDataFrame(
+        [(1, 0.0, 83.5), (2, 10.0, 83.5), (3, 0.0, 84.9)],
+        "id long, lon double, lat double",
+    )
+    a = df.select(F.col("id").alias("id_a"), "lon", "lat")
+    b = df.select(F.col("id").alias("id_b"), "lon", "lat")
+    rows = within_distance_join_meters(
+        a, b, 200_000.0, lat_cap=84.0, self_pairs=True
+    ).collect()
+    # (1,2) found despite the wide lon gap; id 3 is beyond the cap ->
+    # dropped from the contract
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["dist_m"] == pytest.approx(
+        _hav_py(0.0, 83.5, 10.0, 83.5), rel=1e-12
+    )
+
+
+def test_haversine_join_rejects_unbounded_radius(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_join_meters,
+    )
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lon double, lat double")
+    with pytest.raises(ValueError):
+        within_distance_join_meters(df, df, 5_000_000.0, lat_cap=89.9)
