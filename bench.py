@@ -544,6 +544,7 @@ EXTENDED_QUERIES = (
     "tile_smooth",
     "polygon_overlay",
     "simplify_lines",
+    "within_pairs_m",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

@@ -470,3 +470,52 @@ def test_haversine_join_rejects_unbounded_radius(spark):
     df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lon double, lat double")
     with pytest.raises(ValueError):
         within_distance_join_meters(df, df, 5_000_000.0, lat_cap=89.9)
+
+
+# --------------------------------------------------------------------------
+# plan-shape pins for the round-3 operators
+# --------------------------------------------------------------------------
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tile_smooth_plan_two_partial_aggs_no_join(spark):
+    df = spark.createDataFrame(
+        _scatter(50, seed=5), "id long, lon double, lat double"
+    )
+    plan = _plan(tile_smooth(df, "lon", "lat", 5))
+    # count rollup + kernel merge, both with map-side partial combine
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 2
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_polygon_overlay_plan_no_broadcast_no_cross(spark):
+    la = polygons_to_df(spark, [_tri("A", 10.3, 10.3)])
+    lb = polygons_to_df(spark, [_tri("B", 12.3, 12.3)])
+    plan = _plan(polygon_overlay(la, lb, 6))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simplify_lines_plan_no_shuffle(spark):
+    _, df = _lines_fixture(spark, n_lines=5)
+    plan = _plan(simplify_lines(df, 0.2))
+    assert "Exchange" not in plan
+
+
+def test_haversine_join_plan_shuffle_hash(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_join_meters,
+    )
+
+    df = spark.createDataFrame(
+        _scatter(50, seed=6), "id long, lon double, lat double"
+    )
+    a = df.select(F.col("id").alias("id_a"), "lon", "lat")
+    b = df.select(F.col("id").alias("id_b"), "lon", "lat")
+    plan = _plan(within_distance_join_meters(a, b, 100_000.0, self_pairs=True))
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
