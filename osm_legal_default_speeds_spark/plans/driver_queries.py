@@ -1858,3 +1858,93 @@ WHERE 2.0 * 6371000.0 * ASIN(LEAST(SQRT(sdlat * sdlat + cc * sdlon * sdlon), 1.0
 
 QUERIES.update({"within_pairs_m": q_within_pairs_m})
 ORACLES.update({"within_pairs_m": SQL_WITHIN_PAIRS_M})
+
+
+# --------------------------------------------------------------------------
+# Road-network connectivity (segment_components)
+# --------------------------------------------------------------------------
+
+def _chain_segs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chains of 1-3 segments per sampled road, each chain's FIRST
+    endpoint welded onto one of 97 shared hub junctions — so chains
+    hanging off the same hub form one connected component. Interior
+    vertices are road-specific (the 1e-3 road lattice + k*0.25/k*0.1
+    offsets), so no accidental cross-chain welds beyond the hubs,
+    and any residual quantized collision is deterministic in both
+    engines anyway."""
+    r = _roads_df(spark, sf_dir).where(F.col("road_id") % 5 == 0)
+    rid = F.col("road_id")
+    h = rid % 97
+    hx = h * 3.0 - 144.0
+    hy = h * 1.7 - 80.0
+    n = (rid % 3 + 1).cast("int")
+    k = F.explode(F.sequence(F.lit(0), (n - 1))).alias("k")
+    seg = r.select(rid.alias("road_id"), "lon", "lat", hx.alias("hx"), hy.alias("hy"), k)
+    kk = F.col("k")
+    return seg.select(
+        (F.col("road_id") * 4 + kk).alias("seg_id"),
+        F.when(kk == 0, F.col("hx")).otherwise(F.col("lon") + kk * 0.25).alias("lon0"),
+        F.when(kk == 0, F.col("hy")).otherwise(F.col("lat") + kk * 0.1).alias("lat0"),
+        (F.col("lon") + (kk + 1) * 0.25).alias("lon1"),
+        (F.col("lat") + (kk + 1) * 0.1).alias("lat1"),
+    )
+
+
+def q_segment_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Road-network islands: weakly-connected components over chain
+    segments welded at quantized junctions. Engine: bipartite min-per-
+    node star edges + O(log n) large-star/small-star CC. Oracle: the
+    genuinely different transitive-closure recursion (walks CTE)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        segment_components,
+    )
+
+    return segment_components(_chain_segs_df(spark, sf_dir))
+
+
+_CHAIN_SQL = """
+  SELECT road_id * 4 + k AS seg_id,
+    CASE WHEN k = 0 THEN (road_id % 97) * 3.0 - 144.0 ELSE lon + k * 0.25 END AS lon0,
+    CASE WHEN k = 0 THEN (road_id % 97) * 1.7 - 80.0 ELSE lat + k * 0.1 END AS lat0,
+    lon + (k + 1) * 0.25 AS lon1,
+    lat + (k + 1) * 0.1 AS lat1
+  FROM roads, UNNEST(range(0, road_id % 3 + 1)) t(k)
+  WHERE road_id % 5 = 0
+"""
+
+SQL_SEGMENT_COMPONENTS = f"""
+WITH RECURSIVE roads AS ({_ROADS_SQL}),
+chain AS ({_CHAIN_SQL}),
+ends AS (
+  SELECT seg_id, lon0 AS x, lat0 AS y FROM chain
+  UNION ALL SELECT seg_id, lon1 AS x, lat1 AS y FROM chain
+),
+nds AS (
+  SELECT seg_id,
+    (FLOOR(x * 1000000.0 + 0.5)::BIGINT + 536870912) * 1073741824
+      + (FLOOR(y * 1000000.0 + 0.5)::BIGINT + 536870912) AS node
+  FROM ends
+),
+m AS (SELECT node, MIN(seg_id) AS a FROM nds GROUP BY node),
+edges0 AS (
+  SELECT DISTINCT m.a AS s, n.seg_id AS d
+  FROM nds n JOIN m USING (node) WHERE n.seg_id <> m.a
+),
+edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+walks(node, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT w.node, e.d FROM walks w JOIN edges e ON w.r = e.s
+),
+comp AS (
+  SELECT node AS seg_id, least(node, min(r)) AS component
+  FROM walks GROUP BY node
+)
+SELECT c.seg_id, COALESCE(comp.component, c.seg_id) AS component
+FROM (SELECT DISTINCT seg_id FROM chain) c
+LEFT JOIN comp USING (seg_id)
+"""
+
+
+QUERIES.update({"segment_components": q_segment_components})
+ORACLES.update({"segment_components": SQL_SEGMENT_COMPONENTS})

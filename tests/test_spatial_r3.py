@@ -519,3 +519,92 @@ def test_haversine_join_plan_shuffle_hash(spark):
     assert "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# segment_components
+# --------------------------------------------------------------------------
+
+def _uf_components(segs, quantum=1e-6):
+    """Independent union-find twin."""
+    parent = {}
+
+    def find(a):
+        while parent.setdefault(a, a) != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    bynode = {}
+    for sid, x0, y0, x1, y1 in segs:
+        find(sid)
+        for x, y in ((x0, y0), (x1, y1)):
+            node = (
+                math.floor(x / quantum + 0.5),
+                math.floor(y / quantum + 0.5),
+            )
+            bynode.setdefault(node, []).append(sid)
+    for sids in bynode.values():
+        for s in sids[1:]:
+            union(sids[0], s)
+    return {s: find(s) for s in parent}
+
+
+@pytest.fixture(scope="module")
+def chain_segs(spark):
+    segs = []
+    for rid in range(60):
+        hub = (float(rid % 7) * 3.0, float(rid % 7) * 1.5)
+        prev = hub
+        for k in range(rid % 3 + 1):
+            nxt = (10.0 + rid * 0.61 + k * 0.25, -20.0 + rid * 0.37 + k * 0.1)
+            segs.append((rid * 4 + k, prev[0], prev[1], nxt[0], nxt[1]))
+            prev = nxt
+    # one isolated segment far away
+    segs.append((9999, 150.0, 70.0, 150.5, 70.5))
+    df = spark.createDataFrame(
+        segs, "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double"
+    )
+    return segs, df
+
+
+def test_segment_components_matches_union_find(spark, chain_segs):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        segment_components,
+    )
+
+    segs, df = chain_segs
+    got = {
+        r["seg_id"]: r["component"]
+        for r in segment_components(df).collect()
+    }
+    assert got == _uf_components(segs)
+    # 7 hub components + the isolated one
+    assert len(set(got.values())) == 8
+    assert got[9999] == 9999
+
+
+def test_segment_components_quantization_welds_close_endpoints(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        segment_components,
+    )
+
+    # endpoints 2e-7 deg apart (below quantum/2): welded; 2e-6: not
+    df = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, 1.0, 1.0),
+            (2, 1.0 + 2e-7, 1.0 - 2e-7, 2.0, 2.0),
+            (3, 2.0 + 2e-6, 2.0 + 2e-6, 3.0, 3.0),
+        ],
+        "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double",
+    )
+    got = {
+        r["seg_id"]: r["component"]
+        for r in segment_components(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3}
