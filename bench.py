@@ -546,6 +546,7 @@ EXTENDED_QUERIES = (
     "simplify_lines",
     "within_pairs_m",
     "segment_components",
+    "image_geo_rollup",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

@@ -1948,3 +1948,117 @@ LEFT JOIN comp USING (seg_id)
 
 QUERIES.update({"segment_components": q_segment_components})
 ORACLES.update({"segment_components": SQL_SEGMENT_COMPONENTS})
+
+
+# --------------------------------------------------------------------------
+# North-star composition over the REAL image payload table:
+# image+caption rows (actual codecs) -> grid encode -> PIP
+# jurisdiction -> kNN border fallback -> per-(region, tile) rollup.
+# --------------------------------------------------------------------------
+
+_IMG_GEO_RES = 5
+_IMG_GEO_LIMIT = 1600
+
+
+def q_image_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE.json north-star sentence as one oracled query: the
+    REAL payload generator (mapInPandas codecs) produces image+caption
+    rows; each image is geo-tagged (id-derived lon/lat — pure integer
+    functions DuckDB reproduces), grid-encoded, PIP-tested against the
+    broadcast jurisdiction rectangles with kNN fallback for ocean/
+    border points, and rolled up per (region, tile): image count,
+    total pixels, count of png-coded rows, lexicographic-min image_id.
+    Pins that real payload rows (not just id projections) survive the
+    whole spatial pipeline with their metadata intact."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        grid_cell,
+        resolve_jurisdiction_column,
+    )
+    from osm_legal_default_speeds_spark.payload.images import images_from_ids
+
+    o = _read(spark, sf_dir, "orders")
+    ids = o.where(F.col("o_orderkey") < _IMG_GEO_LIMIT).select(
+        F.col("o_orderkey").alias("id")
+    )
+    imgs = images_from_ids(ids)
+    idc = F.substring("image_id", 5, 19).cast("long")
+    lon = (idc * 7919 % 360000) / 1000.0 - 180.0
+    lat = (idc * 104729 % 170000) / 1000.0 - 85.0
+    tagged = imgs.select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        lon.alias("lon"),
+        lat.alias("lat"),
+    )
+    placed = tagged.select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        resolve_jurisdiction_column(
+            synth_boundaries(), F.col("lon"), F.col("lat")
+        ).alias("region_code"),
+        grid_cell(F.col("lon"), F.col("lat"), _IMG_GEO_RES).alias("tile_id"),
+    )
+    return placed.groupBy("region_code", "tile_id").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum((F.col("w") * F.col("h")).cast("long")).alias("total_px"),
+        F.sum(F.when(F.col("fmt") == "png", 1).otherwise(0))
+        .cast("long")
+        .alias("n_png"),
+        F.min("image_id").alias("first_image"),
+    )
+
+
+def _image_geo_sql() -> str:
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        grid_nx,
+        grid_ny,
+    )
+
+    nx, ny = grid_nx(_IMG_GEO_RES), grid_ny(_IMG_GEO_RES)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS id,
+    (o_orderkey * 7919 % 360000) / 1000.0 - 180.0 AS lon,
+    (o_orderkey * 104729 % 170000) / 1000.0 - 85.0 AS lat,
+    (24 + (o_orderkey % 5) * 8)::INT AS w,
+    (16 + (o_orderkey % 7) * 8)::INT AS h,
+    ['png','raw','q6'][(o_orderkey % 3 + 1)::INT] AS fmt
+  FROM orders WHERE o_orderkey < {_IMG_GEO_LIMIT}
+),
+pip AS (
+  SELECT *, {_boundaries_case_sql(synth_boundaries())} AS pip_region FROM base
+),
+knn AS (
+  SELECT id, region_code AS knn_region FROM (
+    SELECT p.id, b.region_code,
+      ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+        (GREATEST(b.lon_min - p.lon, p.lon - b.lon_max, 0.0) * GREATEST(b.lon_min - p.lon, p.lon - b.lon_max, 0.0)
+         + GREATEST(b.lat_min - p.lat, p.lat - b.lat_max, 0.0) * GREATEST(b.lat_min - p.lat, p.lat - b.lat_max, 0.0)),
+        b.region_code) AS rn
+    FROM pip p, {_boundaries_values_sql(synth_boundaries())}
+  ) WHERE rn = 1
+),
+placed AS (
+  SELECT COALESCE(p.pip_region, k.knn_region) AS region_code,
+    (LEAST(GREATEST(FLOOR((p.lon + 180.0) / 360.0 * {nx}), 0), {nx - 1})::BIGINT * {ny}
+     + LEAST(GREATEST(FLOOR((p.lat + 90.0) / 180.0 * {ny}), 0), {ny - 1})::BIGINT) AS tile_id,
+    p.w, p.h, p.fmt, p.id
+  FROM pip p JOIN knn k USING (id)
+)
+SELECT region_code, tile_id,
+  COUNT(*)::BIGINT AS n_images,
+  SUM((w * h)::BIGINT)::BIGINT AS total_px,
+  SUM(CASE WHEN fmt = 'png' THEN 1 ELSE 0 END)::BIGINT AS n_png,
+  MIN('img-' || id) AS first_image
+FROM placed GROUP BY 1, 2
+"""
+
+
+SQL_IMAGE_GEO_ROLLUP = _image_geo_sql()
+
+QUERIES.update({"image_geo_rollup": q_image_geo_rollup})
+ORACLES.update({"image_geo_rollup": SQL_IMAGE_GEO_ROLLUP})
