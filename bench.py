@@ -547,6 +547,8 @@ EXTENDED_QUERIES = (
     "within_pairs_m",
     "segment_components",
     "image_geo_rollup",
+    "segment_intersections",
+    "polygon_stats",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

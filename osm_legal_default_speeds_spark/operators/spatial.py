@@ -1787,3 +1787,184 @@ def segment_components(
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Line-line spatial join: all pairs of segments that intersect
+# (road-crossing / conflict detection). Candidates share a supercover
+# cell; the exact parametric predicate and the intersection point are
+# pure +,-,*,/ arithmetic, so cross-engine bit-identical.
+# --------------------------------------------------------------------------
+
+def segment_intersections(
+    segs: DataFrame,
+    res: int,
+    seg_id: str = "seg_id",
+    lon0: str = "lon0",
+    lat0: str = "lat0",
+    lon1: str = "lon1",
+    lat1: str = "lat1",
+) -> DataFrame:
+    """Every unordered pair of DISTINCT segments with a unique
+    intersection point (proper crossings and endpoint touches):
+    (id_a, id_b, ix, iy) with id_a < id_b. Collinear overlaps (zero
+    cross product) are excluded by contract — their intersection is a
+    set, not a point; run :func:`segment_components` for connectivity
+    through them.
+
+    Plan: both sides explode their exact supercover cells at ``res``
+    (skinny id+geometry rows), ONE shuffle-hash self-equi-join on cell
+    with ``id_a < id_b``, the exact predicate
+    (t = cross(q-p, s)/cross(r, s), u = cross(q-p, r)/cross(r, s),
+    both in [0,1]), then ``distinct`` — a pair sharing several cells
+    collapses because the intersection point is computed identically
+    on every copy. Never a cross product; the join fan-out is bounded
+    by cell co-occupancy, and res trades candidate volume against
+    explode fan-out exactly like rasterize_segments.
+
+    Completeness: the intersection point lies ON both segments, so
+    each supercover contains a cell containing it; when the point sits
+    exactly on a grid line the two covers may pick different adjacent
+    cells, but every segment through a boundary point covers a cell
+    ring around it, and the covers always share at least one of those
+    cells — candidate generation joins on ANY shared cell, not just
+    the point's cell."""
+    nx, ny = grid_nx(res), grid_ny(res)
+
+    def gx(c: str) -> Column:
+        return (F.col(c) + 180.0) / 360.0 * nx
+
+    def gy(c: str) -> Column:
+        return (F.col(c) + 90.0) / 180.0 * ny
+
+    cells = segment_cells(gx(lon0), gy(lat0), gx(lon1), gy(lat1), nx, ny)
+    flat = segs.select(
+        F.col(seg_id).alias("__sid"),
+        F.col(lon0).alias("__x0"),
+        F.col(lat0).alias("__y0"),
+        F.col(lon1).alias("__x1"),
+        F.col(lat1).alias("__y1"),
+        F.explode(cells).alias("__c"),
+    ).select(
+        "__sid", "__x0", "__y0", "__x1", "__y1",
+        (F.col("__c.cx") * ny + F.col("__c.cy")).cast("long").alias("__cell"),
+    )
+    a = flat.select(
+        F.col("__sid").alias("id_a"),
+        F.col("__x0").alias("ax0"), F.col("__y0").alias("ay0"),
+        F.col("__x1").alias("ax1"), F.col("__y1").alias("ay1"),
+        "__cell",
+    )
+    b = flat.select(
+        F.col("__sid").alias("id_b"),
+        F.col("__x0").alias("bx0"), F.col("__y0").alias("by0"),
+        F.col("__x1").alias("bx1"), F.col("__y1").alias("by1"),
+        "__cell",
+    )
+    pair = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "__cell").where(
+        F.col("id_a") < F.col("id_b")
+    )
+    rx = F.col("ax1") - F.col("ax0")
+    ry = F.col("ay1") - F.col("ay0")
+    sx = F.col("bx1") - F.col("bx0")
+    sy = F.col("by1") - F.col("by0")
+    qpx = F.col("bx0") - F.col("ax0")
+    qpy = F.col("by0") - F.col("ay0")
+    den = rx * sy - ry * sx
+    t = (qpx * sy - qpy * sx) / den
+    u = (qpx * ry - qpy * rx) / den
+    hit = pair.where(
+        (den != 0)
+        & (t >= 0.0) & (t <= 1.0)
+        & (u >= 0.0) & (u <= 1.0)
+    )
+    return hit.select(
+        "id_a",
+        "id_b",
+        (F.col("ax0") + t * rx).alias("ix"),
+        (F.col("ay0") + t * ry).alias("iy"),
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# Polygon statistics: shoelace area, perimeter, vertex count, bbox —
+# native array folds over the packed ring representation (dim-table
+# scale; per-row work O(vertices), no shuffle, no UDF).
+# --------------------------------------------------------------------------
+
+def polygon_stats(polys: DataFrame) -> DataFrame:
+    """(region_code, n_rings, n_vertices, area_deg2, perimeter_deg,
+    lon_min, lat_min, lon_max, lat_max) for the packed-rings polygon
+    table (polygons_to_df layout: rings array<struct<xs, ys>>). Area
+    is the shoelace sum with holes SUBTRACTED via |outer| - sum|holes|
+    (rings are stored with arbitrary orientation, so each ring's
+    absolute area is used; ring 0 is the outer ring by the
+    PolygonBoundary contract). Planar degree units by design — the
+    index-space measure; multiply by the Lambert cell factor or use an
+    equal-area projection upstream for km^2."""
+    rings = F.col("rings")
+
+    def ring_shoelace2(r: Column) -> Column:
+        xs, ys = r.getField("xs"), r.getField("ys")
+        n = F.size(xs)
+        idx = F.sequence(F.lit(1), n)
+        # one ADD per step (acc + (xy - yx)): the DuckDB twin's
+        # list_reduce over identical per-vertex terms then rounds in
+        # the same order -> bit-identical sums
+        return F.abs(
+            F.aggregate(
+                idx,
+                F.lit(0.0),
+                lambda acc, i: acc
+                + (
+                    F.element_at(xs, i)
+                    * F.element_at(ys, F.pmod(i, n).cast("int") + 1)
+                    - F.element_at(xs, F.pmod(i, n).cast("int") + 1)
+                    * F.element_at(ys, i)
+                ),
+            )
+        )
+
+    def ring_perimeter(r: Column) -> Column:
+        xs, ys = r.getField("xs"), r.getField("ys")
+        n = F.size(xs)
+        idx = F.sequence(F.lit(1), n)
+        return F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.sqrt(
+                (F.element_at(xs, F.pmod(i, n).cast("int") + 1) - F.element_at(xs, i))
+                * (F.element_at(xs, F.pmod(i, n).cast("int") + 1) - F.element_at(xs, i))
+                + (F.element_at(ys, F.pmod(i, n).cast("int") + 1) - F.element_at(ys, i))
+                * (F.element_at(ys, F.pmod(i, n).cast("int") + 1) - F.element_at(ys, i))
+            ),
+        )
+
+    area2 = F.element_at(F.transform(rings, ring_shoelace2), 1) - F.coalesce(
+        F.aggregate(
+            F.slice(F.transform(rings, ring_shoelace2), 2, 1_000_000),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+        F.lit(0.0),
+    )
+    perim = F.aggregate(
+        F.transform(rings, ring_perimeter), F.lit(0.0), lambda a, v: a + v
+    )
+    nverts = F.aggregate(
+        F.transform(rings, lambda r: F.size(r.getField("xs"))),
+        F.lit(0),
+        lambda a, v: a + v,
+    )
+    return polys.select(
+        "region_code",
+        F.size(rings).alias("n_rings"),
+        nverts.alias("n_vertices"),
+        (area2 / 2.0).alias("area_deg2"),
+        perim.alias("perimeter_deg"),
+        F.aggregate(rings, F.lit(float("inf")), lambda a, r: F.least(a, F.array_min(r.getField("xs")))).alias("lon_min"),
+        F.aggregate(rings, F.lit(float("inf")), lambda a, r: F.least(a, F.array_min(r.getField("ys")))).alias("lat_min"),
+        F.aggregate(rings, F.lit(float("-inf")), lambda a, r: F.greatest(a, F.array_max(r.getField("xs")))).alias("lon_max"),
+        F.aggregate(rings, F.lit(float("-inf")), lambda a, r: F.greatest(a, F.array_max(r.getField("ys")))).alias("lat_max"),
+    )

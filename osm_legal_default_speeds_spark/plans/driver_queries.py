@@ -2062,3 +2062,108 @@ SQL_IMAGE_GEO_ROLLUP = _image_geo_sql()
 
 QUERIES.update({"image_geo_rollup": q_image_geo_rollup})
 ORACLES.update({"image_geo_rollup": SQL_IMAGE_GEO_ROLLUP})
+
+
+# --------------------------------------------------------------------------
+# Line-line intersection join + polygon statistics
+# --------------------------------------------------------------------------
+
+_XING_RES = 6
+
+
+def q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Road-crossing detection: every unordered pair of sampled
+    segments with a unique intersection point, with the point.
+    Engine: supercover-cell-bucketed self-join + exact parametric
+    predicate; oracle: brute-force O(n^2) inequality join with the
+    identical arithmetic. Same |lon0| <= 170 in-range contract as
+    snap_segments (segments must not run past +-180)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        segment_intersections,
+    )
+
+    segs = _segs_df(spark, sf_dir).where(
+        (F.col("seg_id") % 4 == 1) & (F.abs(F.col("lon0")) <= 170.0)
+    )
+    return segment_intersections(segs, _XING_RES)
+
+
+SQL_SEGMENT_INTERSECTIONS = f"""
+WITH roads AS ({_ROADS_SQL}),
+segs0 AS ({_SEGS_SQL}),
+segs AS (SELECT * FROM segs0 WHERE seg_id % 4 = 1 AND ABS(lon0) <= 170.0),
+cand AS (
+  SELECT a.seg_id AS id_a, b.seg_id AS id_b,
+    a.lon0 AS ax0, a.lat0 AS ay0,
+    a.lon1 - a.lon0 AS rx, a.lat1 - a.lat0 AS ry,
+    b.lon1 - b.lon0 AS sx, b.lat1 - b.lat0 AS sy,
+    b.lon0 - a.lon0 AS qpx, b.lat0 - a.lat0 AS qpy
+  FROM segs a JOIN segs b ON a.seg_id < b.seg_id
+),
+scored AS (
+  SELECT id_a, id_b, ax0, ay0, rx, ry,
+    rx * sy - ry * sx AS den,
+    (qpx * sy - qpy * sx) / (rx * sy - ry * sx) AS t,
+    (qpx * ry - qpy * rx) / (rx * sy - ry * sx) AS u
+  FROM cand
+)
+SELECT id_a, id_b, ax0 + t * rx AS ix, ay0 + t * ry AS iy
+FROM scored
+WHERE den <> 0 AND t >= 0.0 AND t <= 1.0 AND u >= 0.0 AND u <= 1.0
+"""
+
+
+def q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace area / perimeter / vertex counts / bbox over the
+    jurisdiction polygon table — native array folds, one ADD per fold
+    step so the DuckDB list_reduce twin rounds in the identical order
+    (bit-exact doubles). sf_dir unused by design (polygon dim input)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        polygon_stats,
+        polygons_to_df,
+    )
+
+    return polygon_stats(polygons_to_df(spark, synth_polygons()))
+
+
+def _polygon_stats_sql() -> str:
+    rows = []
+    for p in synth_polygons():
+        (ring,) = p.rings
+        xs = "[" + ",".join(repr(float(x)) for x, _ in ring) + "]::DOUBLE[]"
+        ys = "[" + ",".join(repr(float(y)) for _, y in ring) + "]::DOUBLE[]"
+        rows.append(f"('{p.region_code}', {xs}, {ys})")
+    values = ",\n".join(rows)
+    return f"""
+WITH polys(region_code, xs, ys) AS (VALUES {values}),
+t AS (SELECT region_code, xs, ys, len(xs) AS n FROM polys)
+SELECT region_code,
+  1::INT AS n_rings,
+  n::INT AS n_vertices,
+  abs(list_reduce(list_transform(range(1, n + 1),
+      i -> xs[i] * ys[i % n + 1] - xs[i % n + 1] * ys[i]),
+    (a, b) -> a + b)) / 2.0 AS area_deg2,
+  list_reduce(list_transform(range(1, n + 1),
+      i -> sqrt((xs[i % n + 1] - xs[i]) * (xs[i % n + 1] - xs[i])
+              + (ys[i % n + 1] - ys[i]) * (ys[i % n + 1] - ys[i]))),
+    (a, b) -> a + b) AS perimeter_deg,
+  list_min(xs) AS lon_min, list_min(ys) AS lat_min,
+  list_max(xs) AS lon_max, list_max(ys) AS lat_max
+FROM t
+"""
+
+
+SQL_POLYGON_STATS = _polygon_stats_sql()
+
+QUERIES.update(
+    {
+        "segment_intersections": q_segment_intersections,
+        "polygon_stats": q_polygon_stats,
+    }
+)
+ORACLES.update(
+    {
+        "segment_intersections": SQL_SEGMENT_INTERSECTIONS,
+        "polygon_stats": SQL_POLYGON_STATS,
+    }
+)

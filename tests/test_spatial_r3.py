@@ -608,3 +608,135 @@ def test_segment_components_quantization_welds_close_endpoints(spark):
         for r in segment_components(df).collect()
     }
     assert got == {1: 1, 2: 1, 3: 3}
+
+
+# --------------------------------------------------------------------------
+# segment_intersections
+# --------------------------------------------------------------------------
+
+def _xing_py(a, b):
+    """Independent parametric-intersection twin; None if parallel or
+    outside [0,1]^2."""
+    _, ax0, ay0, ax1, ay1 = a
+    _, bx0, by0, bx1, by1 = b
+    rx, ry = ax1 - ax0, ay1 - ay0
+    sx, sy = bx1 - bx0, by1 - by0
+    den = rx * sy - ry * sx
+    if den == 0:
+        return None
+    t = ((bx0 - ax0) * sy - (by0 - ay0) * sx) / den
+    u = ((bx0 - ax0) * ry - (by0 - ay0) * rx) / den
+    if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+        return (ax0 + t * rx, ay0 + t * ry)
+    return None
+
+
+@pytest.fixture(scope="module")
+def xing_segs(spark):
+    segs = []
+    for i, lon, lat in _scatter(120, seed=11, lo_lon=-60.0, hi_lon=60.0, lo_lat=-40.0, hi_lat=40.0):
+        dlon = ((i % 9) - 4) * 1.7
+        dlat = ((i % 7) - 3) * 1.3
+        segs.append((i, lon, lat, lon + dlon, lat + dlat))
+    df = spark.createDataFrame(
+        segs, "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double"
+    )
+    return segs, df
+
+
+def test_intersections_match_brute_force(spark, xing_segs):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        segment_intersections,
+    )
+
+    segs, df = xing_segs
+    got = {
+        (r["id_a"], r["id_b"]): (r["ix"], r["iy"])
+        for r in segment_intersections(df, res=6).collect()
+    }
+    want = {}
+    for i, a in enumerate(segs):
+        for b in segs[i + 1 :]:
+            p = _xing_py(a, b)
+            if p is not None:
+                want[(a[0], b[0])] = p
+    assert set(got) == set(want) and len(want) >= 30
+    for k, (x, y) in want.items():
+        assert got[k][0] == pytest.approx(x, abs=1e-12)
+        assert got[k][1] == pytest.approx(y, abs=1e-12)
+
+
+def test_intersections_goldens(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        segment_intersections,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.0, -1.0, 0.0, 1.0),    # vertical
+            (2, -1.0, 0.0, 1.0, 0.0),    # horizontal: proper X at origin
+            (3, 0.0, 1.0, 5.0, 1.0),     # touches seg 1 at its endpoint
+            (4, 10.0, 10.0, 12.0, 10.0), # collinear overlap with 5 -> excluded
+            (5, 11.0, 10.0, 13.0, 10.0),
+            (6, 20.0, 20.0, 29.0, 29.0), # long diagonals crossing mid-way:
+            (7, 20.0, 29.0, 29.0, 20.0), # pair shares MANY cells -> one row
+        ],
+        "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double",
+    )
+    rows = segment_intersections(df, res=6).collect()
+    got = {(r["id_a"], r["id_b"]): (r["ix"], r["iy"]) for r in rows}
+    assert len(rows) == len(got)  # no duplicate pair rows
+    assert got[(1, 2)] == (0.0, 0.0)
+    assert got[(1, 3)] == (0.0, 1.0)
+    assert (4, 5) not in got
+    assert got[(6, 7)] == (24.5, 24.5)
+
+
+def test_intersections_plan_no_cross_product(spark, xing_segs):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        segment_intersections,
+    )
+
+    _, df = xing_segs
+    plan = _plan(segment_intersections(df, res=6))
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# polygon_stats
+# --------------------------------------------------------------------------
+
+def test_polygon_stats_goldens(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        polygon_stats,
+        polygons_to_df,
+    )
+
+    square_with_hole = PolygonBoundary(
+        "SQ",
+        (
+            ((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+            ((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0)),
+        ),
+        priority=0,
+    )
+    tri = PolygonBoundary(
+        "TR", (((0.0, 0.0), (4.0, 0.0), (0.0, 3.0)),), priority=1
+    )
+    [sq, tr] = sorted(
+        polygon_stats(
+            polygons_to_df(spark, [square_with_hole, tri])
+        ).collect(),
+        key=lambda r: r["region_code"],
+    )
+    assert sq["region_code"] == "SQ"
+    assert sq["n_rings"] == 2 and sq["n_vertices"] == 8
+    assert sq["area_deg2"] == pytest.approx(100.0 - 4.0)
+    assert sq["perimeter_deg"] == pytest.approx(40.0 + 8.0)
+    assert (sq["lon_min"], sq["lat_min"], sq["lon_max"], sq["lat_max"]) == (
+        0.0, 0.0, 10.0, 10.0,
+    )
+    assert tr["n_rings"] == 1 and tr["n_vertices"] == 3
+    assert tr["area_deg2"] == pytest.approx(6.0)
+    assert tr["perimeter_deg"] == pytest.approx(12.0)
