@@ -1849,27 +1849,19 @@ def segment_intersections(
         "__sid", "__x0", "__y0", "__x1", "__y1",
         (F.col("__c.cx") * ny + F.col("__c.cy")).cast("long").alias("__cell"),
     )
-    a = flat.select(
-        F.col("__sid").alias("id_a"),
-        F.col("__x0").alias("ax0"), F.col("__y0").alias("ay0"),
-        F.col("__x1").alias("ax1"), F.col("__y1").alias("ay1"),
-        "__cell",
-    )
-    b = flat.select(
-        F.col("__sid").alias("id_b"),
-        F.col("__x0").alias("bx0"), F.col("__y0").alias("by0"),
-        F.col("__x1").alias("bx1"), F.col("__y1").alias("by1"),
-        "__cell",
-    )
-    pair = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "__cell").where(
-        F.col("id_a") < F.col("id_b")
-    )
-    rx = F.col("ax1") - F.col("ax0")
-    ry = F.col("ay1") - F.col("ay0")
-    sx = F.col("bx1") - F.col("bx0")
-    sy = F.col("by1") - F.col("by0")
-    qpx = F.col("bx0") - F.col("ax0")
-    qpy = F.col("by0") - F.col("ay0")
+    # identical shuffle-hash-hinted sides -> ReuseExchange computes the
+    # supercover explode + scan ONCE (the minhash self-join idiom; a
+    # renamed-projection build side defeats plan canonicalization and
+    # re-runs the explode); id ordering moves to a post-join filter
+    a = flat.hint("shuffle_hash").alias("a")
+    b = flat.hint("shuffle_hash").alias("b")
+    pair = a.join(b, ["__cell"]).where(F.col("a.__sid") < F.col("b.__sid"))
+    rx = F.col("a.__x1") - F.col("a.__x0")
+    ry = F.col("a.__y1") - F.col("a.__y0")
+    sx = F.col("b.__x1") - F.col("b.__x0")
+    sy = F.col("b.__y1") - F.col("b.__y0")
+    qpx = F.col("b.__x0") - F.col("a.__x0")
+    qpy = F.col("b.__y0") - F.col("a.__y0")
     den = rx * sy - ry * sx
     t = (qpx * sy - qpy * sx) / den
     u = (qpx * ry - qpy * rx) / den
@@ -1879,10 +1871,10 @@ def segment_intersections(
         & (u >= 0.0) & (u <= 1.0)
     )
     return hit.select(
-        "id_a",
-        "id_b",
-        (F.col("ax0") + t * rx).alias("ix"),
-        (F.col("ay0") + t * ry).alias("iy"),
+        F.col("a.__sid").alias("id_a"),
+        F.col("b.__sid").alias("id_b"),
+        (F.col("a.__x0") + t * rx).alias("ix"),
+        (F.col("a.__y0") + t * ry).alias("iy"),
     ).distinct()
 
 

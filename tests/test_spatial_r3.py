@@ -740,3 +740,27 @@ def test_polygon_stats_goldens(spark):
     assert tr["n_rings"] == 1 and tr["n_vertices"] == 3
     assert tr["area_deg2"] == pytest.approx(6.0)
     assert tr["perimeter_deg"] == pytest.approx(12.0)
+
+
+def test_intersections_reuse_exchange_over_file_source(spark, tmp_path):
+    """Scale pin: over a FILE source the self-join's identical
+    shuffle-hash sides must collapse to a ReusedExchange — the
+    supercover explode + scan runs ONCE (private parquet copy: cache
+    substitution by other tests would defeat stage reuse)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        segment_intersections,
+    )
+
+    pdir = str(tmp_path / "segs")
+    segs = []
+    for i, lon, lat in _scatter(200, seed=12, lo_lon=-50.0, hi_lon=50.0, lo_lat=-30.0, hi_lat=30.0):
+        segs.append((i, lon, lat, lon + ((i % 9) - 4) * 1.1, lat + ((i % 7) - 3) * 0.9))
+    spark.createDataFrame(
+        segs, "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double"
+    ).write.parquet(pdir)
+    df = segment_intersections(spark.read.parquet(pdir), res=6)
+    df.collect()  # AQE finalizes the plan during execution
+    plan = _plan(df)
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
