@@ -2167,3 +2167,54 @@ ORACLES.update(
         "polygon_stats": SQL_POLYGON_STATS,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Geo-streaming: windowed tile rollup (streaming == batch oracle)
+# --------------------------------------------------------------------------
+
+def q_events_tile_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live-heatmap layer through Structured Streaming: geo-tagged
+    events drain via Trigger.AvailableNow through the watermarked
+    (window x tile) aggregation; the batch SQL twin over the same
+    table IS the oracle (streaming/batch equivalence)."""
+    import tempfile
+
+    from osm_legal_default_speeds_spark.streaming.event_rollup import (
+        streaming_tile_rollup,
+    )
+
+    d = tempfile.mkdtemp(prefix="evt_src_")
+    ck = tempfile.mkdtemp(prefix="evt_ck_")
+    _read(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    out = streaming_tile_rollup(
+        spark, d, ck, sink_table="q_stream_tiles", res=5, window="6 hours"
+    )
+    return out.select(
+        "bucket_s",
+        "tile_id",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+SQL_EVENTS_TILE_ROLLUP = """
+WITH geo AS (
+  SELECT ts, value,
+    (event_id * 7919 % 360000) / 1000.0 - 180.0 AS lon,
+    (event_id * 104729 % 170000) / 1000.0 - 85.0 AS lat
+  FROM events
+)
+SELECT (FLOOR(epoch(ts) / 21600) * 21600)::BIGINT AS bucket_s,
+  (LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 64), 0), 63)::BIGINT * 32
+   + LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * 32), 0), 31)::BIGINT) AS tile_id,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 4) AS total_value
+FROM geo
+GROUP BY 1, 2
+"""
+
+QUERIES.update({"events_tile_rollup_streaming": q_events_tile_rollup_streaming})
+ORACLES.update({"events_tile_rollup_streaming": SQL_EVENTS_TILE_ROLLUP})

@@ -407,3 +407,78 @@ def streaming_speed_inference(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+# ---------------------------------------------------------------------------
+# Geo-streaming: watermarked event-time x TILE rollup (live heatmap)
+# ---------------------------------------------------------------------------
+
+def tile_windowed_rollup(
+    events: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    res: int = 5,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked (event-time window x raster tile) aggregation — the
+    streaming twin of the batch tile_rollup, i.e. a live heatmap
+    layer. State is bounded by watermark_horizon x occupied tiles
+    (the grid at res 5 caps the key space at 2^11 cells); identical
+    plan on a static DataFrame, which is the batch oracle."""
+    from osm_legal_default_speeds_spark.operators.spatial import grid_cell
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            grid_cell(F.col(lon_col), F.col(lat_col), res).alias("tile_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("bucket_s"),
+            "tile_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def geo_tagged_events(events: DataFrame) -> DataFrame:
+    """Demo geo-tagging for the coordinate-free driver events table:
+    id-derived lon/lat (pure integer functions, oracle-reproducible).
+    Production event sources carry real lon/lat columns instead."""
+    k = F.col("event_id")
+    return events.withColumn(
+        "lon", (k * 7919 % 360000) / 1000.0 - 180.0
+    ).withColumn("lat", (k * 104729 % 170000) / 1000.0 - 85.0)
+
+
+def streaming_tile_rollup(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    sink_table: str = "stream_tiles",
+    res: int = 5,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drain ``src_dir`` with Trigger.AvailableNow through the
+    geo-tagged windowed tile rollup into a memory sink (TEST-ONLY —
+    see streaming_event_rollup's sink note; streaming_rollup_to_parquet
+    is the exactly-once file-sink pattern)."""
+    stream = geo_tagged_events(read_event_stream(spark, src_dir))
+    rolled = tile_windowed_rollup(stream, "lon", "lat", res, window, watermark)
+    q = (
+        rolled.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

@@ -255,3 +255,30 @@ def test_streaming_dedup_across_micro_batches(spark, tmp_path):
     )
     got = sorted(r["event_id"] for r in out.collect())
     assert got == [1, 2]
+
+
+def test_streaming_tile_rollup_matches_batch(spark, tmp_path):
+    """The geo (window x tile) rollup through AvailableNow streaming
+    equals the SAME operator applied to the static table."""
+    from osm_legal_default_speeds_spark.streaming.event_rollup import (
+        geo_tagged_events,
+        streaming_tile_rollup,
+        tile_windowed_rollup,
+    )
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.repartition(3).write.parquet(src)
+
+    got = streaming_tile_rollup(
+        spark, src, ck, sink_table="t_stream_tiles"
+    ).collect()
+    want = tile_windowed_rollup(
+        geo_tagged_events(spark.read.parquet(src)), "lon", "lat"
+    ).collect()
+
+    key = lambda r: (r["bucket_s"], r["tile_id"])
+    got_m = {key(r): (r["n_events"], round(r["total_value"], 6)) for r in got}
+    want_m = {key(r): (r["n_events"], round(r["total_value"], 6)) for r in want}
+    assert got_m == want_m and len(got_m) > 50
