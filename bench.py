@@ -549,6 +549,7 @@ EXTENDED_QUERIES = (
     "image_geo_rollup",
     "segment_intersections",
     "polygon_stats",
+    "vector_tiles",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

@@ -1960,3 +1960,113 @@ def polygon_stats(polys: DataFrame) -> DataFrame:
         F.aggregate(rings, F.lit(float("-inf")), lambda a, r: F.greatest(a, F.array_max(r.getField("xs")))).alias("lon_max"),
         F.aggregate(rings, F.lit(float("-inf")), lambda a, r: F.greatest(a, F.array_max(r.getField("ys")))).alias("lat_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# Vector-tile sink: per-tile binary feature blobs (the artifact a tile
+# server ships). Deterministic fixed-width format so tiles are
+# byte-reproducible across partitionings and engines:
+#   header  = b"VT01" + u32 n_features (little-endian)
+#   feature = u64 seg_id + 4 x f64 (lon0, lat0, lon1, lat1)  [40 B]
+# features sorted by (seg_id, lon0, lat0, lon1, lat1).
+# --------------------------------------------------------------------------
+
+VT_MAGIC = b"VT01"
+VT_FEATURE_BYTES = 40
+VT_HEADER_BYTES = 8
+
+
+def encode_vector_tiles(
+    segs: DataFrame,
+    res: int,
+    seg_id: str = "seg_id",
+    lon0: str = "lon0",
+    lat0: str = "lat0",
+    lon1: str = "lon1",
+    lat1: str = "lat1",
+) -> DataFrame:
+    """(tile_id, n_features, byte_len, tile_blob): every segment is
+    stamped into each tile it crosses (exact supercover — the standard
+    tile-duplication contract, so any single tile renders without its
+    neighbors), and each tile packs its features into one
+    deterministic binary blob.
+
+    Plan: the supercover explode carries the skinny geometry columns
+    (never payloads), ONE groupBy(cell) shuffle whose rows are 40-byte
+    features, then an Arrow-batched applyInPandas packs each tile —
+    grouped state is one tile's features, bounded by res x density
+    (pick a finer res for megacity tiles; a blob must see all its
+    features, so salting does not apply). Blob bytes are a pure
+    function of the feature SET (sorted before packing), so output is
+    partitioning-invariant and byte-reproducible."""
+    import pandas as pd
+
+    nx, ny = grid_nx(res), grid_ny(res)
+
+    def gx(c: str) -> Column:
+        return (F.col(c) + 180.0) / 360.0 * nx
+
+    def gy(c: str) -> Column:
+        return (F.col(c) + 90.0) / 180.0 * ny
+
+    cells = segment_cells(gx(lon0), gy(lat0), gx(lon1), gy(lat1), nx, ny)
+    flat = segs.select(
+        F.col(seg_id).alias("__sid"),
+        F.col(lon0).alias("__x0"),
+        F.col(lat0).alias("__y0"),
+        F.col(lon1).alias("__x1"),
+        F.col(lat1).alias("__y1"),
+        F.explode(cells).alias("__c"),
+    ).select(
+        "__sid", "__x0", "__y0", "__x1", "__y1",
+        (F.col("__c.cx") * ny + F.col("__c.cy")).cast("long").alias("tile_id"),
+    )
+
+    schema = "tile_id long, n_features int, byte_len int, tile_blob binary"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import struct
+
+        tile = int(pdf["tile_id"].iloc[0])
+        feats = sorted(
+            zip(
+                pdf["__sid"].tolist(),
+                pdf["__x0"].tolist(),
+                pdf["__y0"].tolist(),
+                pdf["__x1"].tolist(),
+                pdf["__y1"].tolist(),
+            )
+        )
+        blob = VT_MAGIC + struct.pack("<I", len(feats))
+        blob += b"".join(
+            struct.pack("<Q4d", s, x0, y0, x1, y1) for s, x0, y0, x1, y1 in feats
+        )
+        return pd.DataFrame(
+            {
+                "tile_id": [tile],
+                "n_features": [len(feats)],
+                "byte_len": [len(blob)],
+                "tile_blob": [blob],
+            }
+        )
+
+    return flat.groupBy("tile_id").applyInPandas(pack, schema)
+
+
+def decode_vector_tile(blob: bytes) -> list[tuple]:
+    """Driver/test-side decoder: the exact inverse of the pack format.
+    Raises on magic/length mismatch (a truncated tile must never
+    render silently)."""
+    import struct
+
+    if blob[:4] != VT_MAGIC:
+        raise ValueError("bad vector-tile magic")
+    (n,) = struct.unpack_from("<I", blob, 4)
+    if len(blob) != VT_HEADER_BYTES + n * VT_FEATURE_BYTES:
+        raise ValueError("truncated vector tile")
+    out = []
+    for i in range(n):
+        out.append(
+            struct.unpack_from("<Q4d", blob, VT_HEADER_BYTES + i * VT_FEATURE_BYTES)
+        )
+    return out

@@ -2218,3 +2218,43 @@ GROUP BY 1, 2
 
 QUERIES.update({"events_tile_rollup_streaming": q_events_tile_rollup_streaming})
 ORACLES.update({"events_tile_rollup_streaming": SQL_EVENTS_TILE_ROLLUP})
+
+
+# --------------------------------------------------------------------------
+# Vector-tile sink
+# --------------------------------------------------------------------------
+
+def q_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile binary feature blobs over the in-range road segments.
+    The compared columns (tile assignment, feature count, byte length)
+    are fully oracled by the proven supercover SQL — byte_len comes
+    from length(tile_blob), so the pack UDF itself is in the measured
+    and verified path; exact blob bytes are pinned by the round-trip
+    pytest."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        encode_vector_tiles,
+    )
+
+    segs = _segs_df(spark, sf_dir).where(
+        (F.col("seg_id") % 4 == 3) & (F.abs(F.col("lon0")) <= 170.0)
+    )
+    tiles = encode_vector_tiles(segs, _SEG_RES)
+    return tiles.select(
+        "tile_id",
+        "n_features",
+        F.length("tile_blob").cast("int").alias("byte_len"),
+    )
+
+
+SQL_VECTOR_TILES = f"""
+WITH sc AS ({SQL_RASTERIZE_SEGMENTS})
+SELECT cell AS tile_id,
+       COUNT(*)::INT AS n_features,
+       (8 + 40 * COUNT(*))::INT AS byte_len
+FROM sc
+WHERE seg_id % 4 = 3 AND ABS((seg_id * 7919 % 360000) / 1000.0 - 180.0) <= 170.0
+GROUP BY cell
+"""
+
+QUERIES.update({"vector_tiles": q_vector_tiles})
+ORACLES.update({"vector_tiles": SQL_VECTOR_TILES})

@@ -764,3 +764,55 @@ def test_intersections_reuse_exchange_over_file_source(spark, tmp_path):
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan[:2000]
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# vector-tile sink
+# --------------------------------------------------------------------------
+
+def test_vector_tiles_round_trip_and_partition_invariance(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        decode_vector_tile,
+        encode_vector_tiles,
+        rasterize_segments,
+    )
+
+    segs = []
+    for i, lon, lat in _scatter(80, seed=14, lo_lon=-40.0, hi_lon=40.0, lo_lat=-30.0, hi_lat=30.0):
+        segs.append((i, lon, lat, lon + ((i % 9) - 4) * 1.3, lat + ((i % 7) - 3) * 0.8))
+    df = spark.createDataFrame(
+        segs, "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double"
+    )
+    tiles = {r["tile_id"]: r for r in encode_vector_tiles(df, 6).collect()}
+
+    # decode inverts pack; features match the supercover assignment
+    want = {}
+    for r in rasterize_segments(df, 6).collect():
+        want.setdefault(r["cell"], set()).add(r["seg_id"])
+    geom = {s[0]: s for s in segs}
+    assert set(tiles) == set(want)
+    for tid, row in tiles.items():
+        feats = decode_vector_tile(bytes(row["tile_blob"]))
+        assert row["n_features"] == len(feats) == len(want[tid])
+        assert row["byte_len"] == 8 + 40 * len(feats)
+        assert feats == sorted(feats)
+        for s, x0, y0, x1, y1 in feats:
+            assert (s, x0, y0, x1, y1) == geom[s]
+
+    # byte-identical under a different partitioning
+    tiles2 = {
+        r["tile_id"]: bytes(r["tile_blob"])
+        for r in encode_vector_tiles(df.repartition(13), 6).collect()
+    }
+    assert {t: bytes(r["tile_blob"]) for t, r in tiles.items()} == tiles2
+
+
+def test_vector_tile_decoder_guards(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        decode_vector_tile,
+    )
+
+    with pytest.raises(ValueError):
+        decode_vector_tile(b"XXXX\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        decode_vector_tile(b"VT01\x01\x00\x00\x00" + b"\x00" * 39)
