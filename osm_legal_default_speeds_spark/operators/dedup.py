@@ -630,7 +630,15 @@ def cross_doc_spans(
     boilerplate grams — exactly what AQE skew splitting handles); the
     island scan is one window per doc over HIT rows only (clean docs
     never reach it). Within-doc-only repeats are excluded by
-    count_distinct(id) >= 2 (that signal is repetition_stats')."""
+    count_distinct(id) >= 2 (that signal is repetition_stats').
+
+    Deliberate recompute: the gram pipeline runs once per consumer
+    (the shared-gram agg prunes to (gh, id), so plan canonicalization
+    cannot reuse the probe side's exchange). Persisting the gram table
+    instead was measured ~25% faster cold at sf0.1 — but the gram
+    table is ~2x the corpus, so at 100 TB materializing it trades
+    cheap, perfectly parallel map CPU for cluster-wide storage and
+    eviction pressure; recompute is the scale-correct default."""
     t = tokens(F.col(text_col))
     g = docs.select(
         id_col,
