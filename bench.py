@@ -550,6 +550,7 @@ EXTENDED_QUERIES = (
     "segment_intersections",
     "polygon_stats",
     "vector_tiles",
+    "clip_segments",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

@@ -2070,3 +2070,92 @@ def decode_vector_tile(blob: bytes) -> list[tuple]:
             struct.unpack_from("<Q4d", blob, VT_HEADER_BYTES + i * VT_FEATURE_BYTES)
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# Tile clipping: the sub-segment each crossed tile actually contains
+# (what a real tile encoder stores instead of the whole way). Falls
+# directly out of the supercover parameter-cut construction: each cut
+# interval IS the clip.
+# --------------------------------------------------------------------------
+
+def clip_segments(
+    segs: DataFrame,
+    res: int,
+    id_col: str = "seg_id",
+    lon0: str = "lon0",
+    lat0: str = "lat0",
+    lon1: str = "lon1",
+    lat1: str = "lat1",
+) -> DataFrame:
+    """One row per (segment, traversal interval): (seg_id, seq, cell,
+    clip_lon0, clip_lat0, clip_lon1, clip_lat1) where the clip
+    endpoints are the segment interpolated at the interval's parameter
+    cuts — consecutive clips share endpoints exactly (t is cut once,
+    interpolation is the same IEEE expression), so per-tile geometry
+    reassembles seamlessly.
+
+    Same midpoint-cut contract as ``segment_cells``; intervals are NOT
+    cell-deduped (a corner-exact cut can split one cell's run into two
+    adjacent intervals — both engines produce the identical split, and
+    renderers draw them seamlessly). Map-side explode only, fan-out =
+    crossed-interval count, geometry rides as 4 doubles."""
+    nx, ny = grid_nx(res), grid_ny(res)
+    gx0 = (F.col(lon0) + 180.0) / 360.0 * nx
+    gy0 = (F.col(lat0) + 90.0) / 180.0 * ny
+    gx1 = (F.col(lon1) + 180.0) / 360.0 * nx
+    gy1 = (F.col(lat1) + 90.0) / 180.0 * ny
+    dx = gx1 - gx0
+    dy = gy1 - gy0
+
+    def crossings(a0: Column, delta: Column, lo: Column, hi: Column) -> Column:
+        ks = F.when(
+            (delta != 0) & (F.floor(hi) >= F.ceil(lo)),
+            F.sequence(F.ceil(lo), F.floor(hi)),
+        ).otherwise(F.array().cast("array<long>"))
+        ts = F.transform(ks, lambda k: (k - a0) / delta)
+        return F.filter(ts, lambda t: (t > 0) & (t < 1))
+
+    tx = crossings(gx0, dx, F.least(gx0, gx1), F.greatest(gx0, gx1))
+    ty = crossings(gy0, dy, F.least(gy0, gy1), F.greatest(gy0, gy1))
+    ts = F.array_sort(
+        F.array_distinct(F.concat(F.array(F.lit(0.0), F.lit(1.0)), tx, ty))
+    )
+
+    def clamp(c: Column, hi: int) -> Column:
+        return F.least(F.greatest(c, F.lit(0)), F.lit(hi - 1))
+
+    ivals = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - 1),
+        lambda i: F.struct(
+            F.element_at(ts, i).alias("t0"),
+            F.element_at(ts, i + 1).alias("t1"),
+            clamp(
+                F.floor(gx0 + ((F.element_at(ts, i) + F.element_at(ts, i + 1)) / 2.0) * dx),
+                nx,
+            ).alias("cx"),
+            clamp(
+                F.floor(gy0 + ((F.element_at(ts, i) + F.element_at(ts, i + 1)) / 2.0) * dy),
+                ny,
+            ).alias("cy"),
+        ),
+    )
+    dlon = F.col(lon1) - F.col(lon0)
+    dlat = F.col(lat1) - F.col(lat0)
+    out = segs.select(
+        id_col,
+        F.col(lon0).alias("__lon0"),
+        F.col(lat0).alias("__lat0"),
+        dlon.alias("__dlon"),
+        dlat.alias("__dlat"),
+        F.posexplode(ivals).alias("seq", "v"),
+    )
+    return out.select(
+        id_col,
+        "seq",
+        (F.col("v.cx") * ny + F.col("v.cy")).cast("long").alias("cell"),
+        (F.col("__lon0") + F.col("v.t0") * F.col("__dlon")).alias("clip_lon0"),
+        (F.col("__lat0") + F.col("v.t0") * F.col("__dlat")).alias("clip_lat0"),
+        (F.col("__lon0") + F.col("v.t1") * F.col("__dlon")).alias("clip_lon1"),
+        (F.col("__lat0") + F.col("v.t1") * F.col("__dlat")).alias("clip_lat1"),
+    )

@@ -2258,3 +2258,62 @@ GROUP BY cell
 
 QUERIES.update({"vector_tiles": q_vector_tiles})
 ORACLES.update({"vector_tiles": SQL_VECTOR_TILES})
+
+
+# --------------------------------------------------------------------------
+# Tile clipping
+# --------------------------------------------------------------------------
+
+def q_clip_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile sub-segment clipping (what tile encoders store):
+    interval endpoints from the same parameter-cut construction as the
+    supercover, interpolated in degree space — every float op is
+    +,-,*,/ or floor/ceil, so the DuckDB twin is bit-identical."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        clip_segments,
+    )
+
+    segs = _segs_df(spark, sf_dir).where(F.col("seg_id") % 4 == 2)
+    return clip_segments(segs, _SEG_RES)
+
+
+SQL_CLIP_SEGMENTS = f"""
+WITH roads AS ({_ROADS_SQL}),
+segs0 AS ({_SEGS_SQL}),
+segs AS (SELECT * FROM segs0 WHERE seg_id % 4 = 2),
+g AS (
+  SELECT seg_id, lon0, lat0, lon1, lat1,
+    (lon0 + 180.0) / 360.0 * {_SEG_NX} AS x0,
+    (lat0 + 90.0) / 180.0 * {_SEG_NY} AS y0,
+    (lon1 + 180.0) / 360.0 * {_SEG_NX} AS x1,
+    (lat1 + 90.0) / 180.0 * {_SEG_NY} AS y1
+  FROM segs
+),
+tc AS (
+  SELECT seg_id, lon0, lat0, lon1, lat1, x0, y0, x1, y1,
+    list_sort(list_distinct(
+      [0.0, 1.0]
+      || {_sql_crossings('x0', 'x1')}
+      || {_sql_crossings('y0', 'y1')}
+    )) AS ts
+  FROM g
+),
+iv AS (
+  SELECT *, unnest(range(1, len(ts))) AS i FROM tc
+)
+SELECT seg_id, (i - 1)::INT AS seq,
+  (least(greatest(
+     floor(x0 + ((ts[i] + ts[i + 1]) / 2.0) * (x1 - x0)), 0),
+     {_SEG_NX - 1})::BIGINT * {_SEG_NY}
+   + least(greatest(
+     floor(y0 + ((ts[i] + ts[i + 1]) / 2.0) * (y1 - y0)), 0),
+     {_SEG_NY - 1})::BIGINT) AS cell,
+  lon0 + ts[i] * (lon1 - lon0) AS clip_lon0,
+  lat0 + ts[i] * (lat1 - lat0) AS clip_lat0,
+  lon0 + ts[i + 1] * (lon1 - lon0) AS clip_lon1,
+  lat0 + ts[i + 1] * (lat1 - lat0) AS clip_lat1
+FROM iv
+"""
+
+QUERIES.update({"clip_segments": q_clip_segments})
+ORACLES.update({"clip_segments": SQL_CLIP_SEGMENTS})

@@ -816,3 +816,47 @@ def test_vector_tile_decoder_guards(spark):
         decode_vector_tile(b"XXXX\x00\x00\x00\x00")
     with pytest.raises(ValueError):
         decode_vector_tile(b"VT01\x01\x00\x00\x00" + b"\x00" * 39)
+
+
+# --------------------------------------------------------------------------
+# clip_segments
+# --------------------------------------------------------------------------
+
+def test_clip_segments_continuity_and_cell_parity(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        clip_segments,
+        rasterize_segments,
+    )
+
+    segs = []
+    for i, lon, lat in _scatter(60, seed=15, lo_lon=-50.0, hi_lon=50.0, lo_lat=-35.0, hi_lat=35.0):
+        segs.append((i, lon, lat, lon + ((i % 9) - 4) * 1.9, lat + ((i % 7) - 3) * 1.4))
+    df = spark.createDataFrame(
+        segs, "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double"
+    )
+    res = 6
+    clips = {}
+    for r in clip_segments(df, res).collect():
+        clips.setdefault(r["seg_id"], []).append(
+            (r["seq"], r["cell"], r["clip_lon0"], r["clip_lat0"], r["clip_lon1"], r["clip_lat1"])
+        )
+    cells = {}
+    for r in rasterize_segments(df, res).collect():
+        cells.setdefault(r["seg_id"], []).append((r["seq"], r["cell"]))
+    geom = {s[0]: s for s in segs}
+    for sid, cl in clips.items():
+        cl.sort()
+        _, x0, y0, x1, y1 = geom[sid]
+        # endpoints exact
+        assert (cl[0][2], cl[0][3]) == (x0, y0)
+        assert (cl[-1][4], cl[-1][5]) == (x1, y1)
+        # seamless: every clip starts where the previous one ended
+        for a, b in zip(cl, cl[1:]):
+            assert (a[4], a[5]) == (b[2], b[3])
+        # order-deduped clip cells == supercover cells
+        seen, order = set(), []
+        for _, c, *_ in cl:
+            if c not in seen:
+                seen.add(c)
+                order.append(c)
+        assert order == [c for _, c in sorted(cells[sid])]
