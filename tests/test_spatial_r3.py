@@ -860,3 +860,38 @@ def test_clip_segments_continuity_and_cell_parity(spark):
                 seen.add(c)
                 order.append(c)
         assert order == [c for _, c in sorted(cells[sid])]
+
+
+# --------------------------------------------------------------------------
+# geohash
+# --------------------------------------------------------------------------
+
+def test_geohash_known_vectors_and_twin(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        geohash,
+        geohash_py,
+    )
+
+    # published reference vectors (geohash.org examples)
+    cases = [
+        (10.40744, 57.64911, 8, "u4pruydq"),
+        (-5.6, 42.6, 5, "ezs42"),
+    ]
+    for lon, lat, p, want in cases:
+        assert geohash_py(lon, lat, p) == want
+    pts = _scatter(200, seed=17, lo_lat=-89.9, hi_lat=89.9)
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    for p in (1, 5, 8, 12):
+        got = {
+            r["id"]: r["g"]
+            for r in df.select(
+                "id", geohash(F.col("lon"), F.col("lat"), p).alias("g")
+            ).collect()
+        }
+        assert got == {i: geohash_py(lon, lat, p) for i, lon, lat in pts}
+    # hierarchy: higher precision refines (prefix property)
+    g4 = {r["id"]: r["g"] for r in df.select("id", geohash(F.col("lon"), F.col("lat"), 4).alias("g")).collect()}
+    g8 = {r["id"]: r["g"] for r in df.select("id", geohash(F.col("lon"), F.col("lat"), 8).alias("g")).collect()}
+    assert all(g8[i].startswith(g4[i]) for i in g4)
+    with pytest.raises(ValueError):
+        geohash(F.col("lon"), F.col("lat"), 13)
