@@ -612,12 +612,77 @@ def run_extended(sf_dir: str) -> None:
     )
 
 
+def run_weak_scaling(sf_dir: str) -> None:
+    """Weak scaling: constant work PER CORE (replicate 16 at local[8]
+    vs 64 at local[32] — 4x the cores, 4x the data). Ideal wall
+    clocks are EQUAL, so weak efficiency = t8/t32; it is normalized
+    against the same md5 machine-ceiling control as the strong run
+    (the control is fixed-size, so its per-core throughput ratio
+    (c8/c32)/4 is the ceiling for both scaling modes). This is the
+    direct sandbox proxy for "4x executors ingest 4x data in the same
+    time" — the 100 TB growth axis — complementing the strong-scaling
+    criterion in BASELINE.json."""
+    import shutil
+    import subprocess
+
+    base = int(os.environ.get("SPARK_GRAFT_WEAK_REPLICATE", "16"))
+    results = {}
+    for cpus, rep in (("8", base), ("32", base * 4)):
+        env = dict(os.environ)
+        env.update(
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_CPUS=cpus,
+            SPARK_GRAFT_REPLICATE=str(rep),
+            SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        submit = _find_spark_submit()
+        if submit:
+            zip_path = _ensure_pyfiles_zip()
+            cmd = [
+                submit, "--master", f"local[{cpus}]",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zip_path,
+                os.path.abspath(__file__), "--scaling-worker",
+            ]
+            env["PYSPARK_PYTHON"] = sys.executable
+        else:
+            cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker"]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
+        p = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    t8, t32 = results["8"]["wall_s"], results["32"]["wall_s"]
+    c8, c32 = results["8"]["control_wall_s"], results["32"]["control_wall_s"]
+    eff = t8 / t32
+    ctrl_eff = (c8 / c32) / 4.0
+    print(
+        json.dumps(
+            {
+                "metric": "weak-scaling efficiency local[8]/rep16 -> "
+                "local[32]/rep64 (constant work per core)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "machine_ceiling_efficiency": round(ctrl_eff, 3),
+                "normalized_efficiency": round(eff / ctrl_eff, 3),
+                "rows": {"local8": results["8"]["rows"], "local32": results["32"]["rows"]},
+                "wall_s": {"local8": round(t8, 2), "local32": round(t32, 2)},
+                "control_wall_s": {"local8": round(c8, 2), "local32": round(c32, 2)},
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling-worker" in sys.argv:
         return scaling_worker()
     if "--scaling" in sys.argv:
         return run_scaling(sf_dir)
+    if "--weak-scaling" in sys.argv:
+        return run_weak_scaling(sf_dir)
     if "--extended" in sys.argv:
         return run_extended(sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
