@@ -1,0 +1,132 @@
+"""Incremental rule maintenance.
+
+The reference's rule dataset is regenerated monthly from the wiki
+(`/root/reference/parser/main.py` CI loop); at 10^12 stored inference
+rows, recomputing the world because three countries edited a speed
+table is absurd. This module gives the targeted-recompute path:
+
+1. ``country_fingerprints`` — a canonical digest of every input that
+   can change a country's inferences: its own rule list PLUS the
+   global road-type filter table (placeholder inlining and fuzzy
+   filters make road types a global input, so a road-type edit
+   conservatively invalidates every country — stale results are a
+   correctness bug, over-recompute is only a cost).
+2. ``changed_countries`` — fingerprint diff (added / removed /
+   edited).
+3. ``reinfer_changed`` — recompute ONLY roads whose EFFECTIVE country
+   (subdivision → country fallback included: a ZA edit must recompute
+   ZA-NC roads that fall back to ZA) is in the changed set; all other
+   rows carry over from the previous result table untouched. The
+   write side composes with the checkpointed job's dynamic partition
+   overwrite — country is the leading partition column, so only
+   changed partitions rewrite.
+
+Scale: the decision is driver-side over the rule DIM (KBs); the data
+pass is one partition-prunable filter plus the normal broadcast
+cascade over the changed subset. Nothing row-scale moves for
+unchanged countries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _canon(obj):
+    """Canonical JSON-able form: dataclasses to sorted dicts, dict
+    keys sorted, tuples to lists — deterministic across processes."""
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return {
+            k: _canon(v)
+            for k, v in sorted(dataclasses.asdict(obj).items())
+        }
+    if isinstance(obj, dict):
+        return {str(k): _canon(v) for k, v in sorted(obj.items())}
+    if isinstance(obj, (list, tuple)):
+        return [_canon(v) for v in obj]
+    return obj
+
+
+def _digest(obj) -> str:
+    return hashlib.md5(
+        json.dumps(_canon(obj), sort_keys=True, separators=(",", ":")).encode()
+    ).hexdigest()
+
+
+def country_fingerprints(road_types: dict, speed_limits: dict) -> dict[str, str]:
+    """country -> digest of (its rule list, the global road-type
+    table). Equal fingerprints guarantee equal inference behavior for
+    that country; a differing global table changes every fingerprint
+    (conservative by design, see module docstring)."""
+    global_part = _digest(road_types)
+    return {
+        cc: _digest([global_part, _canon(rules)])
+        for cc, rules in speed_limits.items()
+    }
+
+
+def changed_countries(old_fps: dict[str, str], new_fps: dict[str, str]) -> list[str]:
+    """Sorted country codes whose inferences may differ: added,
+    removed, or fingerprint-changed."""
+    out = set()
+    for cc in set(old_fps) | set(new_fps):
+        if old_fps.get(cc) != new_fps.get(cc):
+            out.add(cc)
+    return sorted(out)
+
+
+def effective_country_col(raw: Column, known_countries: list[str]) -> Column:
+    """Subdivision → country fallback as a Column (the cascade's F14
+    rule): a code with rules of its own stands; otherwise the part
+    before '-' is the effective country."""
+    return F.when(raw.isin(list(known_countries)), raw).otherwise(
+        F.substring_index(raw, "-", 1)
+    )
+
+
+def reinfer_changed(
+    roads: DataFrame,
+    old_results: DataFrame,
+    new_ruleset,
+    changed: list[str],
+    known_countries: list[str],
+    id_col: str = "road_id",
+    country_col: str = "country_code",
+    engine: str = "native",
+    project=None,
+    **infer_kwargs,
+) -> DataFrame:
+    """Carry over ``old_results`` rows whose effective country is
+    unchanged; re-infer the rest under ``new_ruleset``. ``project``
+    maps the raw inference output (input columns + the result struct)
+    onto ``old_results``' stored schema — pass the same projection the
+    original job used; None keeps the raw columns. ``known_countries``
+    must be the NEW ruleset's country list — effective-country routing
+    follows the new rules.
+
+    The changed set is a tiny literal IN-list (pushed into the scan),
+    so at scale this is a partition-pruned read of the changed
+    countries plus a semi-join-free carry-over of everything else."""
+    eff = effective_country_col(F.col(country_col), known_countries)
+    is_changed = eff.isin(list(changed)) if changed else F.lit(False)
+    redo_in = roads.where(is_changed)
+    keep_ids = roads.where(~is_changed | F.col(country_col).isNull()).select(
+        id_col
+    )
+    if engine == "native":
+        from osm_legal_default_speeds_spark.plans.native_cascade import (
+            infer_speed_limits_native as _infer,
+        )
+    else:
+        from osm_legal_default_speeds_spark.operators.inference import (
+            infer_speed_limits as _infer,
+        )
+    redo = _infer(redo_in, new_ruleset, country_col=country_col, **infer_kwargs)
+    if project is not None:
+        redo = project(redo)
+    keep = old_results.join(keep_ids, id_col, "left_semi")
+    return keep.unionByName(redo.select(*old_results.columns))

@@ -1,0 +1,183 @@
+"""Incremental rule maintenance: fingerprint sensitivity and the
+incremental == full-recompute equivalence invariant."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_legal_default_speeds_spark.plans.rules_compiler import compile_ruleset
+from osm_legal_default_speeds_spark.plans.rules_diff import (
+    changed_countries,
+    country_fingerprints,
+    effective_country_col,
+    reinfer_changed,
+)
+from osm_legal_default_speeds_spark.plans.rules_model import (
+    RoadTypeDef,
+    RoadTypeFilterDef,
+)
+
+
+def _road_types():
+    return {
+        "motorway": RoadTypeFilterDef("highway=motorway"),
+        "living street": RoadTypeFilterDef("highway=living_street"),
+        "urban": RoadTypeFilterDef("lit=yes", "highway=residential"),
+    }
+
+
+def _rules(za_motorway="120"):
+    return {
+        "ZA": [
+            RoadTypeDef("living street", {"maxspeed": "10"}),
+            RoadTypeDef("urban", {"maxspeed": "50"}),
+            RoadTypeDef(None, {"maxspeed": "100"}),
+            RoadTypeDef("motorway", {"maxspeed": za_motorway}),
+        ],
+        "DE": [
+            RoadTypeDef("urban", {"maxspeed": "50"}),
+            RoadTypeDef("motorway", {"maxspeed": "130"}),
+        ],
+        "FR-IDF": [
+            RoadTypeDef("urban", {"maxspeed": "30"}),
+        ],
+    }
+
+
+def test_fingerprints_detect_rule_and_roadtype_edits():
+    rt, sl = _road_types(), _rules()
+    base = country_fingerprints(rt, sl)
+    assert changed_countries(base, country_fingerprints(rt, _rules())) == []
+    # one country's value edit flags exactly that country
+    assert changed_countries(
+        base, country_fingerprints(rt, _rules(za_motorway="130"))
+    ) == ["ZA"]
+    # a global road-type edit conservatively flags every country
+    rt2 = dict(_road_types())
+    rt2["motorway"] = RoadTypeFilterDef("highway~motorway|trunk")
+    assert changed_countries(base, country_fingerprints(rt2, sl)) == [
+        "DE", "FR-IDF", "ZA",
+    ]
+    # added / removed countries flag
+    sl2 = dict(_rules())
+    sl2["NL"] = [RoadTypeDef(None, {"maxspeed": "100"})]
+    del sl2["DE"]
+    assert changed_countries(base, country_fingerprints(rt, sl2)) == ["DE", "NL"]
+
+
+def test_effective_country_fallback(spark):
+    df = spark.createDataFrame(
+        [("ZA",), ("ZA-NC",), ("FR-IDF",), ("DE-BY",), (None,)],
+        "country_code string",
+    )
+    known = ["ZA", "DE", "FR-IDF"]
+    got = [
+        r["eff"]
+        for r in df.select(
+            effective_country_col(F.col("country_code"), known).alias("eff")
+        ).collect()
+    ]
+    assert got == ["ZA", "ZA", "FR-IDF", "DE", None]
+
+
+@pytest.fixture()
+def roads(spark):
+    rows = []
+    countries = ["ZA", "ZA-NC", "DE", "DE-BY", "FR-IDF", "XX"]
+    highways = ["motorway", "residential", "living_street"]
+    for i in range(240):
+        rows.append(
+            (
+                i,
+                countries[i % len(countries)],
+                {
+                    "highway": highways[i % 3],
+                    "lit": "yes" if i % 2 == 0 else "no",
+                },
+            )
+        )
+    return spark.createDataFrame(
+        rows, "road_id long, country_code string, tags map<string,string>"
+    )
+
+
+def test_incremental_equals_full_recompute(spark, roads):
+    old_rs = compile_ruleset(_road_types(), _rules())
+    new_rules = _rules(za_motorway="130")
+    new_rs = compile_ruleset(_road_types(), new_rules)
+    changed = changed_countries(
+        country_fingerprints(_road_types(), _rules()),
+        country_fingerprints(_road_types(), new_rules),
+    )
+    assert changed == ["ZA"]
+
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
+    )
+
+    def flat(df):
+        r = F.col("speed_limit")
+        return df.select(
+            "road_id",
+            "country_code",
+            r.getField("road_type_name").alias("rt"),
+            r.getField("certitude").alias("cert"),
+            F.element_at(r.getField("tags"), F.lit("maxspeed")).alias("ms"),
+        )
+
+    old_results = flat(infer_speed_limits_native(roads, old_rs))
+    known = sorted(new_rules.keys())
+    inc = reinfer_changed(
+        roads,
+        old_results,
+        new_rs,
+        changed,
+        known,
+        project=flat,
+    )
+    # the incremental path must equal a full recompute under new rules
+    full = flat(infer_speed_limits_native(roads, new_rs))
+    k = lambda r: (r["road_id"], r["country_code"], r["rt"], r["cert"], r["ms"])
+    inc_rows = sorted(map(k, flat_results(inc)))
+    full_rows = sorted(map(k, flat_results(full)))
+    assert inc_rows == full_rows and len(inc_rows) == 240
+    # only ZA / ZA-* rows may differ from the old results
+    old_rows = {r["road_id"]: k(r) for r in flat_results(old_results)}
+    diff_ids = [
+        t[0] for t in inc_rows if old_rows[t[0]] != t
+    ]
+    assert diff_ids  # the ZA motorway edit must actually change rows
+    eff = {
+        r["road_id"]: r["country_code"]
+        for r in roads.collect()
+    }
+    assert all(eff[i].startswith("ZA") for i in diff_ids)
+
+
+def flat_results(df):
+    # `flat` output and reinfer output share columns; plain collect
+    return df.collect()
+
+
+def test_empty_change_set_is_pure_carry_over(spark, roads):
+    rs = compile_ruleset(_road_types(), _rules())
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
+    )
+
+    r = F.col("speed_limit")
+    old_results = infer_speed_limits_native(roads, rs).select(
+        "road_id",
+        "country_code",
+        r.getField("certitude").alias("cert"),
+    )
+    r2 = F.col("speed_limit")
+    inc = reinfer_changed(
+        roads, old_results, rs, [], sorted(_rules().keys()),
+        project=lambda df: df.select(
+            "road_id", "country_code",
+            r2.getField("certitude").alias("cert"),
+        ),
+    )
+    a = sorted(tuple(x) for x in old_results.collect())
+    b = sorted(tuple(x) for x in inc.collect())
+    assert a == b
