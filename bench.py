@@ -552,6 +552,7 @@ EXTENDED_QUERIES = (
     "vector_tiles",
     "clip_segments",
     "geohash_encode",
+    "vector_tiles_clipped",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

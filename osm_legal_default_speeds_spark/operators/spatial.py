@@ -1984,6 +1984,7 @@ def encode_vector_tiles(
     lat0: str = "lat0",
     lon1: str = "lon1",
     lat1: str = "lat1",
+    clip: bool = False,
 ) -> DataFrame:
     """(tile_id, n_features, byte_len, tile_blob): every segment is
     stamped into each tile it crosses (exact supercover — the standard
@@ -2009,18 +2010,31 @@ def encode_vector_tiles(
     def gy(c: str) -> Column:
         return (F.col(c) + 90.0) / 180.0 * ny
 
-    cells = segment_cells(gx(lon0), gy(lat0), gx(lon1), gy(lat1), nx, ny)
-    flat = segs.select(
-        F.col(seg_id).alias("__sid"),
-        F.col(lon0).alias("__x0"),
-        F.col(lat0).alias("__y0"),
-        F.col(lon1).alias("__x1"),
-        F.col(lat1).alias("__y1"),
-        F.explode(cells).alias("__c"),
-    ).select(
-        "__sid", "__x0", "__y0", "__x1", "__y1",
-        (F.col("__c.cx") * ny + F.col("__c.cy")).cast("long").alias("tile_id"),
-    )
+    if clip:
+        # store the clipped sub-segment per tile (what production tile
+        # encoders ship — a tile renders with no out-of-bounds strokes;
+        # same 40-byte feature format, coords are the clip endpoints)
+        flat = clip_segments(segs, res, seg_id, lon0, lat0, lon1, lat1).select(
+            F.col(seg_id).alias("__sid"),
+            F.col("clip_lon0").alias("__x0"),
+            F.col("clip_lat0").alias("__y0"),
+            F.col("clip_lon1").alias("__x1"),
+            F.col("clip_lat1").alias("__y1"),
+            F.col("cell").alias("tile_id"),
+        )
+    else:
+        cells = segment_cells(gx(lon0), gy(lat0), gx(lon1), gy(lat1), nx, ny)
+        flat = segs.select(
+            F.col(seg_id).alias("__sid"),
+            F.col(lon0).alias("__x0"),
+            F.col(lat0).alias("__y0"),
+            F.col(lon1).alias("__x1"),
+            F.col(lat1).alias("__y1"),
+            F.explode(cells).alias("__c"),
+        ).select(
+            "__sid", "__x0", "__y0", "__x1", "__y1",
+            (F.col("__c.cx") * ny + F.col("__c.cy")).cast("long").alias("tile_id"),
+        )
 
     # ONE native aggregation (collect_list + array_sort — JVM-side,
     # map-side partial) then a BATCHED pandas UDF that packs thousands

@@ -2376,3 +2376,32 @@ SQL_GEOHASH_ENCODE = _geohash_sql(_GH_PRECISION)
 
 QUERIES.update({"geohash_encode": q_geohash_encode})
 ORACLES.update({"geohash_encode": SQL_GEOHASH_ENCODE})
+
+
+def q_vector_tiles_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped-geometry tile blobs (production tile-encoder mode):
+    feature count and byte length oracled via the clip-interval SQL
+    grouped per tile; exact clipped bytes pinned by pytest round-trip."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        encode_vector_tiles,
+    )
+
+    segs = _segs_df(spark, sf_dir).where(F.col("seg_id") % 4 == 2)
+    tiles = encode_vector_tiles(segs, _SEG_RES, clip=True)
+    return tiles.select(
+        "tile_id",
+        "n_features",
+        F.length("tile_blob").cast("int").alias("byte_len"),
+    )
+
+
+SQL_VECTOR_TILES_CLIPPED = f"""
+WITH c AS ({SQL_CLIP_SEGMENTS})
+SELECT cell AS tile_id,
+       COUNT(*)::INT AS n_features,
+       (8 + 40 * COUNT(*))::INT AS byte_len
+FROM c GROUP BY cell
+"""
+
+QUERIES.update({"vector_tiles_clipped": q_vector_tiles_clipped})
+ORACLES.update({"vector_tiles_clipped": SQL_VECTOR_TILES_CLIPPED})

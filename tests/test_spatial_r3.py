@@ -895,3 +895,30 @@ def test_geohash_known_vectors_and_twin(spark):
     assert all(g8[i].startswith(g4[i]) for i in g4)
     with pytest.raises(ValueError):
         geohash(F.col("lon"), F.col("lat"), 13)
+
+
+def test_vector_tiles_clipped_geometry(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        clip_segments,
+        decode_vector_tile,
+        encode_vector_tiles,
+    )
+
+    segs = []
+    for i, lon, lat in _scatter(50, seed=16, lo_lon=-40.0, hi_lon=40.0, lo_lat=-30.0, hi_lat=30.0):
+        segs.append((i, lon, lat, lon + ((i % 9) - 4) * 1.7, lat + ((i % 7) - 3) * 1.1))
+    df = spark.createDataFrame(
+        segs, "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double"
+    )
+    res = 6
+    tiles = {r["tile_id"]: r for r in encode_vector_tiles(df, res, clip=True).collect()}
+    want = {}
+    for r in clip_segments(df, res).collect():
+        want.setdefault(r["cell"], []).append(
+            (r["seg_id"], r["clip_lon0"], r["clip_lat0"], r["clip_lon1"], r["clip_lat1"])
+        )
+    assert set(tiles) == set(want)
+    for tid, row in tiles.items():
+        feats = decode_vector_tile(bytes(row["tile_blob"]))
+        assert feats == sorted(want[tid])
+        assert row["n_features"] == len(want[tid])
