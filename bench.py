@@ -553,6 +553,7 @@ EXTENDED_QUERIES = (
     "clip_segments",
     "geohash_encode",
     "vector_tiles_clipped",
+    "tile_build_e2e",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

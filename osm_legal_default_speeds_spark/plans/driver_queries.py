@@ -2405,3 +2405,97 @@ FROM c GROUP BY cell
 
 QUERIES.update({"vector_tiles_clipped": q_vector_tiles_clipped})
 ORACLES.update({"vector_tiles_clipped": SQL_VECTOR_TILES_CLIPPED})
+
+
+# --------------------------------------------------------------------------
+# End-to-end tile build: simplify -> re-segment -> clip -> encode
+# --------------------------------------------------------------------------
+
+def q_tile_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full distributed vector-tile build in one query: zigzag
+    polylines are Douglas-Peucker-simplified, consecutive kept
+    vertices become way segments, each segment is clipped to the tiles
+    it crosses, and per-tile blobs are packed — returning the oracled
+    surface (tile, feature count, byte length). Every stage's
+    arithmetic is the same bit-exact construction its standalone
+    oracle proves, so the chained DuckDB twin reproduces the whole
+    pipeline."""
+    from pyspark.sql.window import Window
+
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        encode_vector_tiles,
+        simplify_lines,
+    )
+
+    kept = simplify_lines(_lines_df(spark, sf_dir), tol=_DP_TOL)
+    w = Window.partitionBy("line_id").orderBy("seq")
+    segs = (
+        kept.select(
+            "line_id",
+            "seq",
+            F.col("x").alias("lon0"),
+            F.col("y").alias("lat0"),
+            F.lead("x").over(w).alias("lon1"),
+            F.lead("y").over(w).alias("lat1"),
+        )
+        .where(F.col("lon1").isNotNull())
+        .select(
+            (F.col("line_id") * 32 + F.col("seq")).alias("seg_id"),
+            "lon0", "lat0", "lon1", "lat1",
+        )
+    )
+    tiles = encode_vector_tiles(segs, _SEG_RES, clip=True)
+    return tiles.select(
+        "tile_id",
+        "n_features",
+        F.length("tile_blob").cast("int").alias("byte_len"),
+    )
+
+
+SQL_TILE_BUILD_E2E = f"""
+WITH kept AS ({SQL_SIMPLIFY_LINES}),
+paired AS (
+  SELECT line_id, seq, x AS lon0, y AS lat0,
+         LEAD(x) OVER (PARTITION BY line_id ORDER BY seq) AS lon1,
+         LEAD(y) OVER (PARTITION BY line_id ORDER BY seq) AS lat1
+  FROM kept
+),
+segs AS (
+  SELECT line_id * 32 + seq AS seg_id, lon0, lat0, lon1, lat1
+  FROM paired WHERE lon1 IS NOT NULL
+),
+g AS (
+  SELECT seg_id,
+    (lon0 + 180.0) / 360.0 * {_SEG_NX} AS x0,
+    (lat0 + 90.0) / 180.0 * {_SEG_NY} AS y0,
+    (lon1 + 180.0) / 360.0 * {_SEG_NX} AS x1,
+    (lat1 + 90.0) / 180.0 * {_SEG_NY} AS y1
+  FROM segs
+),
+tc AS (
+  SELECT seg_id, x0, y0, x1, y1,
+    list_sort(list_distinct(
+      [0.0, 1.0]
+      || {_sql_crossings('x0', 'x1')}
+      || {_sql_crossings('y0', 'y1')}
+    )) AS ts
+  FROM g
+),
+iv AS (SELECT *, unnest(range(1, len(ts))) AS i FROM tc),
+cells AS (
+  SELECT
+    (least(greatest(
+       floor(x0 + ((ts[i] + ts[i + 1]) / 2.0) * (x1 - x0)), 0),
+       {_SEG_NX - 1})::BIGINT * {_SEG_NY}
+     + least(greatest(
+       floor(y0 + ((ts[i] + ts[i + 1]) / 2.0) * (y1 - y0)), 0),
+       {_SEG_NY - 1})::BIGINT) AS tile_id
+  FROM iv
+)
+SELECT tile_id, COUNT(*)::INT AS n_features,
+       (8 + 40 * COUNT(*))::INT AS byte_len
+FROM cells GROUP BY tile_id
+"""
+
+QUERIES.update({"tile_build_e2e": q_tile_build_e2e})
+ORACLES.update({"tile_build_e2e": SQL_TILE_BUILD_E2E})
