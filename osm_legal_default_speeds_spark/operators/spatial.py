@@ -303,7 +303,7 @@ def assign_jurisdiction(
     )
     winner = F.array_min(F.filter(F.col("candidates"), contained))
     return joined.withColumn(out_col, winner.getField("region_code")).drop(
-        "candidates"
+        "candidates", "_pip_cell"
     )
 
 
@@ -986,6 +986,35 @@ def tile_rollup(
 # Linear features: exact supercover rasterization of segments
 # ---------------------------------------------------------------------------
 
+def segment_cut_params(
+    x0: Column, y0: Column, x1: Column, y1: Column
+) -> Column:
+    """Sorted distinct parameter cuts in [0, 1] at every integer
+    gridline crossing of the segment (continuous cell coordinates) —
+    the ONE construction both :func:`segment_cells` (cells = interval
+    midpoints) and :func:`clip_segments` (clips = the intervals
+    themselves) build on, so the supercover and the clip intervals can
+    never desynchronize."""
+    dx = x1 - x0
+    dy = y1 - y0
+
+    def crossings(a0: Column, delta: Column, lo: Column, hi: Column) -> Column:
+        ks = F.when(
+            (delta != 0) & (F.floor(hi) >= F.ceil(lo)),
+            F.sequence(F.ceil(lo), F.floor(hi)),
+        ).otherwise(F.array().cast("array<long>"))
+        ts = F.transform(ks, lambda k: (k - a0) / delta)
+        return F.filter(ts, lambda t: (t > 0) & (t < 1))
+
+    tx = crossings(x0, dx, F.least(x0, x1), F.greatest(x0, x1))
+    ty = crossings(y0, dy, F.least(y0, y1), F.greatest(y0, y1))
+    return F.array_sort(
+        F.array_distinct(
+            F.concat(F.array(F.lit(0.0), F.lit(1.0)), tx, ty)
+        )
+    )
+
+
 def segment_cells(
     x0: Column, y0: Column, x1: Column, y1: Column, nx: int, ny: int
 ) -> Column:
@@ -1011,22 +1040,7 @@ def segment_cells(
     (point) segments yield exactly their containing cell."""
     dx = x1 - x0
     dy = y1 - y0
-
-    def crossings(a0: Column, delta: Column, lo: Column, hi: Column) -> Column:
-        ks = F.when(
-            (delta != 0) & (F.floor(hi) >= F.ceil(lo)),
-            F.sequence(F.ceil(lo), F.floor(hi)),
-        ).otherwise(F.array().cast("array<long>"))
-        ts = F.transform(ks, lambda k: (k - a0) / delta)
-        return F.filter(ts, lambda t: (t > 0) & (t < 1))
-
-    tx = crossings(x0, dx, F.least(x0, x1), F.greatest(x0, x1))
-    ty = crossings(y0, dy, F.least(y0, y1), F.greatest(y0, y1))
-    ts = F.array_sort(
-        F.array_distinct(
-            F.concat(F.array(F.lit(0.0), F.lit(1.0)), tx, ty)
-        )
-    )
+    ts = segment_cut_params(x0, y0, x1, y1)
     mids = F.transform(
         F.sequence(F.lit(1), F.size(ts) - 1),
         lambda i: (F.element_at(ts, i) + F.element_at(ts, i + 1)) / 2.0,
@@ -1640,12 +1654,16 @@ def within_distance_join_meters(
     res chosen CONSERVATIVELY for the worst case the data allows: the
     longitude extent of ``radius_m`` grows as 1/cos(lat), so the cell
     side must cover radius_deg_lat / cos(lat_cap). Rows with |lat| >
-    lat_cap are REJECTED at runtime (a count-based assertion would add
-    an action; instead the exact filter uses a null-propagating guard
-    column that fails loudly) — in practice cap 84 deg covers every
-    inhabited place and the conservative factor is ~10x more candidate
-    cells, all killed by the exact haversine filter. For polar data,
-    run a second pass with a higher cap / coarser res and union.
+    lat_cap are OUT OF CONTRACT and silently EXCLUDED (a
+    null-propagating guard column nulls their latitude so no pair
+    involving them can pass the distance filter — a row-level raise
+    would force an extra action, and a poleward row must never produce
+    a possibly-incomplete pair list). Pre-assert
+    ``df.where(F.abs(F.col(lat)) > lat_cap).isEmpty()`` upstream if
+    exclusion must be an error. Cap 84 deg covers every inhabited
+    place; the conservative factor is ~10x more candidate cells, all
+    killed by the exact haversine filter. For polar data, run a second
+    pass with a higher cap / coarser res and union.
 
     The exact predicate is the haversine distance (built-in trig,
     codegen'd); the candidate stage is the same skinny 9x explode +
@@ -1933,9 +1951,14 @@ def polygon_stats(polys: DataFrame) -> DataFrame:
             ),
         )
 
-    area2 = F.element_at(F.transform(rings, ring_shoelace2), 1) - F.coalesce(
+    # stage the per-ring shoelace array ONCE — Catalyst does not CSE a
+    # duplicated O(vertices) aggregate subtree (working-notes fact), so
+    # deriving outer + holes from one staged column halves the
+    # dominant per-row cost
+    sl = F.col("__sl")
+    area2 = F.element_at(sl, 1) - F.coalesce(
         F.aggregate(
-            F.slice(F.transform(rings, ring_shoelace2), 2, 1_000_000),
+            F.slice(sl, 2, 1_000_000),
             F.lit(0.0),
             lambda a, v: a + v,
         ),
@@ -1949,7 +1972,8 @@ def polygon_stats(polys: DataFrame) -> DataFrame:
         F.lit(0),
         lambda a, v: a + v,
     )
-    return polys.select(
+    staged = polys.withColumn("__sl", F.transform(rings, ring_shoelace2))
+    return staged.select(
         "region_code",
         F.size(rings).alias("n_rings"),
         nverts.alias("n_vertices"),
@@ -2137,20 +2161,7 @@ def clip_segments(
     gy1 = (F.col(lat1) + 90.0) / 180.0 * ny
     dx = gx1 - gx0
     dy = gy1 - gy0
-
-    def crossings(a0: Column, delta: Column, lo: Column, hi: Column) -> Column:
-        ks = F.when(
-            (delta != 0) & (F.floor(hi) >= F.ceil(lo)),
-            F.sequence(F.ceil(lo), F.floor(hi)),
-        ).otherwise(F.array().cast("array<long>"))
-        ts = F.transform(ks, lambda k: (k - a0) / delta)
-        return F.filter(ts, lambda t: (t > 0) & (t < 1))
-
-    tx = crossings(gx0, dx, F.least(gx0, gx1), F.greatest(gx0, gx1))
-    ty = crossings(gy0, dy, F.least(gy0, gy1), F.greatest(gy0, gy1))
-    ts = F.array_sort(
-        F.array_distinct(F.concat(F.array(F.lit(0.0), F.lit(1.0)), tx, ty))
-    )
+    ts = segment_cut_params(gx0, gy0, gx1, gy1)
 
     def clamp(c: Column, hi: int) -> Column:
         return F.least(F.greatest(c, F.lit(0)), F.lit(hi - 1))

@@ -112,7 +112,17 @@ def reinfer_changed(
     so at scale this is a partition-pruned read of the changed
     countries plus a semi-join-free carry-over of everything else."""
     eff = effective_country_col(F.col(country_col), known_countries)
-    is_changed = eff.isin(list(changed)) if changed else F.lit(False)
+    # route by the NEW ruleset's effective country AND by the raw code:
+    # a REMOVED subdivision (in changed, absent from known_countries)
+    # makes its roads fall back to the parent country, which may itself
+    # be unchanged — matching only on eff would carry their old
+    # (deleted-rules) results over, the stale-correctness bug this
+    # module exists to prevent
+    is_changed = (
+        (eff.isin(list(changed)) | F.col(country_col).isin(list(changed)))
+        if changed
+        else F.lit(False)
+    )
     redo_in = roads.where(is_changed)
     keep_ids = roads.where(~is_changed | F.col(country_col).isNull()).select(
         id_col

@@ -181,3 +181,44 @@ def test_empty_change_set_is_pure_carry_over(spark, roads):
     a = sorted(tuple(x) for x in old_results.collect())
     b = sorted(tuple(x) for x in inc.collect())
     assert a == b
+
+
+def test_removed_subdivision_reinfers_under_parent(spark, roads):
+    """Dropping a subdivision's rules must RE-infer its roads under the
+    parent country, not carry over results computed from deleted
+    rules (the stale-correctness case the raw-code routing covers)."""
+    rt = _road_types()
+    old_rules = _rules()
+    new_rules = dict(_rules())
+    del new_rules["FR-IDF"]  # FR-IDF roads now have NO rules at all
+    old_rs = compile_ruleset(rt, old_rules)
+    new_rs = compile_ruleset(rt, new_rules)
+    changed = changed_countries(
+        country_fingerprints(rt, old_rules),
+        country_fingerprints(rt, new_rules),
+    )
+    assert changed == ["FR-IDF"]
+
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
+    )
+
+    r = F.col("speed_limit")
+
+    def proj(df):
+        return df.select(
+            "road_id", "country_code", r.getField("certitude").alias("cert")
+        )
+
+    old_results = proj(infer_speed_limits_native(roads, old_rs))
+    inc = reinfer_changed(
+        roads, old_results, new_rs, changed, sorted(new_rules.keys()),
+        project=proj,
+    )
+    full = proj(infer_speed_limits_native(roads, new_rs))
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+    # and the FR-IDF rows genuinely changed (they had Exact urban
+    # matches before; with no FR rules they must now be null-certitude)
+    fr = {t[0]: t[2] for t in map(tuple, inc.collect()) if t[1] == "FR-IDF"}
+    fr_old = {t[0]: t[2] for t in map(tuple, old_results.collect()) if t[1] == "FR-IDF"}
+    assert fr and fr != fr_old
