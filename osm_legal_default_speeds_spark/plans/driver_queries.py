@@ -675,7 +675,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SESSIONIZE_BATCH = """
 WITH marked AS (
   SELECT user_id, ts, value,
-    CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER w)) > 1800 THEN 1 ELSE 0 END
+    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END
       AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -2184,11 +2184,12 @@ def q_events_tile_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFram
         streaming_tile_rollup,
     )
 
-    d = tempfile.mkdtemp(prefix="evt_src_")
+    from osm_legal_default_speeds_spark.plans.trainingdata_queries import (
+        _staged_events_dir,
+    )
+
+    d = _staged_events_dir(spark, sf_dir)
     ck = tempfile.mkdtemp(prefix="evt_ck_")
-    _read(spark, sf_dir, "events").repartition(4).write.mode(
-        "overwrite"
-    ).parquet(d)
     out = streaming_tile_rollup(
         spark, d, ck, sink_table="q_stream_tiles", res=5, window="6 hours"
     )

@@ -23,20 +23,18 @@ module provides the three canonical shapes:
 
 Scale notes: the rollup's shuffle is keyed by (window, event_type) —
 time-bucketed keys are naturally balanced; state store size is bounded
-by the watermark horizon. Sessionization state is per-user and evicted
-on timeout, so memory is O(active users), not O(events).
+by the watermark horizon in APPEND/UPDATE mode (the production parquet
+sink path). The memory-sink drains here run in COMPLETE mode, where
+Spark keeps every window's state for the stream's lifetime — fine for
+the bounded test drains, wrong to size a long-running job from.
+Sessionization state is per-user and evicted on timeout, so memory is
+O(active users), not O(events).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.streaming.stateful_processor import (
-    StatefulProcessor,
-    StatefulProcessorHandle,
-)
 
 EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
@@ -231,59 +229,10 @@ _STATE_SCHEMA = "start long, end long, n int, total double"
 GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
 
 
-class _SessionProcessor(StatefulProcessor):
-    """Gap-based user sessions: events within GAP_US of each other
-    merge; a larger gap closes the running session (emitted) and opens
-    a new one. The open session stays in ValueState across
-    micro-batches — O(1) state per user. Timestamps are tracked as
-    epoch microseconds."""
-
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self._state = handle.getValueState("session", _STATE_SCHEMA)
-
-    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        start, end, n, total = (
-            self._state.get() if self._state.exists() else (None, None, 0, 0.0)
-        )
-        ts_all, vals = [], []
-        for pdf in rows:
-            ts_all.append(pdf["ts"].astype("int64") // 1000)  # ns -> us
-            vals.append(pdf["value"])
-        ts = pd.concat(ts_all).to_numpy()
-        vv = pd.concat(vals).to_numpy()
-        order = ts.argsort(kind="stable")
-
-        closed: list[tuple] = []
-        for t, v in zip(ts[order].tolist(), vv[order].tolist()):
-            if start is None:
-                start, end, n, total = t, t, 1, v
-            elif t - end <= GAP_US:
-                end, n, total = max(end, t), n + 1, total + v
-            else:
-                closed.append((start, end, n, total))
-                start, end, n, total = t, t, 1, v
-        self._state.update((start, end, int(n), float(total)))
-
-        if closed:
-            s, e, cn, tv = zip(*closed)
-            yield pd.DataFrame(
-                {
-                    "user_id": pd.Series([key[0]] * len(closed), dtype="int64"),
-                    "session_start": pd.to_datetime(list(s), unit="us"),
-                    "session_end": pd.to_datetime(list(e), unit="us"),
-                    "n_events": pd.Series(cn, dtype="int32"),
-                    "total_value": pd.Series(tv, dtype="float64"),
-                }
-            )
-
-    def close(self) -> None:
-        pass
-
-
 def _session_fn(key, pdfs, state):
-    """applyInPandasWithState twin of _SessionProcessor (Spark 4 also
-    ships transformWithStateInPandas, but its driver worker needs the
-    protobuf package; this classic API is dependency-free)."""
+    """Per-user gap-session kernel for applyInPandasWithState (Spark 4
+    also ships transformWithStateInPandas, but its driver worker needs
+    the protobuf package; this classic API is dependency-free)."""
     start, end, n, total = state.get if state.exists else (None, None, 0, 0.0)
     ts_all, vals = [], []
     for pdf in pdfs:
@@ -298,7 +247,11 @@ def _session_fn(key, pdfs, state):
         if start is None:
             start, end, n, total = t, t, 1, v
         elif t - end <= GAP_US:
-            end, n, total = max(end, t), n + 1, total + v
+            # late cross-batch arrivals both extend the end AND pull
+            # the start back (the batch oracle's global sort sees them
+            # in order; lateness beyond GAP of the open session's end
+            # is out of contract without a watermark)
+            start, end, n, total = min(start, t), max(end, t), n + 1, total + v
         else:
             closed.append((start, end, n, total))
             start, end, n, total = t, t, 1, v
@@ -338,12 +291,19 @@ def batch_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap_s = gap_minutes * 60
+    # compare gaps in exact MICROSECONDS: the stateful operator tracks
+    # epoch-us, and a whole-second (unix_timestamp) comparison would
+    # merge sub-second-straddling gaps the streaming side splits
+    gap_us = gap_minutes * 60 * 1_000_000
     marked = events.select(
         "user_id", "ts", "value",
         F.when(
-            F.unix_timestamp("ts")
-            - F.unix_timestamp(F.lag("ts").over(w)) > gap_s,
+            # events ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP.
+            # The session-tz shift the cast introduces cancels in the
+            # difference, so the gap itself is exact microseconds.
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+            > gap_us,
             1,
         ).otherwise(0).alias("new_session"),
     ).withColumn(
@@ -423,9 +383,11 @@ def tile_windowed_rollup(
 ) -> DataFrame:
     """Watermarked (event-time window x raster tile) aggregation — the
     streaming twin of the batch tile_rollup, i.e. a live heatmap
-    layer. State is bounded by watermark_horizon x occupied tiles
-    (the grid at res 5 caps the key space at 2^11 cells); identical
-    plan on a static DataFrame, which is the batch oracle."""
+    layer. In append/update mode state is bounded by watermark_horizon
+    x occupied tiles (the grid at res 5 caps the key space at 2^11
+    cells); the COMPLETE-mode memory-sink drain below keeps all
+    windows (test-only). Identical plan on a static DataFrame, which
+    is the batch oracle."""
     from osm_legal_default_speeds_spark.operators.spatial import grid_cell
 
     return (

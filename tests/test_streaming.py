@@ -282,3 +282,46 @@ def test_streaming_tile_rollup_matches_batch(spark, tmp_path):
     got_m = {key(r): (r["n_events"], round(r["total_value"], 6)) for r in got}
     want_m = {key(r): (r["n_events"], round(r["total_value"], 6)) for r in want}
     assert got_m == want_m and len(got_m) > 50
+
+
+def test_session_kernel_pulls_start_back_for_late_merge():
+    """A late cross-batch event within GAP of the open session must
+    extend session bounds in BOTH directions (min start, max end)."""
+    import pandas as pd
+
+    from osm_legal_default_speeds_spark.streaming.event_rollup import (
+        GAP_US,
+        _session_fn,
+    )
+
+    class _State:
+        def __init__(self, tup):
+            self._t = tup
+
+        @property
+        def exists(self):
+            return self._t is not None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self._t = t
+
+    base = 1_700_000_000_000_000  # epoch us
+    # open session from a previous micro-batch: [base+600s, base+600s]
+    st = _State((base + 600_000_000, base + 600_000_000, 1, 1.0))
+    # this batch delivers a LATE event 300 s before the open start
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([base + 300_000_000], unit="us"),
+            "value": [2.0],
+        }
+    )
+    list(_session_fn((7,), [pdf], st))
+    start, end, n, total = st.get
+    assert start == base + 300_000_000  # pulled BACK
+    assert end == base + 600_000_000
+    assert n == 2 and total == 3.0
+    assert base + 600_000_000 - (base + 300_000_000) <= GAP_US
