@@ -2500,3 +2500,84 @@ FROM cells GROUP BY tile_id
 
 QUERIES.update({"tile_build_e2e": q_tile_build_e2e})
 ORACLES.update({"tile_build_e2e": SQL_TILE_BUILD_E2E})
+
+
+# --------------------------------------------------------------------------
+# Driver-window ordering. The correctness driver checks the FIRST 50
+# entries of queries() in insertion order; rounds 1-3 left the 43
+# newest operators (ANN, streaming, image codecs, round-3 spatial)
+# outside that window with pytest-only evidence. Rotate: the head
+# holds one representative per engine-twin pair (the *_native defaults
+# that entry() ships; their Arrow twins answer the SAME oracle and
+# stay pytest-pinned), the two widest reference-semantics pins
+# (tagfilter_atoms = all 16 atoms, units_normalize = 60k-row unit
+# table), the freshly-fixed pack_sequences, then every operator that
+# has never had a driver CORRECTNESS row. Everything past 50 remains
+# registered and pytest-oracled (tests/test_driver_contract.py runs
+# the FULL registry, not just the window).
+# --------------------------------------------------------------------------
+
+_WINDOW_HEAD = [
+    # core reference-engine representatives (r01-r03 green)
+    "tagfilter_atoms",
+    "units_normalize",
+    "cascade_infer_native",
+    "result_assembly_native",
+    "relation_semijoin_native",
+    "override_column_native",
+    # the single red r03 row, fixed this round (typed oracle arithmetic)
+    "pack_sequences",
+    # never driver-checked before round 4, in original registry order
+    "clean_lines",
+    "line_dedup",
+    "ann_topk",
+    "ann_lsh_topk",
+    "ann_lsh_topk_partial",
+    "ann_multiprobe",
+    "ann_ivf_topk",
+    "ann_ivf_topk_np",
+    "ann_pq_topk",
+    "embedding_near_dup",
+    "semantic_dedup",
+    "events_rollup",
+    "events_rollup_streaming",
+    "events_dedup_streaming",
+    "event_asof_join",
+    "window_attribution",
+    "cms_counts",
+    "image_meta",
+    "image_text_quality",
+    "image_patches",
+    "image_verify",
+    "audio_features",
+    "video_frame_sample",
+    "image_features",
+    "image_resize",
+    "image_phash_near_dup",
+    "curate_images",
+    "knn_indexed",
+    "snap_segments",
+    "tile_smooth",
+    "polygon_overlay",
+    "simplify_lines",
+    "within_pairs_m",
+    "segment_components",
+    "image_geo_rollup",
+    "segment_intersections",
+    "polygon_stats",
+    "events_tile_rollup_streaming",
+    "vector_tiles",
+    "clip_segments",
+    "geohash_encode",
+    "vector_tiles_clipped",
+    "tile_build_e2e",
+]
+
+
+def _window_reorder(d: dict) -> dict:
+    head = {k: d[k] for k in _WINDOW_HEAD if k in d}
+    return {**head, **{k: v for k, v in d.items() if k not in head}}
+
+
+QUERIES = _window_reorder(QUERIES)
+ORACLES = _window_reorder(ORACLES)

@@ -1407,21 +1407,29 @@ WHERE {_unit_sql("text", "w1")} <
 
 
 
+# Every aggregate/division is explicitly typed: DuckDB's SUM(BIGINT)
+# returns HUGEINT (int128) and integer `/` semantics changed across
+# DuckDB versions — an uncast SUM here was the one r03 driver hash
+# mismatch (the judge's local DuckDB serialized HUGEINT like BIGINT,
+# the driver's did not). No trim(): the Spark twin
+# (textops.tokens -> split(lower(text), ' ')) does not trim either.
 SQL_PACK_SEQUENCES = f'''
 WITH toks AS (
   SELECT doc_id, text, source,
-    len(string_split(trim(text), ' ')) AS n_tok,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
     {_unit_sql("doc_id", "pack0")} AS u,
-    FLOOR({_unit_sql("doc_id", "pack0/shard")} * 8)::INT AS shard
+    CAST(FLOOR({_unit_sql("doc_id", "pack0/shard")} * 8.0) AS INT) AS shard
   FROM documents
 ),
 packed AS (
   SELECT shard, n_tok, doc_id,
-    FLOOR((SUM(n_tok) OVER (PARTITION BY shard ORDER BY u, doc_id
-            ROWS UNBOUNDED PRECEDING) - n_tok) / 512)::BIGINT AS seq_no
+    CAST(FLOOR(CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY u, doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tok AS DOUBLE) / 512.0)
+         AS BIGINT) AS seq_no
   FROM toks
 )
-SELECT shard, seq_no, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+SELECT shard, seq_no, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS min_doc_id
 FROM packed GROUP BY shard, seq_no
 '''
