@@ -333,14 +333,22 @@ def decode_and_verify(images: DataFrame) -> DataFrame:
 
 FEATURES_SCHEMA = (
     "image_id string, mean_lum double, std_lum double, edge_energy double, "
-    "phash long, w int, h int"
+    "phash long, w int, h int, lum_total bigint, edge_total bigint"
 )
 
 
 def image_features(images: DataFrame) -> DataFrame:
     """Feature extraction: mean/std luminance, gradient edge energy,
     recomputed phash. The downstream dedup/ANN layers consume these
-    metadata rows — not the payload."""
+    metadata rows — not the payload.
+
+    ``lum_total``/``edge_total`` are INTEGER-EXACT decode pins: the sum
+    of all decoded channel values, and the sum of |forward-difference|
+    of the per-pixel channel sums along x and y. Pure integer functions
+    of the decoded array, so an oracle engine that regenerates the
+    reference pixels (incl. the q6 quantization) reproduces them
+    bit-for-bit — no float summation-order hazards, unlike the float
+    features."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -349,6 +357,8 @@ def image_features(images: DataFrame) -> DataFrame:
             std_l = np.empty(n)
             edge = np.empty(n)
             hashes = np.empty(n, dtype=np.int64)
+            lum_tot = np.empty(n, dtype=np.int64)
+            edge_tot = np.empty(n, dtype=np.int64)
             for i in range(n):
                 px = decode_image(pdf["bytes"].iloc[i], pdf["fmt"].iloc[i])
                 gray = px.astype(np.float64).mean(axis=2)
@@ -358,6 +368,12 @@ def image_features(images: DataFrame) -> DataFrame:
                 gy = np.abs(np.diff(gray, axis=0)).mean() if gray.shape[0] > 1 else 0
                 edge[i] = gx + gy
                 hashes[i] = phash64(px)
+                s = px.astype(np.int64).sum(axis=2)
+                lum_tot[i] = int(s.sum())
+                edge_tot[i] = int(
+                    np.abs(np.diff(s, axis=1)).sum()
+                    + np.abs(np.diff(s, axis=0)).sum()
+                )
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
@@ -367,6 +383,8 @@ def image_features(images: DataFrame) -> DataFrame:
                     "phash": hashes,
                     "w": pdf["w"],
                     "h": pdf["h"],
+                    "lum_total": lum_tot,
+                    "edge_total": edge_tot,
                 }
             )
 
@@ -452,7 +470,7 @@ def phash_near_dup_pairs(meta: DataFrame, max_hamming: int = 6, band_bits: int =
 
 PATCH_SCHEMA = (
     "image_id string, patch_id int, x int, y int, pw int, ph int, "
-    "bytes binary, fmt string, phash long"
+    "bytes binary, fmt string, phash long, lum_total bigint"
 )
 
 
@@ -465,13 +483,15 @@ def sample_patches(
     expanding ``mapInPandas`` pass (1 -> grid^2 rows); patch offsets
     are pure functions of the image dims, so any engine reproduces the
     exact crops. Output carries per-patch phash for downstream dedup/
-    ANN over patches instead of whole images."""
+    ANN over patches instead of whole images, plus the integer-exact
+    ``lum_total`` decode pin (sum of the crop's channel values — an
+    oracle regenerating reference pixels reproduces it exactly)."""
 
     def patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in (
                 "image_id", "patch_id", "x", "y", "pw", "ph",
-                "bytes", "fmt", "phash",
+                "bytes", "fmt", "phash", "lum_total",
             )}
             for i in range(len(pdf)):
                 px = decode_image(pdf["bytes"].iloc[i], pdf["fmt"].iloc[i])
@@ -493,12 +513,16 @@ def sample_patches(
                         )
                         rows["fmt"].append(pdf["fmt"].iloc[i])
                         rows["phash"].append(phash64(crop))
+                        rows["lum_total"].append(
+                            int(crop.astype(np.int64).sum())
+                        )
                         pid += 1
             out = pd.DataFrame(rows)
             out["patch_id"] = out["patch_id"].astype("int32")
             for c in ("x", "y", "pw", "ph"):
                 out[c] = out[c].astype("int32")
             out["phash"] = out["phash"].astype("int64")
+            out["lum_total"] = out["lum_total"].astype("int64")
             yield out
 
     return images.mapInPandas(patches, PATCH_SCHEMA)

@@ -1261,19 +1261,26 @@ SQL_IMAGE_TEXT_QUALITY = _sql_image_text_quality()
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (real PCM codec + Goertzel DSP): decode + feature
-    extraction over the synthesized audio payload table."""
+    """Decode + Goertzel DSP over the synthesized PCM payload table.
+    ORACLED projection: dominant_freq (the planted fundamental — the
+    Goertzel scan must recover _FREQS[id % 6] from the decoded samples),
+    duration_s (decoded-length / sample-rate) and caption equality are
+    pure id functions; the float RMS/ZCR features stay pytest-pinned
+    (tests/test_media.py)."""
     from osm_legal_default_speeds_spark.payload.media import (
         audio_features,
         synth_audio_table,
     )
 
-    return audio_features(synth_audio_table(spark, 192, parts=8))
+    feats = audio_features(synth_audio_table(spark, 192, parts=8))
+    return feats.select("audio_id", "caption", "dominant_freq", "duration_s")
 
 
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (raw-frame container): every-2nd-frame decimation of
-    the synthesized clip table into image-table-shaped rows."""
+    """Every-2nd-frame decimation of the synthesized clip table into
+    image-table-shaped rows. ORACLED: frame geometry (sampled frame_no
+    set, dims, fmt, caption) is a pure id function; the frame payload
+    round-trip is pytest-pinned (tests/test_media.py)."""
     from osm_legal_default_speeds_spark.payload.media import (
         sample_frames,
         synth_video_table,
@@ -1285,9 +1292,12 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (codec round-trip): ViT-style 2x2 patch lattice per
-    image — decode, crop, re-encode, per-patch phash. Metadata
-    projection only; patch bytes stay inside the narrow pass."""
+    """ViT-style 2x2 patch lattice per image — decode, crop, re-encode,
+    per-patch phash. ORACLED: patch geometry plus the integer-exact
+    lum_total of every decoded crop (the oracle regenerates reference
+    pixels, incl. q6 quantization, and sums the crop windows — a
+    bit-level pin on decode+crop). Patch bytes/phash stay inside the
+    narrow pass (phash is pytest-pinned)."""
     from osm_legal_default_speeds_spark.payload.images import (
         sample_patches,
         synth_image_table,
@@ -1295,11 +1305,15 @@ def q_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = synth_image_table(spark, 256, parts=8)
     return sample_patches(images, grid=2, pw=8, ph=8).select(
-        "image_id", "patch_id", "x", "y", "pw", "ph", "fmt", "phash"
+        "image_id", "patch_id", "x", "y", "pw", "ph", "fmt", "lum_total"
     )
 
 
 def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input-contract invariant (BASELINE.json input_hint): decode
+    every payload and check pixels (exact for lossless, PSNR >= 40 dB
+    for q6) + caption equality. ORACLED: the oracle asserts every row
+    verifies TRUE — Spark must actually run the codecs to agree."""
     from osm_legal_default_speeds_spark.payload.images import (
         decode_and_verify,
         synth_image_table,
@@ -1312,8 +1326,13 @@ def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode -> feature-extract over the payload table; metadata-only
-    output (bytes never shuffle). Rows-only contract (codec path)."""
+    """Decode -> feature-extract; metadata-only output (bytes never
+    shuffle). ORACLED via the integer-exact projection: lum_total /
+    edge_total are integer functions of the decoded array, which the
+    oracle regenerates pixel-for-pixel in SQL (incl. the q6 round-trip
+    quantization and the embedded-id bytes) — a bit-level pin on the
+    decode path with no float summation-order hazards. Float features
+    and phash stay pytest-pinned (tests/test_images.py)."""
     from osm_legal_default_speeds_spark.payload.images import (
         image_features,
         synth_image_table,
@@ -1321,16 +1340,18 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = synth_image_table(spark, 256, parts=8)
     return image_features(images).select(
-        "image_id", "phash", "w", "h",
-        F.round(F.col("mean_lum"), 3).alias("mean_lum"),
-        F.round(F.col("edge_energy"), 3).alias("edge_energy"),
+        "image_id", "w", "h", "lum_total", "edge_total"
     )
 
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize (nearest-neighbor re-encode with the row's own codec)
-    then re-decode: output carries the new dims + recomputed phash.
-    Rows-only contract (codec path)."""
+    """Resize (nearest-neighbor, re-encode with the row's own codec)
+    then re-decode + feature-extract. ORACLED: the oracle replays the
+    exact integer sampling lattice ((sx*w)//16, (sy*h)//12) over
+    regenerated reference pixels and sums — so encode(resize(decode))
+    -> decode must be bit-exact (q6 re-quantization is idempotent on
+    already-quantized values). The recomputed phash stays
+    pytest-pinned."""
     from osm_legal_default_speeds_spark.payload.images import (
         image_features,
         resize_images,
@@ -1339,16 +1360,19 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = synth_image_table(spark, 128, parts=4)
     small = resize_images(images, 16, 12)
-    return image_features(small).select("image_id", "w", "h", "phash")
+    return image_features(small).select("image_id", "w", "h", "lum_total")
 
 
 def q_curate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-corpus curation composition (the image-axis twin of
     curate_corpus): planted near-dup groups -> phash bit-band LSH pairs
     on the metadata projection -> star connected components -> anti-join
-    keeps one representative per group. Rows-only contract (phash comes
-    from the real codec path); group-exactness and payload integrity
-    are pinned by tests/test_images.py::test_drop_near_dup_images."""
+    keeps one representative per group. ORACLED: with planted groups of
+    4 byte-identical contents (and no cross-content phash within
+    hamming 2 — verified property of the texture), the kept set is
+    exactly the lexicographic-min image_id per group, a pure id
+    function. Payload integrity is pinned by
+    tests/test_images.py::test_drop_near_dup_images."""
     from osm_legal_default_speeds_spark.payload.images import (
         drop_near_dup_images,
         images_from_ids,
@@ -1357,13 +1381,17 @@ def q_curate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = spark.range(12, 140, 1, 4).select(F.col("id"))
     images = images_from_ids(ids, dup_group=4)
     kept = drop_near_dup_images(images, max_hamming=2)
-    return kept.select("image_id", "w", "h", "fmt", "phash")
+    return kept.select("image_id", "w", "h", "fmt")
 
 
 def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate image groups planted every 4 consecutive ids
     (dup_group) -> phash bit-band LSH self-join on the metadata
-    projection. Rows-only contract (phash comes from the codec path)."""
+    projection. ORACLED: the pair set is exactly the within-group pairs
+    at hamming 0 (string-ordered ids); distinct texture contents are
+    never within hamming 2 of each other, so the LSH emits no cross
+    pairs — the oracle enumerates the planted pairs from id arithmetic
+    and the codec path must reproduce them via real phashes."""
     from osm_legal_default_speeds_spark.payload.images import (
         images_from_ids,
         phash_near_dup_pairs,
@@ -1375,6 +1403,199 @@ def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(meta, max_hamming=2, band_bits=16)
 
 
+# ---------------------------------------------------------------------------
+# Codec-path oracles: DuckDB regenerates the reference pixels
+# (payload/images.py reference_pixels — base texture, embedded-id bytes
+# in the first 8 R-channel pixels of row 0, and the q6 round-trip
+# quantization v & 252) and recomputes the integer-exact projections
+# the queries emit. Float DSP/luminance features and raw bytes remain
+# rows-only by design and are pytest-pinned.
+# ---------------------------------------------------------------------------
+
+# decoded channel value at (id, x, y, c) — expects fmt in scope
+_SQL_PX_V0 = (
+    "CASE WHEN y = 0 AND x < 8 AND c = 0 "
+    "THEN (id >> (8 * (7 - x))) & 255 "
+    "ELSE (id * 31 + x * 7 + y * 13 + c * 101 + ((x * y) & 255)) & 255 END"
+)
+_SQL_PX_V = "CASE WHEN fmt = 'q6' THEN v0 & 252 ELSE v0 END"
+
+# synth_image_table(n) metadata as a pure id function
+_SQL_IMG_IDS = (
+    "SELECT id, (24 + (id % 5) * 8)::INT AS w, (16 + (id % 7) * 8)::INT AS h, "
+    "['png','raw','q6'][(id % 3 + 1)::INT] AS fmt FROM range({n}) t(id)"
+)
+
+
+def _sql_image_verify() -> str:
+    return f"""
+SELECT 'img-' || id AS image_id, fmt,
+       TRUE AS pixels_ok, TRUE AS caption_ok
+FROM ({_SQL_IMG_IDS.format(n=256)})
+"""
+
+
+SQL_IMAGE_VERIFY = _sql_image_verify()
+
+
+def _sql_image_features() -> str:
+    return f"""
+WITH ids AS ({_SQL_IMG_IDS.format(n=256)}),
+xs AS (SELECT *, unnest(range(w)) AS x FROM ids),
+ys AS (SELECT *, unnest(range(h)) AS y FROM xs),
+cs AS (SELECT *, unnest(range(3)) AS c FROM ys),
+px AS (
+  SELECT id, w, h, x, y, {_SQL_PX_V} AS v
+  FROM (SELECT *, {_SQL_PX_V0} AS v0 FROM cs)
+),
+lum AS (
+  SELECT id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+         SUM(v)::BIGINT AS lum_total
+  FROM px GROUP BY id
+),
+sgrid AS (SELECT id, x, y, SUM(v)::BIGINT AS s FROM px GROUP BY id, x, y),
+dx AS (SELECT id, ABS(s - LAG(s) OVER (PARTITION BY id, y ORDER BY x)) AS d
+       FROM sgrid),
+dy AS (SELECT id, ABS(s - LAG(s) OVER (PARTITION BY id, x ORDER BY y)) AS d
+       FROM sgrid),
+edge AS (
+  SELECT id, SUM(d)::BIGINT AS edge_total
+  FROM (SELECT id, d FROM dx WHERE d IS NOT NULL
+        UNION ALL SELECT id, d FROM dy WHERE d IS NOT NULL)
+  GROUP BY id
+)
+SELECT 'img-' || l.id AS image_id, l.w, l.h, l.lum_total, e.edge_total
+FROM lum l JOIN edge e USING (id)
+"""
+
+
+SQL_IMAGE_FEATURES = _sql_image_features()
+
+
+def _sql_image_resize() -> str:
+    # nearest-neighbor lattice: resized (sx, sy) samples source pixel
+    # ((sx*w)//16, (sy*h)//12); q6 re-quantization of already-quantized
+    # values is the identity, so decoded resized v == source quantized v
+    return f"""
+WITH ids AS ({_SQL_IMG_IDS.format(n=128)}),
+sxs AS (SELECT *, unnest(range(16)) AS sx FROM ids),
+sys AS (SELECT *, unnest(range(12)) AS sy FROM sxs),
+cs AS (SELECT *, unnest(range(3)) AS c FROM sys),
+mapped AS (
+  SELECT id, fmt, c, ((sx * w) // 16) AS x, ((sy * h) // 12) AS y FROM cs
+),
+px AS (
+  SELECT id, {_SQL_PX_V} AS v
+  FROM (SELECT *, {_SQL_PX_V0} AS v0 FROM mapped)
+)
+SELECT 'img-' || id AS image_id, 16::INT AS w, 12::INT AS h,
+       SUM(v)::BIGINT AS lum_total
+FROM px GROUP BY id
+"""
+
+
+SQL_IMAGE_RESIZE = _sql_image_resize()
+
+
+def _sql_image_patches() -> str:
+    # 2x2 lattice of 8x8 crops: x0 = gx*(w-8), y0 = gy*(h-8) (grid-1 =
+    # 1), patch_id = gy*2 + gx (gx-inner loop order in sample_patches)
+    return f"""
+WITH ids AS ({_SQL_IMG_IDS.format(n=256)}),
+gys AS (SELECT *, unnest(range(2)) AS gy FROM ids),
+gxs AS (SELECT *, unnest(range(2)) AS gx FROM gys),
+patch AS (
+  SELECT id, fmt, (gy * 2 + gx)::INT AS patch_id,
+         gx * (w - 8) AS x0, gy * (h - 8) AS y0
+  FROM gxs
+),
+dxs AS (SELECT *, unnest(range(8)) AS dx FROM patch),
+dys AS (SELECT *, unnest(range(8)) AS dy FROM dxs),
+cs AS (SELECT *, unnest(range(3)) AS c FROM dys),
+mapped AS (
+  SELECT id, fmt, patch_id, x0, y0, c, x0 + dx AS x, y0 + dy AS y FROM cs
+),
+px AS (
+  SELECT id, fmt, patch_id, x0, y0, {_SQL_PX_V} AS v
+  FROM (SELECT *, {_SQL_PX_V0} AS v0 FROM mapped)
+)
+SELECT 'img-' || id AS image_id, patch_id, x0::INT AS x, y0::INT AS y,
+       8::INT AS pw, 8::INT AS ph, ANY_VALUE(fmt) AS fmt,
+       SUM(v)::BIGINT AS lum_total
+FROM px GROUP BY id, patch_id, x0, y0
+"""
+
+
+SQL_IMAGE_PATCHES = _sql_image_patches()
+
+
+def _sql_image_phash_near_dup() -> str:
+    # planted groups of 4 byte-identical contents -> all within-group
+    # pairs at hamming 0, ordered by the STRING ids ('img-10' < 'img-9')
+    return """
+WITH ids AS (SELECT unnest(range(128)) AS i)
+SELECT 'img-' || a.i AS id_a, 'img-' || b.i AS id_b, 0::INT AS hamming
+FROM ids a, ids b
+WHERE a.i // 4 = b.i // 4 AND 'img-' || a.i < 'img-' || b.i
+"""
+
+
+SQL_IMAGE_PHASH_NEAR_DUP = _sql_image_phash_near_dup()
+
+
+def _sql_curate_images() -> str:
+    # kept representative = lexicographic-min image_id per planted group
+    return """
+WITH ids AS (
+  SELECT id, (id // 4) * 4 AS content FROM range(12, 140) t(id)
+),
+kept AS (
+  SELECT content, MIN('img-' || id) AS image_id FROM ids GROUP BY content
+)
+SELECT image_id,
+       (24 + (content % 5) * 8)::INT AS w,
+       (16 + (content % 7) * 8)::INT AS h,
+       ['png','raw','q6'][(content % 3 + 1)::INT] AS fmt
+FROM kept
+"""
+
+
+SQL_CURATE_IMAGES = _sql_curate_images()
+
+
+def _sql_audio_features() -> str:
+    from osm_legal_default_speeds_spark.payload.images import CAPTION_SQL
+
+    cap = CAPTION_SQL.format(id="id")
+    return f"""
+SELECT 'aud-' || id AS audio_id, {cap} AS caption,
+       [220.0, 330.0, 440.0, 550.0, 660.0, 880.0][(id % 6 + 1)::INT]
+         AS dominant_freq,
+       CAST(1600 + (id % 5) * 400 AS DOUBLE) / 8000.0 AS duration_s
+FROM range(192) t(id)
+"""
+
+
+SQL_AUDIO_FEATURES = _sql_audio_features()
+
+
+def _sql_video_frame_sample() -> str:
+    from osm_legal_default_speeds_spark.payload.images import CAPTION_SQL
+
+    cap = CAPTION_SQL.format(id="id")
+    return f"""
+WITH v AS (
+  SELECT id, (16 + (id % 3) * 8)::INT AS w, (12 + (id % 2) * 8)::INT AS h,
+         4 + id % 6 AS nf, {cap} AS caption
+  FROM range(96) t(id)
+)
+SELECT 'vid-' || id AS video_id, unnest(range(0, nf, 2))::INT AS frame_no,
+       w, h, 'raw' AS fmt, caption
+FROM v
+"""
+
+
+SQL_VIDEO_FRAME_SAMPLE = _sql_video_frame_sample()
 
 
 def _unit_sql(col_expr, salt):
@@ -2217,7 +2438,17 @@ TRAININGDATA_ORACLES = {
     "cms_counts": SQL_CMS_COUNTS,
     "image_meta": SQL_IMAGE_META,
     "image_text_quality": SQL_IMAGE_TEXT_QUALITY,
-    # image_verify/image_features/image_resize/image_phash_near_dup
-    # intentionally absent: codec decode + PSNR is not SQL-expressible;
-    # the driver records rows-only checks for them.
+    # codec-path oracles: DuckDB regenerates reference pixels and pins
+    # integer-exact projections (see the block above _unit_sql). Bytes
+    # and float features remain rows-only/pytest territory. Still
+    # intentionally absent: ann_ivf_topk_np / ann_pq_topk (numpy
+    # pairwise-summation ulps vs the oracle's sequential fold).
+    "image_verify": SQL_IMAGE_VERIFY,
+    "image_features": SQL_IMAGE_FEATURES,
+    "image_resize": SQL_IMAGE_RESIZE,
+    "image_patches": SQL_IMAGE_PATCHES,
+    "image_phash_near_dup": SQL_IMAGE_PHASH_NEAR_DUP,
+    "curate_images": SQL_CURATE_IMAGES,
+    "audio_features": SQL_AUDIO_FEATURES,
+    "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
 }
