@@ -652,8 +652,13 @@ def run_weak_scaling(sf_dir: str) -> None:
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
         p = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
-        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if p.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scaling worker (local[{cpus}]) failed rc={p.returncode}: "
+                f"{p.stderr.strip()[-2000:]}"
+            )
+        results[cpus] = json.loads(lines[-1])
 
     t8, t32 = results["8"]["wall_s"], results["32"]["wall_s"]
     c8, c32 = results["8"]["control_wall_s"], results["32"]["control_wall_s"]

@@ -74,12 +74,22 @@ def grid_cell(lon: Column, lat: Column, res: int) -> Column:
     return (x * F.lit(grid_ny(res)) + y).cast("long")
 
 
+def cell_xy(cell: Column, res: int) -> tuple[Column, Column]:
+    """Integer-exact (x, y) decode of a cell id. Double division
+    ``floor(cell / ny)`` can round the quotient up past the true floor
+    near the res cap (cell ~ 2^41), so recover y from the exact
+    remainder first; the remaining division is exactly divisible and
+    therefore exact in IEEE double."""
+    ny = grid_ny(res)
+    y = F.pmod(cell, F.lit(ny)).cast("long")
+    x = ((cell - y) / F.lit(ny)).cast("long")
+    return x, y
+
+
 def grid_parent(cell: Column, res: int) -> Column:
     """Parent cell id at res-1."""
-    ny = grid_ny(res)
-    x = (cell / F.lit(ny)).cast("long")
-    y = cell - x * F.lit(ny)
-    px = (x / 2).cast("long")
+    x, y = cell_xy(cell, res)
+    px = (x / 2).cast("long")  # exact: power-of-two division
     py = (y / 2).cast("long")
     return (px * F.lit(grid_ny(res - 1)) + py).cast("long")
 
@@ -176,8 +186,7 @@ def neighbor_cells(cell: Column, res: int, k: int = 1) -> Column:
     neighborhood joins (adjacent-tile lookups, border smoothing)
     without any library or UDF. Matches ``grid_neighbors_py``."""
     nx, ny = grid_nx(res), grid_ny(res)
-    x = F.floor(cell / F.lit(ny)).cast("long")
-    y = (cell - x * ny).cast("long")
+    x, y = cell_xy(cell, res)
     exprs = []
     for dx in range(-k, k + 1):
         for dy in range(-k, k + 1):
@@ -892,8 +901,7 @@ def vectorize_cells(
 
     ny = grid_ny(res)
     nx = grid_nx(res)
-    x = (F.col(cell_col) / ny).cast("long")
-    y = (F.col(cell_col) - x * ny).cast("long")
+    x, y = cell_xy(F.col(cell_col), res)
     base = cells.select(
         F.col(region_col), x.alias("__x"), y.alias("__y")
     ).dropDuplicates([region_col, "__x", "__y"])
@@ -1430,8 +1438,7 @@ def tile_smooth(
     counts = df.groupBy(
         grid_cell(F.col(lon_col), F.col(lat_col), res).alias("cell")
     ).agg(F.count(F.lit(1)).alias("n"))
-    x = F.floor(F.col("cell") / F.lit(ny)).cast("long")
-    y = (F.col("cell") - x * ny).cast("long")
+    x, y = cell_xy(F.col("cell"), res)
     contribs = []
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):

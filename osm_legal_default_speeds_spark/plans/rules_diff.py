@@ -110,7 +110,15 @@ def reinfer_changed(
 
     The changed set is a tiny literal IN-list (pushed into the scan),
     so at scale this is a partition-pruned read of the changed
-    countries plus a semi-join-free carry-over of everything else."""
+    countries plus a semi-join-free carry-over of everything else.
+
+    NULL-country rows are always CARRIED OVER, never re-inferred:
+    ``is_changed`` null-propagates (NULL isin(...) is NULL, filtered
+    out of ``redo_in``), and ``keep_ids`` re-admits them explicitly.
+    That is correct by construction — a NULL country can never match a
+    country-keyed rule under the old or the new ruleset, so its result
+    (fallback-only inference) cannot change when rules change. Pinned
+    by test_incremental_equals_full_recompute's NULL-country row."""
     eff = effective_country_col(F.col(country_col), known_countries)
     # route by the NEW ruleset's effective country AND by the raw code:
     # a REMOVED subdivision (in changed, absent from known_countries)

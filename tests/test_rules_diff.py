@@ -82,7 +82,10 @@ def test_effective_country_fallback(spark):
 @pytest.fixture()
 def roads(spark):
     rows = []
-    countries = ["ZA", "ZA-NC", "DE", "DE-BY", "FR-IDF", "XX"]
+    # None exercises reinfer_changed's NULL-country carry-over: such
+    # rows never match country-keyed rules, so the incremental path
+    # must carry them over unchanged and still equal a full recompute
+    countries = ["ZA", "ZA-NC", "DE", "DE-BY", "FR-IDF", "XX", None]
     highways = ["motorway", "residential", "living_street"]
     for i in range(240):
         rows.append(
