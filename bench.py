@@ -614,6 +614,68 @@ def run_extended(sf_dir: str) -> None:
     )
 
 
+# The five most expensive extended queries: the rows-scaling exponent
+# pins the 100 TB claim that their work is output/rows-proportional
+# (exponent ~1 over the sf0.01 -> sf0.1 decade; sub-linear readings
+# mean fixed overhead still dominates at the smaller point, never
+# super-linear row^2 blowup).
+SF_SCALING_QUERIES = (
+    "tile_build_e2e",
+    "cross_doc_spans",
+    "rasterize_segments",
+    "snap_segments",
+    "semantic_dedup",
+)
+
+
+def run_sf_scaling(sf_dirs: list[str]) -> None:
+    """Rows-scaling datapoints: min-of-3 wall per query per sf, plus
+    the log-log slope between the two largest scale factors."""
+    import math
+
+    spark = make_spark("bench-sf-scaling")
+    per_sf: dict[str, dict] = {}
+    try:
+        spark.range(1000).select(F.sum("id")).collect()
+        _warm = F.pandas_udf(lambda x: x, "long")
+        n = spark.sparkContext.defaultParallelism
+        spark.range(0, n * 1000, 1, n * 2).select(
+            F.sum(_warm(F.col("id")))
+        ).collect()
+        for sf_dir in sf_dirs:
+            sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+            timings, rows, _runs = bench_named(
+                spark, sf_dir, SF_SCALING_QUERIES
+            )
+            per_sf[sf] = {"timings": timings, "rows": rows}
+    finally:
+        spark.stop()
+    sfs = sorted(per_sf, key=float)
+    a, b = sfs[-2], sfs[-1]
+    ratio = float(b) / float(a)
+    exponents = {
+        q: round(
+            math.log(per_sf[b]["timings"][q] / per_sf[a]["timings"][q])
+            / math.log(ratio),
+            2,
+        )
+        for q in SF_SCALING_QUERIES
+        if q in per_sf[a]["timings"] and q in per_sf[b]["timings"]
+    }
+    print(
+        json.dumps(
+            {
+                "metric": f"rows-scaling exponent sf{a} -> sf{b} "
+                "(log-log slope of min-of-3 wall)",
+                "value": round(sum(exponents.values()) / len(exponents), 3),
+                "unit": "exponent",
+                "exponents": exponents,
+                "per_sf": per_sf,
+            }
+        )
+    )
+
+
 def run_weak_scaling(sf_dir: str) -> None:
     """Weak scaling: constant work PER CORE (replicate 16 at local[8]
     vs 64 at local[32] — 4x the cores, 4x the data). Ideal wall
@@ -692,6 +754,11 @@ def main() -> None:
         return run_weak_scaling(sf_dir)
     if "--extended" in sys.argv:
         return run_extended(sf_dir)
+    if "--sf-scaling" in sys.argv:
+        base = sf_dir.rstrip("/").rsplit("/sf", 1)[0]
+        return run_sf_scaling(
+            [f"{base}/sf0.001", f"{base}/sf0.01", sf_dir]
+        )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = make_spark()
     try:

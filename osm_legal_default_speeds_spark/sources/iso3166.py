@@ -98,6 +98,17 @@ COUNTRY_ALPHA2: dict[str, str] = {
     "Venezuela": "VE", "Vietnam": "VN", "Viet Nam": "VN",
     "Wallis and Futuna": "WF", "Western Sahara": "EH", "Yemen": "YE",
     "Zambia": "ZM", "Zimbabwe": "ZW",
+    # common alias/official-name variants a future wiki edit might use
+    # (pycountry resolves these via its official/common name fields;
+    # the full-dataset differential pins that the base table already
+    # covers every name the current page uses)
+    "United States of America": "US", "USA": "US",
+    "Republic of Korea": "KR", "Korea, Republic of": "KR",
+    "Burma": "MM", "Macedonia": "MK", "Swaziland": "SZ",
+    "Republic of the Congo": "CG", "DR Congo": "CD",
+    "The Gambia": "GM", "The Bahamas": "BS", "Holy See": "VA",
+    "Republic of Moldova": "MD", "Great Britain": "GB",
+    "Türkiye": "TR",
 }
 
 _US_STATES = {
