@@ -528,6 +528,49 @@ def sample_patches(
     return images.mapInPandas(patches, PATCH_SCHEMA)
 
 
+def patch_phash_containment(
+    images: DataFrame,
+    grid: int = 2,
+    pw: int = 8,
+    ph: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Sub-image duplicate pairs: images sharing at least
+    ``min_shared`` patch phashes — the crop/collage detector that
+    whole-image phash misses (a crop changes the global hash but
+    reuses patch content). Pipeline: deterministic patch lattice
+    (:func:`sample_patches`) -> metadata projection (bytes never
+    shuffle) -> EXACT-phash equi-join -> per-pair distinct-source-slot
+    count.
+
+    ``n_shared`` counts DISTINCT left-side patch slots, so a patch
+    matching several right-side positions (periodic textures) still
+    counts once — for byte-identical images it equals ``grid**2``
+    regardless of internal repeats.
+
+    Scale shape: the self-join is keyed on the 64-bit phash itself
+    (exact equality — the right semantic for reused content; band it
+    like :func:`phash_near_dup_pairs` if fuzzy patches are wanted);
+    SHUFFLE_HASH hints on both identical sides let ReuseExchange
+    compute the patch extraction once, and nothing is broadcast. The
+    pair aggregation is a plain groupBy with map-side combine."""
+    meta = sample_patches(images, grid=grid, pw=pw, ph=ph).select(
+        "image_id", "patch_id", "phash"
+    )
+    a = meta.hint("shuffle_hash").alias("a")
+    b = meta.hint("shuffle_hash").alias("b")
+    return (
+        a.join(b, "phash")
+        .where(F.col("a.image_id") < F.col("b.image_id"))
+        .groupBy(
+            F.col("a.image_id").alias("id_a"),
+            F.col("b.image_id").alias("id_b"),
+        )
+        .agg(F.countDistinct(F.col("a.patch_id")).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def drop_near_dup_images(
     images: DataFrame, max_hamming: int = 2, band_bits: int = 16
 ) -> DataFrame:

@@ -1403,6 +1403,32 @@ def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(meta, max_hamming=2, band_bits=16)
 
 
+def q_image_patch_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-image duplicate detection (crop/collage detector): images
+    sharing >= 2 exact patch phashes. ORACLED: with planted groups of
+    4 byte-identical contents, every pair shares all grid^2 = 4 patch
+    slots, and distinct texture contents share none (verified: zero
+    cross-content patch-phash collisions) — so the pair set and
+    n_shared are pure id arithmetic the codec path must reproduce."""
+    from osm_legal_default_speeds_spark.payload.images import (
+        images_from_ids,
+        patch_phash_containment,
+    )
+
+    ids = spark.range(0, 128, 1, 4).select(F.col("id"))
+    images = images_from_ids(ids, dup_group=4)
+    return patch_phash_containment(images, grid=2, min_shared=2)
+
+
+SQL_IMAGE_PATCH_CONTAINMENT = """
+WITH ids AS (SELECT unnest(range(128)) AS i)
+SELECT 'img-' || a.i AS id_a, 'img-' || b.i AS id_b,
+       CAST(4 AS BIGINT) AS n_shared
+FROM ids a, ids b
+WHERE a.i // 4 = b.i // 4 AND 'img-' || a.i < 'img-' || b.i
+"""
+
+
 # ---------------------------------------------------------------------------
 # Codec-path oracles: DuckDB regenerates the reference pixels
 # (payload/images.py reference_pixels — base texture, embedded-id bytes
@@ -2373,6 +2399,7 @@ TRAININGDATA_QUERIES = {
     "image_resize": q_image_resize,
     "image_phash_near_dup": q_image_phash_near_dup,
     "curate_images": q_curate_images,
+    "image_patch_containment": q_image_patch_containment,
     "knn_indexed": None,  # placeholder replaced below
 }
 
@@ -2449,6 +2476,7 @@ TRAININGDATA_ORACLES = {
     "image_patches": SQL_IMAGE_PATCHES,
     "image_phash_near_dup": SQL_IMAGE_PHASH_NEAR_DUP,
     "curate_images": SQL_CURATE_IMAGES,
+    "image_patch_containment": SQL_IMAGE_PATCH_CONTAINMENT,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
 }

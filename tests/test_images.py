@@ -170,6 +170,33 @@ def test_sample_patches_deterministic_and_decodable(spark):
     assert first == again
 
 
+def test_patch_phash_containment(spark):
+    from osm_legal_default_speeds_spark.payload.images import (
+        images_from_ids,
+        patch_phash_containment,
+    )
+
+    ids = spark.range(0, 24, 1, 3).select(F.col("id"))
+    images = images_from_ids(ids, dup_group=4)
+    pairs = patch_phash_containment(images, grid=2, min_shared=2).collect()
+    # 6 groups x C(4,2) pairs, every pair sharing all 4 patch slots
+    assert len(pairs) == 6 * 6
+    assert all(r["n_shared"] == 4 for r in pairs)
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {
+        (f"img-{a}", f"img-{b}")
+        for g in range(6)
+        for a in range(g * 4, g * 4 + 4)
+        for b in range(g * 4, g * 4 + 4)
+        if f"img-{a}" < f"img-{b}"
+    }
+    assert got == want
+    # a threshold above grid^2 excludes everything
+    assert (
+        patch_phash_containment(images, grid=2, min_shared=5).count() == 0
+    )
+
+
 def test_image_flagship_pipeline_preserves_payload(spark, images):
     """North-star end-to-end: image+caption rows -> deterministic geo
     (from phash) -> grid encode -> PIP jurisdiction + kNN fallback ->
