@@ -534,6 +534,7 @@ def patch_phash_containment(
     pw: int = 8,
     ph: int = 8,
     min_shared: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Sub-image duplicate pairs: images sharing at least
     ``min_shared`` patch phashes — the crop/collage detector that
@@ -548,25 +549,50 @@ def patch_phash_containment(
     counts once — for byte-identical images it equals ``grid**2``
     regardless of internal repeats.
 
-    Scale shape: the self-join is keyed on the 64-bit phash itself
-    (exact equality — the right semantic for reused content; band it
-    like :func:`phash_near_dup_pairs` if fuzzy patches are wanted);
-    SHUFFLE_HASH hints on both identical sides let ReuseExchange
-    compute the patch extraction once, and nothing is broadcast. The
-    pair aggregation is a plain groupBy with map-side combine."""
+    Scale shape: groupBy(phash) -> in-bucket pair expansion, NOT a
+    self-join. A SHUFFLE_HASH self-join would be semantically equal,
+    but its two sides cannot share the upstream exchange here — the
+    patch source is a Python ``mapInPandas`` node, which defeats
+    Spark's canonicalized-plan equality (same failure mode as
+    createDataFrame sources, see CLAUDE.md), so the CODEC DECODE would
+    run twice. The groupBy shape runs the decode once, shuffles once
+    (keyed by the 64-bit hash — exact equality is the right semantic
+    for reused content), and expands pairs inside each tiny bucket
+    (bucket size = duplicate multiplicity of one patch). A
+    non-discriminative ubiquitous patch (solid color at corpus scale)
+    is a quadratic hot bucket: ``max_bucket`` drops buckets larger
+    than the cap — the standard stop-gram rule; such patches carry no
+    dedup signal. Pass ``max_bucket=None`` for exact semantics."""
     meta = sample_patches(images, grid=grid, pw=pw, ph=ph).select(
         "image_id", "patch_id", "phash"
     )
-    a = meta.hint("shuffle_hash").alias("a")
-    b = meta.hint("shuffle_hash").alias("b")
-    return (
-        a.join(b, "phash")
-        .where(F.col("a.image_id") < F.col("b.image_id"))
-        .groupBy(
-            F.col("a.image_id").alias("id_a"),
-            F.col("b.image_id").alias("id_b"),
+    buckets = meta.groupBy("phash").agg(
+        F.collect_list(F.struct("image_id", "patch_id")).alias("ps")
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ps") <= max_bucket)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a: F.filter(
+                F.transform(
+                    F.col("ps"),
+                    lambda b: F.struct(
+                        a["image_id"].alias("id_a"),
+                        b["image_id"].alias("id_b"),
+                        a["patch_id"].alias("slot"),
+                    ),
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            ),
         )
-        .agg(F.countDistinct(F.col("a.patch_id")).alias("n_shared"))
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+        )
+        .agg(F.countDistinct(F.col("p.slot")).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
 
