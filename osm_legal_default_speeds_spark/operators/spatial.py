@@ -137,6 +137,73 @@ def zorder_cell(lon: Column, lat: Column, res: int) -> Column:
     return zorder_key(x, y)
 
 
+def quadkey_cell(lon: Column, lat: Column, res: int) -> Column:
+    """Bing-maps-style base-4 prefix key of the grid cell at ``res``:
+    the Morton key rendered as ``res + 1`` digits MSB-first (this grid
+    is 2:1 — nx = 2*ny — so the leading digit is x's hemisphere bit,
+    always '0' or '1'). Prefix property: every cell's quadkey starts
+    with each ancestor's quadkey, so string PREFIX ranges are spatial
+    windows — the string twin of the integer z-order key for systems
+    that key on strings (object-store key layouts, ``LIKE 'qk%'``
+    partition pruning). Pure integer/concat algebra, codegen'd,
+    bit-identical in the DuckDB twin."""
+    z = zorder_cell(lon, lat, res)
+    digits = [
+        F.shiftrightunsigned(z, 2 * (res - i))
+        .bitwiseAND(F.lit(3))
+        .cast("string")
+        for i in range(res + 1)
+    ]
+    return F.concat(*digits)
+
+
+def tile_hotspots(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = 5,
+    min_count: int = 1,
+) -> DataFrame:
+    """Local-maximum hotspot cells: cells whose point count strictly
+    beats every 1-ring neighbor (non-max suppression, the raster
+    peak-detection step after a density rollup; ties break toward the
+    smaller cell id so the result is deterministic). Returns
+    (cell, n_points).
+
+    Scale shape: groupBy(cell) count (one shuffle, map-side combine)
+    -> each occupied cell SCATTERS its count to its <= 8 neighbors
+    (neighbor_cells explode — O(occupied cells), never row-scale) ->
+    max-competitor aggregate per target cell -> join back to counts on
+    the SAME key, so the join reuses the groupBys' hash partitioning
+    (no extra exchange). Cells with no occupied neighbor are hotspots
+    by definition (left join, null competitor)."""
+    counts = df.groupBy(
+        grid_cell(F.col(lon_col), F.col(lat_col), res).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    scattered = (
+        counts.select(
+            F.col("cell").alias("src"),
+            F.col("n"),
+            F.explode(neighbor_cells(F.col("cell"), res, 1)).alias("cell"),
+        )
+        .where(F.col("cell") != F.col("src"))
+    )
+    best = scattered.groupBy("cell").agg(
+        F.max(
+            F.struct(F.col("n").alias("n"), (-F.col("src")).alias("tie"))
+        ).alias("best")
+    )
+    mine = F.struct(F.col("n").alias("n"), (-F.col("cell")).alias("tie"))
+    return (
+        counts.join(best, "cell", "left")
+        .where(
+            (F.col("n") >= min_count)
+            & (F.col("best").isNull() | (mine > F.col("best")))
+        )
+        .select("cell", F.col("n").alias("n_points"))
+    )
+
+
 def grid_cell_ea(lon: Column, lat: Column, res: int) -> Column:
     """EQUAL-AREA cell id: longitude uniform x ``sin(lat)`` uniform
     (Lambert cylindrical equal-area bands). Every cell covers the same

@@ -922,3 +922,78 @@ def test_vector_tiles_clipped_geometry(spark):
         feats = decode_vector_tile(bytes(row["tile_blob"]))
         assert feats == sorted(want[tid])
         assert row["n_features"] == len(want[tid])
+
+
+# --------------------------------------------------------------------------
+# quadkey_cell / tile_hotspots (round 4)
+# --------------------------------------------------------------------------
+
+def test_quadkey_prefix_property_and_hemisphere(spark):
+    """A cell's quadkey at res r starts with its quadkey at every
+    coarser res (the prefix-range property that makes string keys
+    spatial windows), and the leading digit is the hemisphere bit."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        quadkey_cell,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, -179.9 + i * 17.3 % 360 - 0.05, -84.0 + (i * 7.7) % 168)
+         for i in range(200)],
+        "id long, lon double, lat double",
+    )
+    row = pts.select(
+        "lon",
+        *[quadkey_cell(F.col("lon"), F.col("lat"), r).alias(f"q{r}")
+          for r in (3, 5, 7)],
+    ).collect()
+    for r_ in row:
+        assert len(r_["q3"]) == 4 and len(r_["q5"]) == 6 and len(r_["q7"]) == 8
+        assert r_["q7"].startswith(r_["q5"]) and r_["q5"].startswith(r_["q3"])
+        assert r_["q3"][0] == ("0" if r_["lon"] < 0 else "1")
+        assert set(r_["q7"]) <= set("0123")
+
+
+def test_tile_hotspots_local_maximum_semantics(spark):
+    """Planted density field: one dominant peak, one equal-count tie
+    pair (smaller cell id wins), one isolated cell."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        grid_cell_py,
+        grid_neighbors_py,
+        tile_hotspots,
+    )
+
+    res = 5
+    # cell centers: res 5 -> nx=64 (5.625 deg), ny=32 (5.625 deg)
+    def center(cx, cy):
+        return (-180.0 + (cx + 0.5) * 360.0 / 64, -90.0 + (cy + 0.5) * 180.0 / 32)
+
+    rows = []
+    rid = 0
+
+    def add(cx, cy, n):
+        nonlocal rid
+        lon, lat = center(cx, cy)
+        for _ in range(n):
+            rows.append((rid, lon, lat))
+            rid += 1
+
+    add(10, 10, 9)   # peak
+    add(11, 10, 4)   # shoulder (suppressed by peak)
+    add(20, 20, 5)   # tie pair: same count, adjacent
+    add(21, 20, 5)
+    add(40, 5, 3)    # isolated
+    pts = spark.createDataFrame(rows, "road_id long, lon double, lat double")
+    got = {r["cell"]: r["n_points"] for r in tile_hotspots(pts, res=res, min_count=2).collect()}
+
+    peak = grid_cell_py(*center(10, 10), res)
+    shoulder = grid_cell_py(*center(11, 10), res)
+    tie_a = grid_cell_py(*center(20, 20), res)
+    tie_b = grid_cell_py(*center(21, 20), res)
+    iso = grid_cell_py(*center(40, 5), res)
+    # sanity: the planted pairs really are 1-ring neighbors
+    assert shoulder in grid_neighbors_py(peak, res)
+    assert tie_b in grid_neighbors_py(tie_a, res)
+    assert got[peak] == 9 and shoulder not in got
+    assert got[iso] == 3
+    winner = min(tie_a, tie_b)
+    assert got[winner] == 5 and max(tie_a, tie_b) not in got
