@@ -554,6 +554,10 @@ EXTENDED_QUERIES = (
     "geohash_encode",
     "vector_tiles_clipped",
     "tile_build_e2e",
+    # round-4 additions
+    "image_patch_containment",
+    "quadkey_encode",
+    "tile_hotspots",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

@@ -194,8 +194,12 @@ def tile_hotspots(
         ).alias("best")
     )
     mine = F.struct(F.col("n").alias("n"), (-F.col("cell")).alias("tie"))
+    # SHUFFLE_HASH, not broadcast: both sides are already
+    # hash-partitioned by cell from their groupBys, and the competitor
+    # side is O(occupied cells) — unbounded at high res, so letting
+    # Spark broadcast it is a scale hazard
     return (
-        counts.join(best, "cell", "left")
+        counts.join(best.hint("shuffle_hash"), "cell", "left")
         .where(
             (F.col("n") >= min_count)
             & (F.col("best").isNull() | (mine > F.col("best")))
