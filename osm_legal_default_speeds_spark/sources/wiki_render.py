@@ -88,6 +88,23 @@ def _split_top_semi(v: str) -> list[str]:
     return parts
 
 
+def _split_top_pipe(v: str) -> list[str]:
+    """Split a lanes value on '|' outside parentheses."""
+    parts, depth, cur = [], 0, []
+    for ch in v:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "|" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def render_term(term: str) -> str:
     """OSM conditional term -> wiki restriction text (inverse of
     ``wiki_etl._parse_restriction``)."""
@@ -144,18 +161,27 @@ def render_cells(tags: dict[str, str]) -> dict[str, str]:
     cells: dict[str, str] = {}
     for col, t in by_col.items():
         parts: list[str] = []
+        # duplicate wiki parts concatenate into one tag value with
+        # '; ' (wiki_etl.parse_speeds put()), so every stored value —
+        # plain or conditional — splits back into one part per
+        # '; '-segment (paren-aware: date intervals embed '; ')
         if "maxspeed" in t:
-            parts.append(t["maxspeed"])
+            parts.extend(_split_top_semi(t["maxspeed"]))
         if "maxspeed:conditional" in t:
             parts.extend(_render_conditional(t["maxspeed:conditional"]))
         if "minspeed" in t:
-            parts.append(f"min: {t['minspeed']}")
+            parts.extend(
+                f"min: {v}" for v in _split_top_semi(t["minspeed"])
+            )
         if "minspeed:conditional" in t:
             parts.extend(
                 _render_conditional(t["minspeed:conditional"], "min: ")
             )
         if "maxspeed:advisory" in t:
-            parts.append(f"advisory: {t['maxspeed:advisory']}")
+            parts.extend(
+                f"advisory: {v}"
+                for v in _split_top_semi(t["maxspeed:advisory"])
+            )
         if "maxspeed:advisory:conditional" in t:
             parts.extend(
                 _render_conditional(
@@ -163,9 +189,20 @@ def render_cells(tags: dict[str, str]) -> dict[str, str]:
                 )
             )
         if "maxspeed:lanes" in t:
-            parts.append(t["maxspeed:lanes"])
-        if t.get("access") == "no":
-            parts.append("X")
+            # one part per duplicated lanes tag; within a part, a lane
+            # may itself be conditional ('80 @ (wet)|60')
+            for seg in _split_top_semi(t["maxspeed:lanes"]):
+                lanes = []
+                for lane in _split_top_pipe(seg):
+                    if " @ (" in lane:
+                        lanes.extend(_render_conditional(lane))
+                    else:
+                        lanes.append(lane)
+                parts.append("|".join(lanes))
+        if "access" in t:
+            if set(_split_top_semi(t["access"])) != {"no"}:
+                raise RenderError(f"unrenderable access {t['access']!r}")
+            parts.extend("X" for _ in _split_top_semi(t["access"]))
         known = {
             "maxspeed", "maxspeed:conditional", "minspeed",
             "minspeed:conditional", "maxspeed:advisory",
