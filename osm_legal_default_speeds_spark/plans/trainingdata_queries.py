@@ -1429,6 +1429,40 @@ WHERE a.i // 4 = b.i // 4 AND 'img-' || a.i < 'img-' || b.i
 """
 
 
+def q_image_verify_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multimodal ingest gate: event ids staged as a file
+    stream -> payload synthesis (real codecs) -> decode + PSNR/caption
+    verification, drained with Trigger.AvailableNow. The codec kernels
+    are stateless mapInPandas passes, so streaming == batch row-for-row
+    — the oracle asserts every streamed row verifies TRUE with the
+    id-derived fmt."""
+    import tempfile
+
+    from osm_legal_default_speeds_spark.streaming.image_ingest import (
+        streaming_image_verify,
+    )
+
+    ids = (
+        _read(spark, sf_dir, "events")
+        .where(F.col("event_id") < 512)
+        .select(F.col("event_id").alias("id"))
+    )
+    src = tempfile.mkdtemp(prefix="img_src_")
+    ids.repartition(4).write.mode("overwrite").parquet(src)
+    ck = tempfile.mkdtemp(prefix="img_ck_")
+    return streaming_image_verify(
+        spark, src, ck, sink_table="q_stream_image_verify"
+    )
+
+
+SQL_IMAGE_VERIFY_STREAMING = """
+SELECT 'img-' || event_id AS image_id,
+       ['png','raw','q6'][(event_id % 3 + 1)::INT] AS fmt,
+       TRUE AS pixels_ok, TRUE AS caption_ok
+FROM events WHERE event_id < 512
+"""
+
+
 # ---------------------------------------------------------------------------
 # Codec-path oracles: DuckDB regenerates the reference pixels
 # (payload/images.py reference_pixels — base texture, embedded-id bytes
@@ -2400,6 +2434,7 @@ TRAININGDATA_QUERIES = {
     "image_phash_near_dup": q_image_phash_near_dup,
     "curate_images": q_curate_images,
     "image_patch_containment": q_image_patch_containment,
+    "image_verify_streaming": q_image_verify_streaming,
     "knn_indexed": None,  # placeholder replaced below
 }
 
@@ -2477,6 +2512,7 @@ TRAININGDATA_ORACLES = {
     "image_phash_near_dup": SQL_IMAGE_PHASH_NEAR_DUP,
     "curate_images": SQL_CURATE_IMAGES,
     "image_patch_containment": SQL_IMAGE_PATCH_CONTAINMENT,
+    "image_verify_streaming": SQL_IMAGE_VERIFY_STREAMING,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
 }

@@ -325,3 +325,46 @@ def test_session_kernel_pulls_start_back_for_late_merge():
     assert end == base + 600_000_000
     assert n == 2 and total == 3.0
     assert base + 600_000_000 - (base + 300_000_000) <= GAP_US
+
+
+def test_streaming_image_ingest_matches_batch(spark, tmp_path):
+    """The codec pipeline (synthesis -> decode -> verify/features) is
+    stateless mapInPandas, so it must produce identical rows through
+    readStream as through a batch read of the same id files — incl.
+    the integer-exact decode totals."""
+    from pyspark.sql import functions as F
+
+    from osm_legal_default_speeds_spark.payload.images import (
+        decode_and_verify,
+        image_features,
+        images_from_ids,
+    )
+    from osm_legal_default_speeds_spark.streaming.image_ingest import (
+        streaming_image_features,
+        streaming_image_verify,
+    )
+
+    src = str(tmp_path / "ids")
+    spark.range(0, 96, 1, 4).select(F.col("id")).write.parquet(src)
+
+    got_v = streaming_image_verify(
+        spark, src, str(tmp_path / "ck_v"), sink_table="t_img_v"
+    )
+    batch_ids = spark.read.parquet(src)
+    want_v = decode_and_verify(images_from_ids(batch_ids)).select(
+        "image_id", "fmt", "pixels_ok", "caption_ok"
+    )
+    assert sorted(map(tuple, got_v.collect())) == sorted(
+        map(tuple, want_v.collect())
+    )
+    assert all(r["pixels_ok"] and r["caption_ok"] for r in got_v.collect())
+
+    got_f = streaming_image_features(
+        spark, src, str(tmp_path / "ck_f"), sink_table="t_img_f"
+    )
+    want_f = image_features(images_from_ids(batch_ids)).select(
+        "image_id", "w", "h", "lum_total", "edge_total"
+    )
+    assert sorted(map(tuple, got_f.collect())) == sorted(
+        map(tuple, want_f.collect())
+    )
