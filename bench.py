@@ -22,12 +22,24 @@ import time
 
 from pyspark.sql import SparkSession, functions as F
 
+# Throughput GC: JDK17's default G1 collapses this engine's 32-thread
+# scaling — measured back-to-back on a quiet host, the 9.6M-row
+# flagship job runs 20.7 s under G1 vs 10.5 s under ParallelGC at
+# local[32] (8-core leg: 33.8 vs 31.9 s). G1's concurrent region
+# management can't keep up with 32 codegen threads allocating
+# UnsafeRows; the stop-the-world throughput collector can. On a real
+# cluster the same flag goes in spark.executor.extraJavaOptions.
+JAVA_OPTS = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC")
+
 
 def make_spark(app: str = "bench", cpus: str | None = None) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
+        # honored here only when this Python process launches the JVM
+        # (plain-python path); the spark-submit path passes it as --conf
+        .config("spark.driver.extraJavaOptions", JAVA_OPTS)
         .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -42,6 +54,22 @@ def make_spark(app: str = "bench", cpus: str | None = None) -> SparkSession:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+
+def _warm_pool(spark: SparkSession) -> None:
+    """Warm the JVM once and fork the full Python-worker pool (each
+    worker imports pandas/pyarrow on first use, ~3 core-s — steady
+    -state throughput is the metric, not interpreter startups). One
+    definition so every bench mode warms identically."""
+    spark.range(1000).select(F.sum("id")).collect()
+    # legacy-style pandas_udf: `from __future__ import annotations`
+    # stringifies hints, so the decorator form can't infer eval type
+    _warm = F.pandas_udf(lambda x: x, "long")
+    n = spark.sparkContext.defaultParallelism
+    spark.range(0, n * 1000, 1, n * 2).select(
+        F.sum(_warm(F.col("id")))
+    ).collect()
 
 
 def _run(df) -> int:
@@ -376,6 +404,13 @@ def run_scaling(sf_dir: str) -> None:
             cmd = [
                 submit, "--master", f"local[{cpus}]",
                 "--conf", "spark.ui.enabled=false",
+                # must ride the submit command: spark-submit launches the
+                # JVM before the worker's builder config could apply
+                "--conf", f"spark.driver.extraJavaOptions={JAVA_OPTS}",
+                # also pre-JVM-launch: the builder's spark.driver.memory
+                # is silently ignored under spark-submit (JVM already
+                # up), which left prior scaling runs at the 1g default
+                "--driver-memory", env["SPARK_GRAFT_DRIVER_MEM"],
                 "--py-files", zip_path,
                 os.path.abspath(__file__), "--scaling-worker",
             ]
@@ -590,12 +625,7 @@ def run_extended(sf_dir: str) -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = make_spark("bench-extended")
     try:
-        spark.range(1000).select(F.sum("id")).collect()
-        _warm = F.pandas_udf(lambda x: x, "long")
-        n = spark.sparkContext.defaultParallelism
-        spark.range(0, n * 1000, 1, n * 2).select(
-            F.sum(_warm(F.col("id")))
-        ).collect()
+        _warm_pool(spark)
         load_before = os.getloadavg()
         timings, rows, all_runs = bench_named(spark, sf_dir, EXTENDED_QUERIES)
         load_after = os.getloadavg()
@@ -640,12 +670,7 @@ def run_sf_scaling(sf_dirs: list[str]) -> None:
     spark = make_spark("bench-sf-scaling")
     per_sf: dict[str, dict] = {}
     try:
-        spark.range(1000).select(F.sum("id")).collect()
-        _warm = F.pandas_udf(lambda x: x, "long")
-        n = spark.sparkContext.defaultParallelism
-        spark.range(0, n * 1000, 1, n * 2).select(
-            F.sum(_warm(F.col("id")))
-        ).collect()
+        _warm_pool(spark)
         for sf_dir in sf_dirs:
             sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
             timings, rows, _runs = bench_named(
@@ -666,6 +691,11 @@ def run_sf_scaling(sf_dirs: list[str]) -> None:
         for q in SF_SCALING_QUERIES
         if q in per_sf[a]["timings"] and q in per_sf[b]["timings"]
     }
+    if not exponents:
+        raise SystemExit(
+            "no SF_SCALING_QUERIES resolved against the registry — "
+            f"stale query list? ({sorted(SF_SCALING_QUERIES)})"
+        )
     print(
         json.dumps(
             {
@@ -709,6 +739,13 @@ def run_weak_scaling(sf_dir: str) -> None:
             cmd = [
                 submit, "--master", f"local[{cpus}]",
                 "--conf", "spark.ui.enabled=false",
+                # must ride the submit command: spark-submit launches the
+                # JVM before the worker's builder config could apply
+                "--conf", f"spark.driver.extraJavaOptions={JAVA_OPTS}",
+                # also pre-JVM-launch: the builder's spark.driver.memory
+                # is silently ignored under spark-submit (JVM already
+                # up), which left prior scaling runs at the 1g default
+                "--driver-memory", env["SPARK_GRAFT_DRIVER_MEM"],
                 "--py-files", zip_path,
                 os.path.abspath(__file__), "--scaling-worker",
             ]
@@ -759,25 +796,28 @@ def main() -> None:
     if "--extended" in sys.argv:
         return run_extended(sf_dir)
     if "--sf-scaling" in sys.argv:
-        base = sf_dir.rstrip("/").rsplit("/sf", 1)[0]
-        return run_sf_scaling(
-            [f"{base}/sf0.001", f"{base}/sf0.01", sf_dir]
-        )
+        # derive the sibling scale dirs from the configured one; dedupe
+        # and existence-check so an SF_DIR pointing at a smaller scale
+        # (or a relative path) errors out instead of silently measuring
+        # the wrong decade twice
+        abs_dir = os.path.abspath(sf_dir.rstrip("/"))
+        root = os.path.dirname(abs_dir)
+        dirs: list[str] = []
+        for name in ("sf0.001", "sf0.01", "sf0.1"):
+            d = os.path.join(root, name)
+            if os.path.isdir(d) and d not in dirs:
+                dirs.append(d)
+        if abs_dir not in dirs or len(dirs) < 2:
+            raise SystemExit(
+                f"--sf-scaling needs SPARK_GRAFT_SF_DIR to be the largest "
+                f"of the sf0.001/sf0.01/sf0.1 siblings; got {sf_dir} "
+                f"(found: {dirs})"
+            )
+        return run_sf_scaling(dirs[: dirs.index(abs_dir) + 1])
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = make_spark()
     try:
-        # warm the JVM once and fork the full Python-worker pool (each
-        # worker imports pandas/pyarrow on first use — steady-state
-        # throughput is the metric, not interpreter startups)
-        spark.range(1000).select(F.sum("id")).collect()
-        # legacy-style pandas_udf: `from __future__ import annotations`
-        # stringifies hints, so the decorator form can't infer eval type
-        _warm = F.pandas_udf(lambda x: x, "long")
-
-        n = spark.sparkContext.defaultParallelism
-        spark.range(0, n * 1000, 1, n * 2).select(
-            F.sum(_warm(F.col("id")))
-        ).collect()
+        _warm_pool(spark)
         load_before = os.getloadavg()
         timings, rows, all_runs = bench_queries(spark, sf_dir)
         load_after = os.getloadavg()

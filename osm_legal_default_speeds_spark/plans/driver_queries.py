@@ -1669,7 +1669,7 @@ WITH ra AS ({_rasterize_sql(synth_polygons(), _RASTER_RES)}),
 rb AS ({_rasterize_sql(synth_overlay_squares(), _RASTER_RES)})
 SELECT ra.region_code AS id_a, rb.region_code AS id_b,
        COUNT(*)::BIGINT AS n_cells,
-       COUNT(*) * {cell_area!r} AS area_deg2
+       COUNT(*) * {cell_area!r}::DOUBLE AS area_deg2
 FROM ra JOIN rb USING (cell)
 GROUP BY 1, 2
 """
@@ -2662,13 +2662,19 @@ ORACLES.update({"tile_hotspots": SQL_TILE_HOTSPOTS})
 # --------------------------------------------------------------------------
 
 _WINDOW_HEAD = [
-    # core reference-engine representatives (r01-r03 green)
-    "tagfilter_atoms",
-    "units_normalize",
+    # core reference-engine representatives (r01-r03 green).
+    # tagfilter_atoms / units_normalize / relation_semijoin_native /
+    # override_column_native rotated OUT in round 4 (each has three
+    # green driver rows on record, and the full-registry pytest
+    # contract still pins them) to admit the four round-4 operators,
+    # which have never had a driver row.
     "cascade_infer_native",
     "result_assembly_native",
-    "relation_semijoin_native",
-    "override_column_native",
+    # round-4 additions, never driver-checked
+    "image_patch_containment",
+    "image_verify_streaming",
+    "quadkey_encode",
+    "tile_hotspots",
     # the single red r03 row, fixed this round (typed oracle arithmetic)
     "pack_sequences",
     # never driver-checked before round 4, in original registry order

@@ -1629,7 +1629,7 @@ def _sql_audio_features() -> str:
     cap = CAPTION_SQL.format(id="id")
     return f"""
 SELECT 'aud-' || id AS audio_id, {cap} AS caption,
-       [220.0, 330.0, 440.0, 550.0, 660.0, 880.0][(id % 6 + 1)::INT]
+       ([220.0, 330.0, 440.0, 550.0, 660.0, 880.0][(id % 6 + 1)::INT])::DOUBLE
          AS dominant_freq,
        CAST(1600 + (id % 5) * 400 AS DOUBLE) / 8000.0 AS duration_s
 FROM range(192) t(id)

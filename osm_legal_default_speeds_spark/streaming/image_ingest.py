@@ -32,6 +32,24 @@ def read_id_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     return spark.readStream.schema("id long").parquet(src_dir)
 
 
+def _drain_to_memory(
+    spark: SparkSession, df: DataFrame, checkpoint_dir: str, sink_table: str
+) -> DataFrame:
+    """Append-drain a bounded stream (AvailableNow) into a memory sink
+    and return the sink table. One definition so every image-ingest
+    drain shares sink options."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def streaming_image_verify(
     spark: SparkSession,
     src_dir: str,
@@ -44,16 +62,7 @@ def streaming_image_verify(
     verified = decode_and_verify(
         images_from_ids(read_id_stream(spark, src_dir))
     ).select("image_id", "fmt", "pixels_ok", "caption_ok")
-    q = (
-        verified.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_table)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink_table)
+    return _drain_to_memory(spark, verified, checkpoint_dir, sink_table)
 
 
 def streaming_image_features(
@@ -68,13 +77,4 @@ def streaming_image_features(
     feats = image_features(
         images_from_ids(read_id_stream(spark, src_dir))
     ).select("image_id", "w", "h", "lum_total", "edge_total")
-    q = (
-        feats.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_table)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink_table)
+    return _drain_to_memory(spark, feats, checkpoint_dir, sink_table)

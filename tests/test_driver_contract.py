@@ -73,6 +73,21 @@ def test_query_matches_oracle(spark, name):
     spark_cols = sdf.columns
 
     con = _duck()
+    # Type audit BEFORE value compare: a DECIMAL/HUGEINT oracle column
+    # passes the Python value compare silently (Decimal('220.0') ==
+    # 220.0 is True) but serializes differently in the external
+    # driver's hash — exactly the r03 pack_sequences red row. Fail
+    # loudly here so every oracle stays explicitly typed.
+    rel = con.sql(sql)
+    loose = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "DECIMAL" in str(t).upper() or "HUGEINT" in str(t).upper()
+    ]
+    assert not loose, (
+        f"{name}: oracle columns must be explicitly typed "
+        f"(DECIMAL/HUGEINT serialize version-sensitively): {loose}"
+    )
     res = con.execute(sql)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
@@ -110,6 +125,9 @@ def test_driver_window_composition():
         "polygon_overlay", "simplify_lines", "within_pairs_m",
         "segment_intersections", "vector_tiles", "clip_segments",
         "geohash_encode", "vector_tiles_clipped", "tile_build_e2e",
+        # round-4 operators (first driver rows due in r04)
+        "image_patch_containment", "image_verify_streaming",
+        "quadkey_encode", "tile_hotspots",
     }
     missing = sorted(must_be_inside - window)
     assert not missing, f"rotated out of the driver window: {missing}"
