@@ -383,7 +383,15 @@ def run_scaling(sf_dir: str) -> None:
 
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "64"))
     results = {}
-    for cpus in ("8", "32"):
+    # 32-core leg FIRST. Measured (steal-time + user-tick accounting in
+    # /proc/stat): after an 8-core-pinned leg idles 24 vCPUs for ~2 min,
+    # the sandbox hypervisor re-homes them and a subsequent 32-wide job
+    # burns ~36% more user ticks for identical work (plus ~6% steal) for
+    # several minutes — 19-23 s instead of 11-14 s — and our own busy
+    # work does not reclaim the cores, only elapsed idle time does. The
+    # reverse order is clean: an 8-core leg after a 32-core leg measures
+    # its fastest samples. So the wide leg always runs first.
+    for cpus in ("32", "8"):
         env = dict(os.environ)
         env.update(
             SPARK_GRAFT_SF_DIR=sf_dir,
@@ -485,7 +493,15 @@ def run_scaling(sf_dir: str) -> None:
             "  (a count() action lets Catalyst prune the operators under\n"
             "  measurement);\n"
             "- wall times are **min-of-3** (the host shows large\n"
-            "  run-to-run variance from noisy neighbors / turbo).\n\n"
+            "  run-to-run variance from noisy neighbors / turbo);\n"
+            "- the JVM runs **ParallelGC with an explicit 8g heap passed\n"
+            "  on the spark-submit command** (JDK17's default G1 halves\n"
+            "  32-thread throughput, and builder-set driver memory is\n"
+            "  silently ignored under spark-submit);\n"
+            "- the **32-core leg runs first**: an 8-core-pinned leg idles\n"
+            "  24 vCPUs and the sandbox hypervisor re-homes them, degrading\n"
+            "  a following 32-wide job ~40% for minutes (measured via\n"
+            "  /proc/stat user+steal deltas); the reverse order is clean.\n\n"
             "Workload: flagship pipeline (grid encode -> PIP jurisdiction ->\n"
             "kNN fallback -> tile assignment -> full-ruleset [242 countries /\n"
             "1206 rules, broadcast] speed-limit inference cascade), input\n"
@@ -725,7 +741,8 @@ def run_weak_scaling(sf_dir: str) -> None:
 
     base = int(os.environ.get("SPARK_GRAFT_WEAK_REPLICATE", "16"))
     results = {}
-    for cpus, rep in (("8", base), ("32", base * 4)):
+    # 32-core leg first — same vCPU re-homing hazard as run_scaling
+    for cpus, rep in (("32", base * 4), ("8", base)):
         env = dict(os.environ)
         env.update(
             SPARK_GRAFT_SF_DIR=sf_dir,

@@ -70,6 +70,12 @@ def main(argv: list[str] | None = None) -> None:
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .getOrCreate()
     )
+    # NOTE: GC and memory must be configured on the spark-submit command
+    # (e.g. --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC,
+    # --driver-memory): by the time this builder runs the JVMs are up
+    # and such settings would be silently ignored. JDK17's default G1
+    # halves per-executor throughput on this engine's allocation-heavy
+    # codegen pipelines at ~32 concurrent tasks — see BENCH/BASELINE.md.
 
     # imports resolved from the --py-files zip on executors and driver
     from pyspark.sql import functions as F

@@ -17,6 +17,10 @@ def spark():
         # execute in the bytecode interpreter, ~5x slower); split
         # per-expression codegen JITs fine — see plans/native_cascade.py
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # throughput collector: JDK17's default G1 measurably slows the
+        # allocation-heavy codegen pipelines (see BENCH/BASELINE.md);
+        # honored here because this process launches the JVM itself
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .getOrCreate()
     )
     yield spark
