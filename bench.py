@@ -607,6 +607,7 @@ EXTENDED_QUERIES = (
     "tile_build_e2e",
     # round-4 additions
     "image_patch_containment",
+    "image_caption_conflicts",
     "quadkey_encode",
     "tile_hotspots",
     # events_dedup_streaming excluded: the stream drains eagerly when

@@ -422,14 +422,24 @@ def hamming64(a, b):
     return F.bit_count(F.expr(f"{a} ^ {b}") if isinstance(a, str) else a.bitwiseXOR(b))
 
 
-def phash_near_dup_pairs(meta: DataFrame, max_hamming: int = 6, band_bits: int = 16) -> DataFrame:
+def phash_near_dup_pairs(
+    meta: DataFrame,
+    max_hamming: int = 6,
+    band_bits: int = 16,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Near-duplicate image pairs by phash banding (LSH on bit-bands):
     two hashes within ``max_hamming`` of each other must agree exactly on
     at least one of the 64/band_bits bands (pigeonhole, if
     max_hamming < #bands), so candidate generation is an equi-join per
     band — no cross product. Input: metadata projection only (image_id,
     phash); the payload column must NOT be in ``meta`` (keeps bytes out
-    of the shuffle)."""
+    of the shuffle).
+
+    ``carry`` names extra (narrow!) columns of ``meta`` to ride the band
+    rows and come back as ``<col>_a`` / ``<col>_b`` on each pair —
+    cheaper than joining pair ids back to a corpus-sized table, which
+    has no stats and sort-merge-spills (CLAUDE.md)."""
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
     bands = F.array(
@@ -444,8 +454,11 @@ def phash_near_dup_pairs(meta: DataFrame, max_hamming: int = 6, band_bits: int =
         ]
     )
     exploded = meta.select(
-        F.col("image_id"), F.col("phash"), F.explode(bands).alias("bk")
-    ).select("image_id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.col("image_id"), F.col("phash"), *carry, F.explode(bands).alias("bk")
+    ).select(
+        "image_id", "phash", *carry,
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
     # shuffle-hash self-join: identical Exchange subplans -> any
     # upstream phash-extraction pipeline is computed once
     # (ReuseExchange), and the image-metadata table is never broadcast
@@ -461,11 +474,40 @@ def phash_near_dup_pairs(meta: DataFrame, max_hamming: int = 6, band_bits: int =
             F.bit_count(
                 F.col("a.phash").bitwiseXOR(F.col("b.phash"))
             ).alias("hamming"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
         )
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
+
+
+def caption_conflict_pairs(
+    meta: DataFrame, max_hamming: int = 6, band_bits: int = 16
+) -> DataFrame:
+    """Label-noise detection for image+caption training data: pairs of
+    visually near-duplicate images (phash band LSH, same shape as
+    :func:`phash_near_dup_pairs`) whose captions DISAGREE — the rows a
+    curation pipeline must reconcile before training, since conflicting
+    labels on near-identical inputs teach the model noise.
+
+    Captions are compared as ``xxhash64`` digests carried through the
+    band join (8 bytes per row instead of the text, and no join-back of
+    pair ids against the corpus-sized table). A hash collision would
+    mask a real conflict with probability ~2^-64 per pair — acceptable
+    for QA triage; the emitted pairs themselves are exact.
+
+    Input must contain narrow ``image_id, phash, caption`` only."""
+    hashed = meta.select(
+        "image_id", "phash", F.xxhash64(F.col("caption")).alias("cap_h")
+    )
+    pairs = phash_near_dup_pairs(
+        hashed, max_hamming=max_hamming, band_bits=band_bits, carry=("cap_h",)
+    )
+    return pairs.where(F.col("cap_h_a") != F.col("cap_h_b")).select(
+        "id_a", "id_b", "hamming"
+    )
 
 
 PATCH_SCHEMA = (

@@ -1420,6 +1420,40 @@ def q_image_patch_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return patch_phash_containment(images, grid=2, min_shared=2)
 
 
+def q_image_caption_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise QA: near-duplicate images (phash band LSH) whose
+    captions DISAGREE. ORACLED: content groups of 4 consecutive ids are
+    byte-identical (hamming 0); captions are re-labeled by the planted
+    rule ``cap-((id // 2) * 2)`` so each group of 4 contains two
+    agreeing pairs (0-1, 2-3) and four conflicts — the conflict filter
+    is exercised in both directions and the pair set is pure id
+    arithmetic the codec + LSH + xxhash64 path must reproduce."""
+    from osm_legal_default_speeds_spark.payload.images import (
+        caption_conflict_pairs,
+        images_from_ids,
+    )
+
+    ids = spark.range(0, 128, 1, 4).select(F.col("id"))
+    images = images_from_ids(ids, dup_group=4)
+    n = F.substring(F.col("image_id"), 5, 10).cast("long")
+    relabeled = images.withColumn(
+        "caption",
+        F.concat(F.lit("cap-"), (F.floor(n / 2) * 2).cast("long").cast("string")),
+    )
+    meta = relabeled.select("image_id", "phash", "caption")
+    return caption_conflict_pairs(meta, max_hamming=2, band_bits=16)
+
+
+SQL_IMAGE_CAPTION_CONFLICTS = """
+WITH ids AS (SELECT unnest(range(128)) AS i)
+SELECT 'img-' || a.i AS id_a, 'img-' || b.i AS id_b, 0::INT AS hamming
+FROM ids a, ids b
+WHERE a.i // 4 = b.i // 4
+  AND 'img-' || a.i < 'img-' || b.i
+  AND a.i // 2 <> b.i // 2
+"""
+
+
 SQL_IMAGE_PATCH_CONTAINMENT = """
 WITH ids AS (SELECT unnest(range(128)) AS i)
 SELECT 'img-' || a.i AS id_a, 'img-' || b.i AS id_b,
@@ -2434,6 +2468,7 @@ TRAININGDATA_QUERIES = {
     "image_phash_near_dup": q_image_phash_near_dup,
     "curate_images": q_curate_images,
     "image_patch_containment": q_image_patch_containment,
+    "image_caption_conflicts": q_image_caption_conflicts,
     "image_verify_streaming": q_image_verify_streaming,
     "knn_indexed": None,  # placeholder replaced below
 }
@@ -2512,6 +2547,7 @@ TRAININGDATA_ORACLES = {
     "image_phash_near_dup": SQL_IMAGE_PHASH_NEAR_DUP,
     "curate_images": SQL_CURATE_IMAGES,
     "image_patch_containment": SQL_IMAGE_PATCH_CONTAINMENT,
+    "image_caption_conflicts": SQL_IMAGE_CAPTION_CONFLICTS,
     "image_verify_streaming": SQL_IMAGE_VERIFY_STREAMING,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,

@@ -135,6 +135,37 @@ def test_phash_near_dup_pairs(spark, images):
     assert len(hit) == 1 and hit[0]["hamming"] == 0
 
 
+def test_caption_conflict_pairs(spark):
+    """Groups of 4 byte-identical images; captions planted by
+    (id//2)*2 -> within each group exactly the 4 cross-half pairs
+    conflict and the 2 same-half pairs do not."""
+    from osm_legal_default_speeds_spark.payload.images import (
+        caption_conflict_pairs,
+        images_from_ids,
+    )
+
+    ids = spark.range(0, 16, 1, 2).select(F.col("id"))
+    images = images_from_ids(ids, dup_group=4)
+    n = F.substring(F.col("image_id"), 5, 10).cast("long")
+    meta = images.withColumn(
+        "caption",
+        F.concat(F.lit("cap-"), (F.floor(n / 2) * 2).cast("long").cast("string")),
+    ).select("image_id", "phash", "caption")
+    pairs = caption_conflict_pairs(meta, max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = set()
+    for g in range(0, 16, 4):
+        members = [f"img-{g + k}" for k in range(4)]
+        for i in range(4):
+            for j in range(4):
+                a, b = members[i], members[j]
+                if a < b and (g + i) // 2 != (g + j) // 2:
+                    want.add((a, b))
+    assert got == want
+    # every emitted pair is a real near-dup (hamming 0 in this fixture)
+    assert all(r["hamming"] == 0 for r in pairs.collect())
+
+
 def test_sample_patches_deterministic_and_decodable(spark):
     from osm_legal_default_speeds_spark.payload.images import (
         decode_image,
