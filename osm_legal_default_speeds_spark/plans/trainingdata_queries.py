@@ -1444,6 +1444,59 @@ def q_image_caption_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_conflict_pairs(meta, max_hamming=2, band_bits=16)
 
 
+def q_image_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard packing for image training data — the
+    image-bytes twin of pack_sequences: every image goes to a
+    (shard, seq_no) slot by running DECODED size (w*h*3, the
+    training-relevant payload size; encoded blob lengths are
+    zlib-dependent and not portable) under the same deterministic
+    salted-hash shard+order, so a rerun or another engine builds
+    byte-identical shards. One shuffle, per-shard streaming window."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        pack_sequences,
+    )
+    from osm_legal_default_speeds_spark.payload.images import images_from_ids
+
+    ids = spark.range(0, 512, 1, 4).select(F.col("id"))
+    sized = images_from_ids(ids).select(
+        "image_id",
+        (F.col("w").cast("bigint") * F.col("h") * 3).alias("nbytes"),
+    )
+    packed = pack_sequences(
+        sized, "image_id", F.col("nbytes"), 65536, n_shards=8, salt="wds0"
+    )
+    return packed.groupBy("shard", "seq_no").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("nbytes").alias("n_bytes"),
+        F.min("image_id").alias("min_image_id"),
+    )
+
+
+def _sql_image_shard_assign() -> str:
+    u = _unit_sql("'img-' || i", "wds0")
+    us = _unit_sql("'img-' || i", "wds0/shard")
+    return f"""
+WITH imgs AS (
+  SELECT 'img-' || i AS image_id,
+    CAST((24 + (i % 5) * 8) * (16 + (i % 7) * 8) * 3 AS BIGINT) AS nbytes,
+    {u} AS u,
+    CAST(FLOOR({us} * 8.0) AS INT) AS shard
+  FROM (SELECT unnest(range(512)) AS i)
+),
+packed AS (
+  SELECT shard, nbytes, image_id,
+    CAST(FLOOR(CAST(SUM(nbytes) OVER (PARTITION BY shard ORDER BY u, image_id
+            ROWS UNBOUNDED PRECEDING) - nbytes AS DOUBLE) / 65536.0)
+         AS BIGINT) AS seq_no
+  FROM imgs
+)
+SELECT shard, seq_no, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(nbytes) AS BIGINT) AS n_bytes,
+       MIN(image_id) AS min_image_id
+FROM packed GROUP BY shard, seq_no
+"""
+
+
 SQL_IMAGE_CAPTION_CONFLICTS = """
 WITH ids AS (SELECT unnest(range(128)) AS i)
 SELECT 'img-' || a.i AS id_a, 'img-' || b.i AS id_b, 0::INT AS hamming
@@ -1695,6 +1748,9 @@ SQL_VIDEO_FRAME_SAMPLE = _sql_video_frame_sample()
 def _unit_sql(col_expr, salt):
     from osm_legal_default_speeds_spark.operators.sampling import sample_sql_unit
     return sample_sql_unit(col_expr, salt)
+
+# evaluated here (not at the def site above) because it needs _unit_sql
+SQL_IMAGE_SHARD_ASSIGN = _sql_image_shard_assign()
 
 SQL_HASH_SAMPLE = f'''
 SELECT doc_id, source FROM documents
@@ -2469,6 +2525,7 @@ TRAININGDATA_QUERIES = {
     "curate_images": q_curate_images,
     "image_patch_containment": q_image_patch_containment,
     "image_caption_conflicts": q_image_caption_conflicts,
+    "image_shard_assign": q_image_shard_assign,
     "image_verify_streaming": q_image_verify_streaming,
     "knn_indexed": None,  # placeholder replaced below
 }
@@ -2548,6 +2605,7 @@ TRAININGDATA_ORACLES = {
     "curate_images": SQL_CURATE_IMAGES,
     "image_patch_containment": SQL_IMAGE_PATCH_CONTAINMENT,
     "image_caption_conflicts": SQL_IMAGE_CAPTION_CONFLICTS,
+    "image_shard_assign": SQL_IMAGE_SHARD_ASSIGN,
     "image_verify_streaming": SQL_IMAGE_VERIFY_STREAMING,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
