@@ -857,6 +857,41 @@ def test_pack_sequences_invariants(spark):
     assert avg_fill > maxt * 0.6, avg_fill
 
 
+def test_image_shard_assign_partition_invariant_one_exchange(spark):
+    """The image twin of pack_sequences: shard/slot assignment must not
+    depend on how the id source is partitioned (a rerun with different
+    parallelism builds byte-identical shards), and the packing itself
+    adds exactly ONE exchange (the shard hash partitioning feeding the
+    per-shard streaming window — no global sort)."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        pack_sequences,
+    )
+    from osm_legal_default_speeds_spark.payload.images import images_from_ids
+
+    def packed(n_parts):
+        sized = images_from_ids(
+            spark.range(0, 256, 1, n_parts)
+        ).select(
+            "image_id",
+            (F.col("w").cast("bigint") * F.col("h") * 3).alias("nbytes"),
+        )
+        return pack_sequences(
+            sized, "image_id", F.col("nbytes"), 65536, n_shards=8,
+            salt="wds0",
+        )
+
+    def assign(df):
+        return sorted(
+            (r["image_id"], r["shard"], r["seq_no"]) for r in df.collect()
+        )
+
+    a = packed(2)
+    assert assign(a) == assign(packed(7))
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_decontaminate_drops_planted_overlap(spark, docs):
     """Docs overlapping the eval set by >= min_overlap distinct 3-grams
     drop; clean docs survive with all columns intact."""
