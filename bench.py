@@ -610,6 +610,8 @@ EXTENDED_QUERIES = (
     "image_caption_conflicts",
     "quadkey_encode",
     "tile_hotspots",
+    "image_shard_assign",
+    "multimodal_dup_classes",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

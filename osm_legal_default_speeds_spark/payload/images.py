@@ -510,6 +510,91 @@ def caption_conflict_pairs(
     )
 
 
+def multimodal_dup_classes(
+    meta: DataFrame,
+    max_hamming: int = 2,
+    band_bits: int = 16,
+    max_caption_bucket: int = 64,
+) -> DataFrame:
+    """Joint image x caption duplicate classification — the curation
+    triage an image+caption corpus needs before training, one class per
+    pair:
+
+    - ``both``: visually near-duplicate (phash hamming <=
+      ``max_hamming``) AND caption identical — a true duplicate; drop
+      one row.
+    - ``image_only``: visually near-duplicate, captions disagree —
+      label noise (same signal as :func:`caption_conflict_pairs`);
+      reconcile before training.
+    - ``caption_only``: caption identical on visually DISTINCT images —
+      boilerplate / low-information captions (scraped alt-text reuse);
+      keep the images, down-weight or rewrite the caption.
+
+    Scale shape: the image side is the phash bit-band LSH self-join
+    (:func:`phash_near_dup_pairs`) with the 8-byte ``xxhash64`` caption
+    digest riding the band rows (``carry=``) — no join-back against the
+    corpus-sized table. The caption side is groupBy(cap_h) -> in-bucket
+    pair expansion, NOT a self-join: the metadata source is typically a
+    ``mapInPandas`` codec node, which defeats canonicalized-plan
+    equality and would decode twice (CLAUDE.md); a boilerplate caption
+    shared by a corpus-scale slice of rows is a quadratic hot bucket,
+    so buckets larger than ``max_caption_bucket`` are dropped (the
+    stop-gram rule — such captions carry no pairing signal, only the
+    per-caption frequency, which the groupBy already yields). The two
+    pair sets are made disjoint by the hamming cut (the caption side
+    keeps only ``hamming > max_hamming``), so the union needs no
+    dedup. ``max_hamming`` must stay below 64/band_bits for the LSH
+    pigeonhole guarantee, keeping the class split exact.
+
+    Input must contain narrow ``image_id, phash, caption`` only (bytes
+    never enter a shuffle). Output: (id_a, id_b, dup_class)."""
+    hashed = meta.select(
+        "image_id", "phash", F.xxhash64(F.col("caption")).alias("cap_h")
+    )
+    img = phash_near_dup_pairs(
+        hashed, max_hamming=max_hamming, band_bits=band_bits, carry=("cap_h",)
+    ).select(
+        "id_a",
+        "id_b",
+        F.when(F.col("cap_h_a") == F.col("cap_h_b"), F.lit("both"))
+        .otherwise(F.lit("image_only"))
+        .alias("dup_class"),
+    )
+    buckets = (
+        hashed.groupBy("cap_h")
+        .agg(F.collect_list(F.struct("image_id", "phash")).alias("es"))
+        .where((F.size("es") >= 2) & (F.size("es") <= max_caption_bucket))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("es"),
+            lambda a: F.filter(
+                F.transform(
+                    F.col("es"),
+                    lambda b: F.struct(
+                        a["image_id"].alias("id_a"),
+                        b["image_id"].alias("id_b"),
+                        F.bit_count(
+                            a["phash"].bitwiseXOR(b["phash"])
+                        ).alias("hamming"),
+                    ),
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            ),
+        )
+    )
+    cap = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .where(F.col("p.hamming") > max_hamming)
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.lit("caption_only").alias("dup_class"),
+        )
+    )
+    return img.unionByName(cap)
+
+
 PATCH_SCHEMA = (
     "image_id string, patch_id int, x int, y int, pw int, ph int, "
     "bytes binary, fmt string, phash long, lum_total bigint"

@@ -1444,6 +1444,45 @@ def q_image_caption_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_conflict_pairs(meta, max_hamming=2, band_bits=16)
 
 
+def q_multimodal_dup_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint image x caption duplicate triage: every pair is classed
+    both / image_only / caption_only. ORACLED: content groups of 4
+    consecutive ids are byte-identical (hamming 0) and the minimum
+    cross-content phash hamming over this id range is 12 (verified
+    numerically), so with max_hamming=2 "visually near" == same id//4;
+    captions are re-labeled ``cap-((id // 3) * 3)`` so caption groups
+    (period 3) straddle content groups (period 4) in both directions —
+    all three classes are non-empty and the full pair set is pure id
+    arithmetic the codec + LSH + xxhash64 + bucket-expansion path must
+    reproduce."""
+    from osm_legal_default_speeds_spark.payload.images import (
+        images_from_ids,
+        multimodal_dup_classes,
+    )
+
+    ids = spark.range(0, 144, 1, 4).select(F.col("id"))
+    images = images_from_ids(ids, dup_group=4)
+    n = F.substring(F.col("image_id"), 5, 10).cast("long")
+    relabeled = images.withColumn(
+        "caption",
+        F.concat(F.lit("cap-"), (F.floor(n / 3) * 3).cast("long").cast("string")),
+    )
+    meta = relabeled.select("image_id", "phash", "caption")
+    return multimodal_dup_classes(meta, max_hamming=2, band_bits=16)
+
+
+SQL_MULTIMODAL_DUP_CLASSES = """
+WITH ids AS (SELECT unnest(range(144)) AS i)
+SELECT 'img-' || a.i AS id_a, 'img-' || b.i AS id_b,
+  CASE WHEN a.i // 4 = b.i // 4 AND a.i // 3 = b.i // 3 THEN 'both'
+       WHEN a.i // 4 = b.i // 4 THEN 'image_only'
+       ELSE 'caption_only' END AS dup_class
+FROM ids a, ids b
+WHERE 'img-' || a.i < 'img-' || b.i
+  AND (a.i // 4 = b.i // 4 OR a.i // 3 = b.i // 3)
+"""
+
+
 def q_image_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style shard packing for image training data — the
     image-bytes twin of pack_sequences: every image goes to a
@@ -2526,6 +2565,7 @@ TRAININGDATA_QUERIES = {
     "image_patch_containment": q_image_patch_containment,
     "image_caption_conflicts": q_image_caption_conflicts,
     "image_shard_assign": q_image_shard_assign,
+    "multimodal_dup_classes": q_multimodal_dup_classes,
     "image_verify_streaming": q_image_verify_streaming,
     "knn_indexed": None,  # placeholder replaced below
 }
@@ -2606,6 +2646,7 @@ TRAININGDATA_ORACLES = {
     "image_patch_containment": SQL_IMAGE_PATCH_CONTAINMENT,
     "image_caption_conflicts": SQL_IMAGE_CAPTION_CONFLICTS,
     "image_shard_assign": SQL_IMAGE_SHARD_ASSIGN,
+    "multimodal_dup_classes": SQL_MULTIMODAL_DUP_CLASSES,
     "image_verify_streaming": SQL_IMAGE_VERIFY_STREAMING,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,

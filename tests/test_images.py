@@ -166,7 +166,39 @@ def test_caption_conflict_pairs(spark):
     assert all(r["hamming"] == 0 for r in pairs.collect())
 
 
-def test_sample_patches_deterministic_and_decodable(spark):
+def test_multimodal_dup_classes_stop_caption_cap(spark):
+    """A boilerplate caption shared by every row is a quadratic hot
+    bucket: with max_caption_bucket below the corpus size the
+    caption_only class is suppressed (no pair explosion), while the
+    image-side classes are untouched — and the 'both' class follows
+    the caption equality."""
+    from osm_legal_default_speeds_spark.payload.images import (
+        images_from_ids,
+        multimodal_dup_classes,
+    )
+
+    ids = spark.range(0, 24, 1, 2).select(F.col("id"))
+    meta = images_from_ids(ids, dup_group=4).withColumn(
+        "caption", F.lit("stock photo")
+    ).select("image_id", "phash", "caption")
+
+    capped = multimodal_dup_classes(meta, max_hamming=2, max_caption_bucket=8)
+    by_class = {
+        r["dup_class"]: r["n"]
+        for r in capped.groupBy("dup_class").agg(F.count("*").alias("n")).collect()
+    }
+    # 6 groups of 4 -> 6*C(4,2)=36 image pairs, all caption-equal
+    assert by_class == {"both": 36}
+
+    uncapped = multimodal_dup_classes(
+        meta, max_hamming=2, max_caption_bucket=1000
+    )
+    got = {
+        r["dup_class"]: r["n"]
+        for r in uncapped.groupBy("dup_class").agg(F.count("*").alias("n")).collect()
+    }
+    # the hot bucket expands: C(24,2)=276 pairs total, 36 visually near
+    assert got == {"both": 36, "caption_only": 240}
     from osm_legal_default_speeds_spark.payload.images import (
         decode_image,
         reference_pixels,
