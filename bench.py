@@ -612,6 +612,9 @@ EXTENDED_QUERIES = (
     "tile_hotspots",
     "image_shard_assign",
     "multimodal_dup_classes",
+    "spatial_split",
+    "geo_quota_sample",
+    "aspect_buckets",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

@@ -129,6 +129,39 @@ def sample_sql_unit(col_expr: str, salt: str = "s0") -> str:
     )
 
 
+def spatial_split(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    res: int = 4,
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split0",
+) -> DataFrame:
+    """Leakage-free geographic train/val/test split: the split is a
+    function of the enclosing grid CELL, never of the row, so two
+    images meters apart (same landmark photographed twice, adjacent
+    street-view frames) can never straddle train and test — the
+    spatial-autocorrelation leak that makes random row splits
+    overstate geo-model accuracy (spatial cross-validation; block by
+    location, not by row). ``res`` sets the block size: pick it
+    coarser than the autocorrelation range of the signal.
+
+    Deterministic and engine-portable (salted md5 unit hash of the
+    cell id), map-side only — a pure Column on the scan stage, zero
+    shuffles, any partitioning. Adds a ``split`` column."""
+    from osm_legal_default_speeds_spark.operators.spatial import grid_cell
+
+    cell = grid_cell(F.col(lon_col), F.col(lat_col), res)
+    u = _salted_unit(cell, salt)
+    return df.withColumn(
+        "split",
+        F.when(u < F.lit(train), F.lit("train"))
+        .when(u < F.lit(train + val), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     key_col: str,

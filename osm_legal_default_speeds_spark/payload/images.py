@@ -510,6 +510,60 @@ def caption_conflict_pairs(
     )
 
 
+DEFAULT_AR_BUCKETS: tuple[tuple[int, int], ...] = (
+    (1, 1),
+    (4, 3),
+    (3, 4),
+    (16, 9),
+    (9, 16),
+    (3, 2),
+    (2, 3),
+)
+
+
+def aspect_ratio_buckets(
+    meta: DataFrame,
+    buckets: tuple[tuple[int, int], ...] = DEFAULT_AR_BUCKETS,
+) -> DataFrame:
+    """Aspect-ratio bucketing for batched image training: assign every
+    image to the nearest target ratio so a batch can be built from one
+    bucket and resized without letterboxing/cropping distortion (the
+    standard multi-aspect training trick — batches must be
+    shape-homogeneous, so bucket FIRST, then shuffle within buckets).
+
+    The argmin is integer-exact and therefore engine-portable: the
+    distance of (w, h) to bucket (bw, bh) is |w/h - bw/bh|; comparing
+    two buckets multiplies through by h and by lcm(all bh), giving
+    |w*bh - bw*h| * (L/bh) — pure 64-bit integer arithmetic with no
+    float rounding to disagree across engines. Ties break to the
+    earlier bucket in the list. Pure Column algebra (array_sort over a
+    7-struct literal array), map-side, zero shuffles, whole-stage
+    codegen. Input needs (image_id, w, h) only."""
+    import math
+
+    lcm = math.lcm(*[bh for _, bh in buckets])
+    w = F.col("w").cast("bigint")
+    h = F.col("h").cast("bigint")
+    entries = [
+        F.struct(
+            (
+                F.abs(w * F.lit(bh) - F.lit(bw) * h) * F.lit(lcm // bh)
+            ).alias("d"),
+            F.lit(i).alias("bucket_id"),
+            F.lit(f"{bw}:{bh}").alias("ratio"),
+        )
+        for i, (bw, bh) in enumerate(buckets)
+    ]
+    best = F.array_sort(F.array(*entries))[0]
+    return meta.select(
+        "image_id",
+        "w",
+        "h",
+        best["bucket_id"].alias("bucket_id"),
+        best["ratio"].alias("ratio"),
+    )
+
+
 def multimodal_dup_classes(
     meta: DataFrame,
     max_hamming: int = 2,

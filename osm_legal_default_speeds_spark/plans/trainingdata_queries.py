@@ -1483,6 +1483,140 @@ WHERE 'img-' || a.i < 'img-' || b.i
 """
 
 
+def _geo_tagged_images(spark: SparkSession, n: int = 512) -> DataFrame:
+    """Real-codec image rows geo-tagged by the id-derived lon/lat
+    convention of q_image_geo_rollup (pure integer functions DuckDB
+    reproduces). Narrow projection: bytes never leave the codec stage."""
+    from osm_legal_default_speeds_spark.payload.images import images_from_ids
+
+    ids = spark.range(0, n, 1, 4).select(F.col("id"))
+    imgs = images_from_ids(ids)
+    idc = F.substring("image_id", 5, 19).cast("long")
+    lon = (idc * 7919 % 360000) / 1000.0 - 180.0
+    lat = (idc * 104729 % 170000) / 1000.0 - 85.0
+    return imgs.select(
+        "image_id", "w", "h", lon.alias("lon"), lat.alias("lat")
+    )
+
+
+_GEO_PTS_SQL = """
+SELECT 'img-' || i AS image_id,
+  CAST((i * 7919) % 360000 AS BIGINT) / 1000.0 - 180.0 AS lon,
+  CAST((i * 104729) % 170000 AS BIGINT) / 1000.0 - 85.0 AS lat
+FROM (SELECT unnest(range(512)) AS i)
+"""
+
+# grid_cell at res 3: nx = 16, ny = 8, cell = x * ny + y (the res-7/6
+# formula of SQL_GRID_ENCODE at the coarser block resolution)
+_CELL3_SQL = """
+(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 16), 0), 15)::BIGINT * 8
+ + LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * 8), 0), 7)::BIGINT)
+"""
+
+
+def q_spatial_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free geographic train/val/test split: split is a
+    function of the res-3 grid BLOCK, so near-identical neighboring
+    images can never straddle train and test (spatialautocorrelation
+    leak). Fractions 0.75/0.125 are exact binary floats — the
+    threshold compare cannot flip between engines."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        spatial_split,
+    )
+
+    tagged = _geo_tagged_images(spark)
+    return spatial_split(
+        tagged, "lon", "lat", res=3, train=0.75, val=0.125, salt="geo0"
+    ).select("image_id", "split")
+
+
+def _sql_spatial_split() -> str:
+    u = _unit_sql("cell", "geo0")
+    return f"""
+WITH pts AS ({_GEO_PTS_SQL}),
+cells AS (SELECT image_id, {_CELL3_SQL} AS cell FROM pts)
+SELECT image_id,
+  CASE WHEN {u} < 0.75 THEN 'train'
+       WHEN {u} < 0.875 THEN 'val'
+       ELSE 'test' END AS split
+FROM cells
+"""
+
+
+def q_geo_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographic rebalancing: at most 4 images per res-3 tile (the
+    n smallest salted unit hashes win) — caps landmark/hotspot tiles
+    that would otherwise dominate a training mix, keeps sparse tiles
+    whole. stratified_sample composed over the grid index."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from osm_legal_default_speeds_spark.operators.spatial import grid_cell
+
+    tagged = _geo_tagged_images(spark)
+    tiled = tagged.select(
+        "image_id",
+        grid_cell(F.col("lon"), F.col("lat"), 3).alias("tile_id"),
+    )
+    return stratified_sample(tiled, "tile_id", "image_id", 4, salt="quota0")
+
+
+def _sql_geo_quota_sample() -> str:
+    u = _unit_sql("image_id", "quota0")
+    return f"""
+WITH pts AS ({_GEO_PTS_SQL}),
+tiled AS (SELECT image_id, {_CELL3_SQL} AS tile_id FROM pts),
+ranked AS (
+  SELECT image_id, tile_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY tile_id ORDER BY {u}, image_id
+    ) AS rk
+  FROM tiled
+)
+SELECT image_id, tile_id FROM ranked WHERE rk <= 4
+"""
+
+
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing over real codec rows: every image to the
+    nearest of 7 target ratios by the integer-exact argmin
+    (|w*bh - bw*h| * lcm/bh — no float rounding to disagree between
+    engines), ties to the earlier bucket."""
+    from osm_legal_default_speeds_spark.payload.images import (
+        aspect_ratio_buckets,
+        images_from_ids,
+    )
+
+    ids = spark.range(0, 512, 1, 4).select(F.col("id"))
+    meta = images_from_ids(ids).select("image_id", "w", "h")
+    return aspect_ratio_buckets(meta)
+
+
+SQL_ASPECT_BUCKETS = """
+WITH imgs AS (
+  SELECT 'img-' || i AS image_id,
+    CAST(24 + (i % 5) * 8 AS INT) AS w,
+    CAST(16 + (i % 7) * 8 AS INT) AS h
+  FROM (SELECT unnest(range(512)) AS i)
+),
+buckets(bucket_id, bw, bh, ratio) AS (VALUES
+  (0, 1, 1, '1:1'), (1, 4, 3, '4:3'), (2, 3, 4, '3:4'),
+  (3, 16, 9, '16:9'), (4, 9, 16, '9:16'), (5, 3, 2, '3:2'),
+  (6, 2, 3, '2:3')),
+scored AS (
+  SELECT image_id, w, h, bucket_id, ratio,
+    ROW_NUMBER() OVER (
+      PARTITION BY image_id
+      ORDER BY ABS(CAST(w AS BIGINT) * bh - bw * CAST(h AS BIGINT))
+               * (144 // bh),
+               bucket_id
+    ) AS rk
+  FROM imgs CROSS JOIN buckets
+)
+SELECT image_id, w, h, bucket_id, ratio FROM scored WHERE rk = 1
+"""
+
+
 def q_image_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style shard packing for image training data — the
     image-bytes twin of pack_sequences: every image goes to a
@@ -1788,8 +1922,10 @@ def _unit_sql(col_expr, salt):
     from osm_legal_default_speeds_spark.operators.sampling import sample_sql_unit
     return sample_sql_unit(col_expr, salt)
 
-# evaluated here (not at the def site above) because it needs _unit_sql
+# evaluated here (not at the def sites above) because they need _unit_sql
 SQL_IMAGE_SHARD_ASSIGN = _sql_image_shard_assign()
+SQL_SPATIAL_SPLIT = _sql_spatial_split()
+SQL_GEO_QUOTA_SAMPLE = _sql_geo_quota_sample()
 
 SQL_HASH_SAMPLE = f'''
 SELECT doc_id, source FROM documents
@@ -2566,6 +2702,9 @@ TRAININGDATA_QUERIES = {
     "image_caption_conflicts": q_image_caption_conflicts,
     "image_shard_assign": q_image_shard_assign,
     "multimodal_dup_classes": q_multimodal_dup_classes,
+    "spatial_split": q_spatial_split,
+    "geo_quota_sample": q_geo_quota_sample,
+    "aspect_buckets": q_aspect_buckets,
     "image_verify_streaming": q_image_verify_streaming,
     "knn_indexed": None,  # placeholder replaced below
 }
@@ -2647,6 +2786,9 @@ TRAININGDATA_ORACLES = {
     "image_caption_conflicts": SQL_IMAGE_CAPTION_CONFLICTS,
     "image_shard_assign": SQL_IMAGE_SHARD_ASSIGN,
     "multimodal_dup_classes": SQL_MULTIMODAL_DUP_CLASSES,
+    "spatial_split": SQL_SPATIAL_SPLIT,
+    "geo_quota_sample": SQL_GEO_QUOTA_SAMPLE,
+    "aspect_buckets": SQL_ASPECT_BUCKETS,
     "image_verify_streaming": SQL_IMAGE_VERIFY_STREAMING,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,

@@ -199,6 +199,39 @@ def test_multimodal_dup_classes_stop_caption_cap(spark):
     }
     # the hot bucket expands: C(24,2)=276 pairs total, 36 visually near
     assert got == {"both": 36, "caption_only": 240}
+
+
+def test_aspect_ratio_buckets_match_brute_force(spark):
+    """The Column argmin (integer-exact, tie to earlier bucket) agrees
+    with a rational-arithmetic brute force for every (w, h) the
+    generator produces."""
+    from fractions import Fraction
+
+    from osm_legal_default_speeds_spark.payload.images import (
+        DEFAULT_AR_BUCKETS,
+        aspect_ratio_buckets,
+        images_from_ids,
+    )
+
+    meta = images_from_ids(spark.range(0, 70, 1, 2).select("id")).select(
+        "image_id", "w", "h"
+    )
+    got = {
+        r["image_id"]: (r["bucket_id"], r["ratio"])
+        for r in aspect_ratio_buckets(meta).collect()
+    }
+    for r in meta.collect():
+        ar = Fraction(r["w"], r["h"])
+        dists = [
+            (abs(ar - Fraction(bw, bh)), i)
+            for i, (bw, bh) in enumerate(DEFAULT_AR_BUCKETS)
+        ]
+        _, best = min(dists)
+        bw, bh = DEFAULT_AR_BUCKETS[best]
+        assert got[r["image_id"]] == (best, f"{bw}:{bh}"), r
+
+
+def test_sample_patches_deterministic_and_decodable(spark):
     from osm_legal_default_speeds_spark.payload.images import (
         decode_image,
         reference_pixels,

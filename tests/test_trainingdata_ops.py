@@ -892,6 +892,49 @@ def test_image_shard_assign_partition_invariant_one_exchange(spark):
     assert final.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_spatial_split_leakage_free_and_map_side(spark):
+    """Every grid block maps to exactly ONE split (no spatial
+    leakage), assignment is partition-invariant, all three splits are
+    populated at sensible fractions, and the plan is map-side only —
+    zero exchanges."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        spatial_split,
+    )
+    from osm_legal_default_speeds_spark.operators.spatial import grid_cell
+
+    pts = spark.range(0, 4000, 1, 8).select(
+        ((F.col("id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
+        F.col("id"),
+    )
+    out = spatial_split(pts, "lon", "lat", res=3, train=0.75, val=0.125)
+    per_cell = (
+        out.withColumn("cell", grid_cell(F.col("lon"), F.col("lat"), 3))
+        .groupBy("cell")
+        .agg(F.countDistinct("split").alias("k"))
+    )
+    assert per_cell.where(F.col("k") > 1).count() == 0
+
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    # blocks are coarse (128 cells) so tolerance is wide; train must
+    # dominate and test must be a minority
+    assert counts["train"] > counts["test"] > 0
+
+    again = spatial_split(
+        pts.repartition(3), "lon", "lat", res=3, train=0.75, val=0.125
+    )
+    assert sorted((r["id"], r["split"]) for r in out.collect()) == sorted(
+        (r["id"], r["split"]) for r in again.collect()
+    )
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0], plan
+
+
 def test_decontaminate_drops_planted_overlap(spark, docs):
     """Docs overlapping the eval set by >= min_overlap distinct 3-grams
     drop; clean docs survive with all columns intact."""
