@@ -280,3 +280,82 @@ def test_completed_buckets_iceberg_empty_without_catalog(spark):
     )
 
     assert completed_buckets_iceberg(spark, "no_catalog.db.no_table") == set()
+
+
+def test_checkpointed_image_job_payload_integrity(spark, tmp_path):
+    """The north-rule sentence end-to-end over the IMAGE table:
+    image+caption rows are geo-tagged, jurisdiction-resolved (PIP with
+    kNN fallback), tile-assigned, and written per-tile-bucket with
+    manifests; a mid-run crash resumes to output identical to an
+    uninterrupted run, and every resumed row still satisfies the
+    per-row payload invariant (lossless exact / PSNR >= 40 dB, caption
+    equality) after its round-trip through the partitioned sink."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        grid_cell,
+        resolve_jurisdiction_column,
+    )
+    from osm_legal_default_speeds_spark.payload.images import (
+        decode_and_verify,
+        images_from_ids,
+    )
+    from osm_legal_default_speeds_spark.plans.driver_queries import (
+        synth_boundaries,
+    )
+
+    def make_df(s):
+        ids = s.range(0, 192, 1, 4).select(F.col("id"))
+        imgs = images_from_ids(ids)
+        idc = F.substring("image_id", 5, 19).cast("long")
+        tagged = imgs.select(
+            "image_id", "bytes", "w", "h", "fmt", "caption",
+            ((idc * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+            ((idc * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
+        )
+        return tagged.select(
+            "*",
+            resolve_jurisdiction_column(
+                synth_boundaries(), F.col("lon"), F.col("lat")
+            ).alias("region_code"),
+            grid_cell(F.col("lon"), F.col("lat"), 4).alias("tile_id"),
+        )
+
+    out1 = str(tmp_path / "once")
+    run_checkpointed(
+        spark, make_df, out1, bucket_expr="tile_id",
+        num_buckets=NUM_BUCKETS, batch_size=3,
+    )
+
+    out2 = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError):
+        run_checkpointed(
+            spark, make_df, out2, bucket_expr="tile_id",
+            num_buckets=NUM_BUCKETS, batch_size=3, fail_after_batches=1,
+        )
+    res = run_checkpointed(
+        spark, make_df, out2, bucket_expr="tile_id",
+        num_buckets=NUM_BUCKETS, batch_size=3,
+    )
+    assert res["skipped"], "the crashed run must have committed batches"
+
+    def snap(d):
+        df = spark.read.parquet(d)
+        return sorted(
+            (
+                r["image_id"], bytes(r["bytes"]), r["caption"],
+                r["region_code"], r["tile_id"],
+            )
+            for r in df.collect()
+        )
+
+    assert snap(out1) == snap(out2)
+
+    # manifests carry the full row count across partitions
+    total = sum(m["rows"] for m in read_manifests(out2))
+    assert total == 192
+
+    v = decode_and_verify(
+        spark.read.parquet(out2).select(
+            "image_id", "bytes", "w", "h", "fmt", "caption"
+        )
+    )
+    assert v.where(~F.col("pixels_ok") | ~F.col("caption_ok")).count() == 0
