@@ -2677,25 +2677,32 @@ _WINDOW_HEAD = [
     "tile_hotspots",
     # the single red r03 row, fixed this round (typed oracle arithmetic)
     "pack_sequences",
+    # six late-round-4 operators, never driver-checked. Admitted by
+    # rotating OUT six entries that each carry two green driver rows
+    # (r01+r02): ann_topk, ann_lsh_topk, embedding_near_dup,
+    # events_rollup (its streaming twin stays and answers the same
+    # oracle), image_meta, knn_indexed — all still pytest-oracled via
+    # the full-registry contract test.
+    "image_shard_assign",
+    "multimodal_dup_classes",
+    "image_caption_conflicts",
+    "spatial_split",
+    "geo_quota_sample",
+    "aspect_buckets",
     # never driver-checked before round 4, in original registry order
     "clean_lines",
     "line_dedup",
-    "ann_topk",
-    "ann_lsh_topk",
     "ann_lsh_topk_partial",
     "ann_multiprobe",
     "ann_ivf_topk",
     "ann_ivf_topk_np",
     "ann_pq_topk",
-    "embedding_near_dup",
     "semantic_dedup",
-    "events_rollup",
     "events_rollup_streaming",
     "events_dedup_streaming",
     "event_asof_join",
     "window_attribution",
     "cms_counts",
-    "image_meta",
     "image_text_quality",
     "image_patches",
     "image_verify",
@@ -2705,7 +2712,6 @@ _WINDOW_HEAD = [
     "image_resize",
     "image_phash_near_dup",
     "curate_images",
-    "knn_indexed",
     "snap_segments",
     "tile_smooth",
     "polygon_overlay",

@@ -113,21 +113,27 @@ def test_driver_window_composition():
     window = set(keys[:50])
     must_be_inside = {
         "pack_sequences",  # the r03 red row, fixed in round 4
-        "ann_topk", "ann_ivf_topk", "ann_pq_topk",
-        "embedding_near_dup", "semantic_dedup",
+        "ann_ivf_topk", "ann_pq_topk",
+        "semantic_dedup",
         "events_rollup_streaming", "events_dedup_streaming",
         "events_tile_rollup_streaming",
         "event_asof_join", "window_attribution", "cms_counts",
         "image_verify", "image_features", "image_resize",
         "image_patches", "image_phash_near_dup", "curate_images",
         "audio_features", "video_frame_sample",
-        "knn_indexed", "snap_segments", "tile_smooth",
+        "snap_segments", "tile_smooth",
         "polygon_overlay", "simplify_lines", "within_pairs_m",
         "segment_intersections", "vector_tiles", "clip_segments",
         "geohash_encode", "vector_tiles_clipped", "tile_build_e2e",
         # round-4 operators (first driver rows due in r04)
         "image_patch_containment", "image_verify_streaming",
         "quadkey_encode", "tile_hotspots",
+        # late-round-4 operators, admitted by rotating out six
+        # twice-green (r01+r02) entries: ann_topk, ann_lsh_topk,
+        # embedding_near_dup, events_rollup, image_meta, knn_indexed
+        "image_shard_assign", "multimodal_dup_classes",
+        "image_caption_conflicts", "spatial_split",
+        "geo_quota_sample", "aspect_buckets",
     }
     missing = sorted(must_be_inside - window)
     assert not missing, f"rotated out of the driver window: {missing}"
