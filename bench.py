@@ -114,11 +114,12 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict, dict]:
 
     def _par_roads(spark, sf_dir):
         """The driver parquet is one small file -> ONE scan task, which
-        serializes the whole map-only pipeline onto a single core. At
-        production scale the input has thousands of splits; spread the
-        small bench input the same way (narrow 150k-row shuffle, cheap)."""
-        ncores = spark.sparkContext.defaultParallelism
-        return _roads_df(spark, sf_dir).repartition(ncores * 2)
+        would serialize the whole map-only pipeline onto a single core.
+        Widen at the SCAN (wide=True), not with a repartition here: a
+        second exchange after the tags-map projection doesn't collapse
+        with the first and would re-shuffle the built map (measured
+        0.44 -> 1.29 s on the spatial pipeline)."""
+        return _roads_df(spark, sf_dir, wide=True)
 
     def _real_cc_roads(spark, sf_dir):
         roads = _par_roads(spark, sf_dir)
@@ -234,6 +235,12 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict, dict]:
         )
 
         def q_minhash_prod(spark, sf_dir):
+            # _docs_near_aug's scan is already widened (see
+            # driver_queries._WIDE_TABLES) so the tokenize->shingle->
+            # explode map — the pipeline's dominant cost — runs
+            # cluster-wide; pre_partitions stays None (a second
+            # repartition here measured 1.9 -> 3.1 s: the exchanges
+            # don't collapse across the union/projection).
             return minhash_dedup_pairs(
                 _docs_near_aug(spark, sf_dir),
                 num_hashes=64, num_bands=16, threshold=0.5, portable=False,

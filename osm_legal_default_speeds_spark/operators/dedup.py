@@ -27,6 +27,25 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from osm_legal_default_speeds_spark.operators.textops import tokens
 
 
+def widen_narrow_scan(df: DataFrame, partitions: int | None) -> DataFrame:
+    """Optionally repartition a narrow source BEFORE a CPU-amplifying
+    map stage (tokenize -> shingle -> explode multiplies rows ~n_tokens
+    times and is the dominant cost of the MinHash pipeline).
+
+    Why this exists: scan parallelism is bounded by parquet row groups.
+    A small input (one file, one row group) scans as 1-2 tasks, so the
+    expensive map stage runs 2-wide however many cores the cluster has
+    — measured 2.0x end-to-end on the sf0.1 bench (3.2 s -> 1.6 s at
+    local[32]). Shuffling the RAW docs here moves 1x data to unlock
+    N-wide execution of the ~shingles-per-doc x amplification that
+    follows.
+
+    At 100 TB the corpus has thousands of row groups and scan splits
+    already exceed cores — leave ``partitions=None`` (no-op) there;
+    an unconditional repartition would be a full-corpus shuffle."""
+    return df if partitions is None else df.repartition(partitions)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -217,6 +236,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     portable: bool = False,
+    pre_partitions: int | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signatures as ``(doc, sig array)`` via the
     scale-correct explode -> groupBy formulation: one shingle row per
@@ -230,7 +250,12 @@ def minhash_signatures(
     so that shape re-tokenizes every document ``num_hashes`` times —
     and again on each side of the LSH self-join. Here the signature is
     *data* after the aggregation: it crosses the join shuffle as bytes,
-    never recomputed. Identical results to ``minhash_signature``."""
+    never recomputed. Identical results to ``minhash_signature``.
+
+    ``pre_partitions``: see :func:`widen_narrow_scan` — set it when the
+    source scans narrower than the cluster (small files); leave None at
+    corpus scale."""
+    df = widen_narrow_scan(df, pre_partitions)
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
@@ -260,14 +285,15 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     portable: bool = False,
+    pre_partitions: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash LSH:
     signature -> band -> equi-join on (band, key) -> estimated Jaccard
     filter. Returns (id_a, id_b, est_jaccard), id_a < id_b, deduped
-    across bands."""
+    across bands. ``pre_partitions``: see :func:`widen_narrow_scan`."""
     rows_per_band = num_hashes // num_bands
     base = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_n, portable
+        df, text_col, id_col, num_hashes, shingle_n, portable, pre_partitions
     ).select(
         "doc",
         "sig",

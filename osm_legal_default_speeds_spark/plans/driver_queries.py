@@ -66,8 +66,29 @@ from osm_legal_default_speeds_spark.plans.rules_model import (
 )
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+def _read(
+    spark: SparkSession, sf_dir: str, table: str, wide: bool = False
+) -> DataFrame:
+    """Fixture scan. ``wide=True`` repartitions to 2x cores right after
+    the scan: every fixture parquet is ONE file with ONE row group, so
+    the scan is a single task and a CPU-heavy map-only prefix
+    (supercover rasterize, tokenize->shingle explode, geometry HOF
+    chains) would run 1-wide however many cores the host has. The
+    widening shuffle moves the raw fixture (<= a few MB) once;
+    production inputs have thousands of row-group splits, so a real job
+    needs no such step. Measured at sf0.1/local[32]: rasterize_segments
+    3.8->0.6 s, semantic_dedup 3.4->1.1 s, cross_doc_spans 4.9->2.2 s.
+
+    Keep the default (narrow) when the per-row map is cheap relative to
+    shuffling the row: widening is then a pure exchange tax that also
+    forfeits scan-side partial aggregation — measured regressions
+    include exact_dedup 0.21->0.66 s (md5-only map), tile_pyramid
+    0.18->1.10 s and event_asof_join 0.71->2.21 s (agg/join-rooted
+    plans whose first shuffle already carries reduced rows)."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if wide:
+        df = df.repartition(spark.sparkContext.defaultParallelism * 2)
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -92,11 +113,17 @@ def synth_boundaries() -> list[RectBoundary]:
     return bs
 
 
-def _roads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _roads_df(
+    spark: SparkSession, sf_dir: str, wide: bool = False
+) -> DataFrame:
     """OSM-ish road rows derived from orders: tags map, country code
-    with occasional subdivision suffix, deterministic lon/lat."""
+    with occasional subdivision suffix, deterministic lon/lat.
+    ``wide``: see :func:`_read` — pass True only when the consumer runs
+    an expensive per-row map before its first shuffle (the geometry
+    fixture pipelines and the bench inference cascade do; the cheap
+    cell-encode + aggregate queries must not)."""
     k = F.col("o_orderkey")
-    o = _read(spark, sf_dir, "orders")
+    o = _read(spark, sf_dir, "orders", wide=wide)
     highway = F.element_at(F.array(*[F.lit(h) for h in HIGHWAYS]), (k % 5 + 1).cast("int"))
     lit_v = F.when(k % 3 == 0, "yes").otherwise("no")
     maxspeed = F.when(k % 4 == 0, F.when(k % 8 == 0, "30 mph").otherwise("50"))
@@ -1145,8 +1172,10 @@ _PYR_MAX_RES = 6
 def _segs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic short road segments: each road point plus an
     integer-derived lon/lat delta (spans 0-3 cells at res 6 — the
-    realistic way-segment fan-out)."""
-    r = _roads_df(spark, sf_dir)
+    realistic way-segment fan-out). Wide scan: every consumer
+    (rasterize/clip/vector-tile/intersection/snap) runs a supercover
+    HOF chain before its first shuffle."""
+    r = _roads_df(spark, sf_dir, wide=True)
     return r.select(
         F.col("road_id").alias("seg_id"),
         F.col("lon").alias("lon0"),
@@ -1686,7 +1715,8 @@ def _lines_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     points: x advances 0.5/step, y wiggles by an integer-hash fraction
     of 0.3 degrees — enough structure that DP both keeps and drops
     interior vertices at tol 0.1."""
-    r = _roads_df(spark, sf_dir).where(F.col("road_id") % 5 == 0)
+    # wide: consumers run Douglas-Peucker HOF recursion pre-shuffle
+    r = _roads_df(spark, sf_dir, wide=True).where(F.col("road_id") % 5 == 0)
     n = (F.col("road_id") % 7 + 5).cast("int")
     seq = F.sequence(F.lit(0), (n - 1).cast("int"))
     xs = F.transform(seq, lambda i: F.col("lon") + i * 0.5)

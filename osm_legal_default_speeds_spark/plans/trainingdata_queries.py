@@ -100,8 +100,16 @@ from osm_legal_default_speeds_spark.operators.textops import (
 )
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+def _read(
+    spark: SparkSession, sf_dir: str, table: str, wide: bool = False
+) -> DataFrame:
+    # single-row-group fixture widening — rationale + measured wins and
+    # anti-cases in driver_queries._read's docstring
+    from osm_legal_default_speeds_spark.plans.driver_queries import (
+        _read as _dq_read,
+    )
+
+    return _dq_read(spark, sf_dir, table, wide=wide)
 
 
 # --------------------------------------------------------------------------
@@ -115,7 +123,11 @@ NEAR_DUP_MOD = 25
 
 
 def _docs_exact_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # deliberately NOT the widened _read: exact dedup's map stage is a
+    # single md5 per row, so its one legitimate shuffle should carry
+    # (digest, id) — widening would move full text through an exchange
+    # first for no CPU win (measured 0.21 -> 0.66 s on the bench).
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     dups = d.where(F.col("doc_id") % EXACT_DUP_MOD == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text"
     )
@@ -131,7 +143,7 @@ SQL_DOCS_EXACT_AUG = f"""
 
 
 def _docs_near_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _read(spark, sf_dir, "documents", wide=True).select("doc_id", "text")
     near = d.where(F.col("doc_id") % NEAR_DUP_MOD == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.lit("xx "), F.col("text")).alias("text"),
@@ -417,7 +429,7 @@ SQL_SIMHASH_NEAR_DUP = _sql_simhash()
 # --------------------------------------------------------------------------
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _read(spark, sf_dir, "documents", wide=True).select("doc_id", "text")
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
     pairs = a.join(b, a.id_a + 1 == b.id_b)
@@ -448,7 +460,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_text_features,
     )
 
-    d = _read(spark, sf_dir, "documents")
+    d = _read(spark, sf_dir, "documents", wide=True)
     return with_text_features(d, "text", lang="en").select(
         "doc_id",
         "n_tokens",
@@ -553,7 +565,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return kmv_distinct(
-        _read(spark, sf_dir, "documents"), "text", k=16,
+        _read(spark, sf_dir, "documents", wide=True), "text", k=16,
         group_cols=["source"],
     )
 
@@ -566,7 +578,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_sample,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", wide=True)
     return hash_sample(docs, "text", 0.25, salt="mix1").select(
         "doc_id", "source"
     )
@@ -580,7 +592,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratified_sample,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", wide=True)
     return stratified_sample(
         docs, "source", "doc_id", 3, salt="strat1"
     ).select("doc_id", "source")
@@ -593,7 +605,7 @@ def q_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_mixture,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", wide=True)
     weights = {"src0": 1.0, "src1": 0.5, "src2": 0.1, "src3": 0.9}
     return weighted_mixture(docs, "source", "text", weights, salt="w1").select(
         "doc_id", "source"
@@ -610,7 +622,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
-    docs = _read(spark, sf_dir, "documents").withColumn(
+    docs = _read(spark, sf_dir, "documents", wide=True).withColumn(
         "n_tok", token_count(F.col("text"))
     )
     packed = pack_sequences(docs, "doc_id", F.col("n_tok"), 512, n_shards=8)
@@ -631,7 +643,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _read(spark, sf_dir, "documents", wide=True).select("doc_id", "text")
     eval_docs = docs.where(F.col("doc_id") % NEAR_DUP_MOD == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.lit("xx "), F.col("text")).alias("text"),
@@ -654,7 +666,7 @@ def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_text_features,
     )
 
-    d = _read(spark, sf_dir, "documents")
+    d = _read(spark, sf_dir, "documents", wide=True)
     feats = with_text_features(d, "text", lang="en")
     q_micro = F.floor(F.col("quality") * F.lit(1000000.0) + F.lit(0.5)).cast(
         "bigint"
@@ -719,7 +731,7 @@ def _sql_cosine(a: str, b: str) -> str:
 
 
 def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _read(spark, sf_dir, "embeddings")
+    e = _read(spark, sf_dir, "embeddings", wide=True)
     return e.where(F.col("vec_id") < ANN_NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -727,7 +739,7 @@ def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(
-        _read(spark, sf_dir, "embeddings"),
+        _read(spark, sf_dir, "embeddings", wide=True),
         _queries_df(spark, sf_dir),
         k=ANN_K,
     )
@@ -768,7 +780,7 @@ def _sql_bucket(vec: str) -> str:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(
-        _read(spark, sf_dir, "embeddings"),
+        _read(spark, sf_dir, "embeddings", wide=True),
         _queries_df(spark, sf_dir),
         LSH_PLANES,
         k=LSH_K,
@@ -806,7 +818,7 @@ def q_ann_lsh_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries per-partition partials only). Bit-identical rows to
     the window rank, so it shares ann_lsh_topk's oracle."""
     return lsh_topk(
-        _read(spark, sf_dir, "embeddings"),
+        _read(spark, sf_dir, "embeddings", wide=True),
         _queries_df(spark, sf_dir),
         LSH_PLANES,
         k=LSH_K,
@@ -818,7 +830,7 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-k (Hamming-radius-1 probes): recall control
     over the single-probe baseline, same bucket join shape."""
     return lsh_topk(
-        _read(spark, sf_dir, "embeddings"),
+        _read(spark, sf_dir, "embeddings", wide=True),
         _queries_df(spark, sf_dir),
         LSH_PLANES,
         k=LSH_K,
@@ -874,7 +886,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_legal_default_speeds_spark.operators.similarity import ivf_topk
 
     return ivf_topk(
-        _read(spark, sf_dir, "embeddings"),
+        _read(spark, sf_dir, "embeddings", wide=True),
         _queries_df(spark, sf_dir),
         n_centroids=IVF_C,
         nprobe=IVF_NPROBE,
@@ -893,7 +905,7 @@ def q_ann_ivf_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_legal_default_speeds_spark.operators.similarity import ivf_topk
 
     return ivf_topk(
-        _read(spark, sf_dir, "embeddings"),
+        _read(spark, sf_dir, "embeddings", wide=True),
         _queries_df(spark, sf_dir),
         n_centroids=IVF_C,
         nprobe=IVF_NPROBE,
@@ -916,7 +928,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq,
     )
 
-    vecs = _read(spark, sf_dir, "embeddings")
+    vecs = _read(spark, sf_dir, "embeddings", wide=True)
     books = train_pq(vecs, m=8, ksub=16, n_iters=10)
     codes = pq_encode(vecs, books)
     queries = [
@@ -964,7 +976,7 @@ SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {ANN_K}
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _read(spark, sf_dir, "embeddings")
+    e = _read(spark, sf_dir, "embeddings", wide=True)
     dups = e.where(F.col("vec_id") % ND_DUP_MOD == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
     )
@@ -1003,7 +1015,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup,
     )
 
-    e = _read(spark, sf_dir, "embeddings")
+    e = _read(spark, sf_dir, "embeddings", wide=True)
     dups = e.where(F.col("vec_id") % ND_DUP_MOD == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
     )
@@ -2016,7 +2028,7 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ROW_NUMBER window — same rows, different algorithm."""
     from osm_legal_default_speeds_spark.operators.textops import top_tokens
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", wide=True)
     return top_tokens(docs, "text", k=10, group_col="source")
 
 
@@ -2049,7 +2061,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf_idf_top_terms,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", wide=True)
     out = tf_idf_top_terms(docs, "doc_id", "text", k=3)
     return out.where(F.col("doc_id") < 50)
 
@@ -2093,7 +2105,7 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from osm_legal_default_speeds_spark.operators.textops import token_count
 
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _read(spark, sf_dir, "documents", wide=True).select(
         "source", token_count(F.col("text")).alias("n_tok")
     )
     return group_quantiles_disc(docs, "source", "n_tok", [0.5, 0.9, 0.99])
@@ -2118,7 +2130,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_stats,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", wide=True)
     return repetition_stats(docs, "doc_id", "text", ngram_n=3)
 
 
@@ -2367,7 +2379,7 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is >= exact by construction — both integer-exact across engines)."""
     from osm_legal_default_speeds_spark.operators.textops import tokens
 
-    d = _read(spark, sf_dir, "documents")
+    d = _read(spark, sf_dir, "documents", wide=True)
     toks = d.select(
         F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("tok")
     )
@@ -2425,7 +2437,7 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_documents,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _read(spark, sf_dir, "documents", wide=True).select("doc_id", "text")
     return chunk_documents(docs, CHUNK_LEN, CHUNK_STRIDE)
 
 
@@ -2453,7 +2465,7 @@ def _docs_pii_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's documents table contains no PII, so both engines
     plant the same deterministic addresses/IPs/phones (same pattern as
     _docs_exact_aug)."""
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _read(spark, sf_dir, "documents", wide=True).select("doc_id", "text")
     did = F.col("doc_id")
     return d.withColumn(
         "text",
@@ -2541,7 +2553,7 @@ def _docs_lines_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc, a newsletter banner in half, a one-word junk line in a
     third — the fixture both line operators need (driver docs have no
     newlines). Every doc has >= 10 words, so all slices are full."""
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _read(spark, sf_dir, "documents", wide=True).select("doc_id", "text")
     w = F.split(F.col("text"), " ", -1)
     did = F.col("doc_id")
     l1 = F.concat(F.array_join(F.slice(w, 1, 6), " "), F.lit("."))
