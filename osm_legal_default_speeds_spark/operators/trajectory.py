@@ -1,0 +1,208 @@
+"""Trajectory operators over timestamped position pings: per-leg
+speeds, per-user trajectory rollups, and jurisdiction-aware speeding
+detection against the engine's legal-default-speed theme.
+
+Scale shape (the 100 TB contract):
+
+- ONE shuffle per pipeline, keyed by the trajectory owner
+  (``user_col``): the lag window, the stats aggregation, and the
+  speeding filter all ride the same partitioning — Spark reuses the
+  exchange across the window and the groupBy because the keys match.
+- Skew = max pings per user, the natural bound for any per-entity
+  window; a pathological single-entity feed is a data problem, not a
+  plan problem (no cross-entity term exists anywhere).
+- The jurisdiction limit table is a broadcast literal map; the PIP
+  test is the map-side rect-index join from ``operators.spatial`` —
+  nothing corpus-sized crosses a second exchange.
+
+Determinism discipline (driver-oracle rules, as in
+``within_distance_join_meters``): raw haversine doubles never leave
+the engine. Every cross-engine surface is integer — per-leg
+``FLOOR(dist_m)`` BEFORE the sum (an integer sum is exactly
+associative, so the rollup is bit-stable under ANY partitioning or
+aggregation order; flooring after a float sum would not be),
+microsecond ``dt``, floored km/h. A floored value flips only if the
+true value sits within ~1 ulp of an integer boundary, which the
+deterministic fixtures cannot produce (same margin argument as the
+150 km band join's 0.2 mm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from osm_legal_default_speeds_spark.operators.spatial import (
+    RectBoundary,
+    assign_jurisdiction,
+    haversine_m,
+)
+
+__all__ = [
+    "trajectory_legs",
+    "trajectory_stats",
+    "speeding_legs",
+]
+
+# m/us -> km/h: 1 m/us = 3.6e6 km/h. Keep the literal identical in the
+# DuckDB oracle so both engines evaluate the same fp expression.
+_M_PER_US_TO_KMH = 3600000.0
+
+
+def trajectory_legs(
+    pings: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Consecutive-ping legs per user: one row per adjacent pair in
+    (``ts_col``, ``id_col``) order (the id tiebreak makes the pairing
+    deterministic under timestamp ties), with integer microsecond
+    duration, haversine meter distance, and km/h speed.
+
+    Columns: (user, id0, id1, lon1, lat1, dt_us, dist_m, speed_kmh).
+    ``dist_m``/``speed_kmh`` are raw doubles — engine-side analytics
+    only; cross-engine consumers floor them (see module docstring).
+    Zero-duration legs (duplicate timestamps) get NULL speed rather
+    than infinity.
+    """
+    # parquet timestamps are TIMESTAMP_NTZ; cast through session-tz
+    # timestamp for unix_micros (same UTC-host convention as
+    # plans/trainingdata_queries._events_us). A constant tz offset
+    # cancels in the difference. Numeric ts columns pass through.
+    if dict(pings.dtypes)[ts_col].startswith("timestamp"):
+        to_us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    else:
+        to_us = lambda c: c.cast("long")  # noqa: E731
+    # alias BEFORE the window and partition on the alias: downstream
+    # groupBy("user") then shares the window's exact partitioning
+    # attribute, so the stats rollup adds NO second exchange (window
+    # on the original column + groupBy on an alias are different
+    # attributes to Spark and would re-shuffle).
+    base = pings.select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("id1"),
+        F.col(ts_col).alias("t1"),
+        F.col(lon_col).alias("lon1"),
+        F.col(lat_col).alias("lat1"),
+    )
+    w = Window.partitionBy("user").orderBy("t1", "id1")
+    p = base.select(
+        "user",
+        "id1",
+        "t1",
+        "lon1",
+        "lat1",
+        F.lag("id1").over(w).alias("id0"),
+        F.lag("t1").over(w).alias("t0"),
+        F.lag("lon1").over(w).alias("lon0"),
+        F.lag("lat1").over(w).alias("lat0"),
+    ).where(F.col("id0").isNotNull())
+    dt_us = to_us(F.col("t1")) - to_us(F.col("t0"))
+    dist = haversine_m(
+        F.col("lon0"), F.col("lat0"), F.col("lon1"), F.col("lat1")
+    )
+    speed = F.when(
+        dt_us > 0, dist / dt_us.cast("double") * F.lit(_M_PER_US_TO_KMH)
+    )
+    return p.select(
+        "user",
+        "id0",
+        "id1",
+        "lon1",
+        "lat1",
+        dt_us.alias("dt_us"),
+        dist.alias("dist_m"),
+        speed.alias("speed_kmh"),
+    )
+
+
+def trajectory_stats(
+    pings: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user trajectory rollup:
+    (user, n_legs, total_m, dur_us, max_kmh_floor, mean_kmh_floor).
+
+    ``total_m`` sums PER-LEG floored integer meters — exactly
+    associative, so the result is bit-identical under any partitioning
+    (a double sum would depend on shuffle merge order). ``mean`` is
+    derived from the two exact integer totals, so it inherits the
+    stability. The groupBy key equals the window key, so the whole
+    operator is the window's single exchange plus a partial-aggregated
+    reduction on already-co-located rows.
+    """
+    legs = trajectory_legs(pings, user_col, ts_col, lon_col, lat_col, id_col)
+    agg = legs.groupBy("user").agg(
+        F.count(F.lit(1)).alias("n_legs"),
+        F.sum(F.floor(F.col("dist_m")).cast("long")).alias("total_m"),
+        F.sum("dt_us").alias("dur_us"),
+        F.floor(F.max("speed_kmh")).cast("long").alias("max_kmh_floor"),
+    )
+    mean_kmh = F.when(
+        F.col("dur_us") > 0,
+        F.col("total_m").cast("double")
+        / F.col("dur_us").cast("double")
+        * F.lit(_M_PER_US_TO_KMH),
+    )
+    return agg.select(
+        "user",
+        "n_legs",
+        "total_m",
+        "dur_us",
+        "max_kmh_floor",
+        F.floor(mean_kmh).cast("long").alias("mean_kmh_floor"),
+    )
+
+
+def speeding_legs(
+    pings: DataFrame,
+    boundaries: list[RectBoundary],
+    limits_kmh: dict[str, int],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "event_id",
+    index_res: int = 6,
+) -> DataFrame:
+    """Legs faster than the legal limit of the jurisdiction they END
+    in: (user, id0, id1, region_code, limit_kmh, speed_kmh_floor).
+
+    The jurisdiction comes from the broadcast rect-index PIP join on
+    the leg's end point (``assign_jurisdiction`` — map-side); the
+    limit is a literal map lookup (no join). Legs ending outside every
+    boundary, or in a region without a limit entry, are not speeding
+    verdicts and are dropped. The strict ``>`` compare pairs a
+    trig-derived double against an integer literal — a flip needs the
+    true speed within ~1 ulp of the limit, which the deterministic
+    fixture cannot produce (module docstring).
+    """
+    legs = trajectory_legs(pings, user_col, ts_col, lon_col, lat_col, id_col)
+    with_region = assign_jurisdiction(
+        legs, boundaries, lon_col="lon1", lat_col="lat1", index_res=index_res
+    )
+    lim_entries: list[Column] = []
+    for code, lim in sorted(limits_kmh.items()):
+        lim_entries.extend([F.lit(code), F.lit(int(lim))])
+    limit = F.element_at(F.create_map(*lim_entries), F.col("region_code"))
+    return (
+        with_region.withColumn("limit_kmh", limit)
+        .where(
+            F.col("limit_kmh").isNotNull()
+            & (F.col("speed_kmh") > F.col("limit_kmh").cast("double"))
+        )
+        .select(
+            "user",
+            "id0",
+            "id1",
+            "region_code",
+            "limit_kmh",
+            F.floor(F.col("speed_kmh")).cast("long").alias("speed_kmh_floor"),
+        )
+    )

@@ -2767,3 +2767,150 @@ def _window_reorder(d: dict) -> dict:
 
 QUERIES = _window_reorder(QUERIES)
 ORACLES = _window_reorder(ORACLES)
+
+
+# --------------------------------------------------------------------------
+# Trajectory operators (operators/trajectory.py): per-user ping legs,
+# trajectory rollup, and jurisdiction-aware speeding detection — the
+# events-table twin of the speed-limit theme (reference inference says
+# what the limit IS; these measure who exceeds it). Registered after
+# the window reorder on purpose: brand-new operators stay
+# pytest-oracled (full-registry contract test) until a future round
+# rotates them into the driver window.
+# --------------------------------------------------------------------------
+
+# Deterministic ping fixture: a per-user base position plus an
+# integer-derived drift per event — sized so consecutive same-user
+# events (hours apart at sf0.01) move up to ~500 km, putting leg
+# speeds in a band that straddles the synthetic legal limits. Pure integer arithmetic then one
+# decimal multiply, bit-identical in both engines.
+def _pings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    u, k = F.col("user_id"), F.col("event_id")
+    lon = (u * 7919 % 340).cast("double") - 170.0 + (k % 97).cast("double") * 0.05
+    lat = (u * 104729 % 160).cast("double") - 80.0 + (k % 83).cast("double") * 0.04
+    return e.select(
+        "event_id", "user_id", "ts", lon.alias("lon"), lat.alias("lat")
+    )
+
+
+_PINGS_SQL = """
+  SELECT event_id, user_id, ts,
+    (user_id * 7919 % 340)::DOUBLE - 170.0 + (event_id % 97)::DOUBLE * 0.05 AS lon,
+    (user_id * 104729 % 160)::DOUBLE - 80.0 + (event_id % 83)::DOUBLE * 0.04 AS lat
+  FROM events
+"""
+
+# the same haversine expression tree the engine evaluates
+# (operators/spatial.py::haversine_m), textually replicated so both
+# engines run the identical fp ops in the identical order
+_HAV_SQL = (
+    "2.0 * 6371000.0 * asin(least(sqrt("
+    "sin(radians(lat1 - lat0) / 2) * sin(radians(lat1 - lat0) / 2)"
+    " + cos(radians(lat0)) * cos(radians(lat1))"
+    " * sin(radians(lon1 - lon0) / 2) * sin(radians(lon1 - lon0) / 2)"
+    "), 1.0))"
+)
+
+_LEGS_SQL = f"""
+  SELECT user_id AS user, id0, id1, lon1, lat1,
+    epoch_us(t1) - epoch_us(t0) AS dt_us,
+    {_HAV_SQL} AS dist_m
+  FROM (
+    SELECT user_id, event_id AS id1, ts AS t1, lon AS lon1, lat AS lat1,
+      lag(event_id) OVER w AS id0,
+      lag(ts) OVER w AS t0,
+      lag(lon) OVER w AS lon0,
+      lag(lat) OVER w AS lat0
+    FROM pings
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) WHERE id0 IS NOT NULL
+"""
+
+
+def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory rollup. Every cross-engine column is exact
+    integer arithmetic (per-leg floored meters summed as BIGINT — see
+    operators/trajectory.py module docstring for why flooring happens
+    BEFORE the sum)."""
+    from osm_legal_default_speeds_spark.operators.trajectory import (
+        trajectory_stats,
+    )
+
+    return trajectory_stats(_pings_df(spark, sf_dir))
+
+
+SQL_TRAJECTORY_STATS = f"""
+WITH pings AS ({_PINGS_SQL}),
+legs AS ({_LEGS_SQL})
+SELECT user,
+  count(*)::BIGINT AS n_legs,
+  SUM(CAST(FLOOR(dist_m) AS BIGINT))::BIGINT AS total_m,
+  SUM(dt_us)::BIGINT AS dur_us,
+  CAST(FLOOR(MAX(CASE WHEN dt_us > 0
+      THEN dist_m / dt_us::DOUBLE * 3600000.0 END)) AS BIGINT)
+    AS max_kmh_floor,
+  CAST(FLOOR(CASE WHEN SUM(dt_us) > 0
+      THEN (SUM(CAST(FLOOR(dist_m) AS BIGINT))::DOUBLE)
+           / (SUM(dt_us)::DOUBLE) * 3600000.0 END) AS BIGINT)
+    AS mean_kmh_floor
+FROM legs
+GROUP BY user
+"""
+
+# synthetic legal limits per synth_boundaries region (km/h); US-ND is
+# the higher-priority subdivision rectangle inside US
+SPEED_LIMITS_KMH = {
+    "DE": 100, "FR": 80, "IT": 90, "ES": 90, "PL": 90, "NL": 100,
+    "GB": 96, "DK": 80, "US": 105, "CA": 100, "MX": 110, "ZA": 120,
+    "US-ND": 110,
+}
+
+
+def q_speeding_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legs exceeding the END-point jurisdiction's legal limit.
+    Engine: rect-index broadcast PIP + literal map lookup; oracle: the
+    proven min-priority CASE rect arithmetic + a CASE limit table —
+    only ids, region, the integer limit, and floored km/h cross
+    engines."""
+    from osm_legal_default_speeds_spark.operators.trajectory import (
+        speeding_legs,
+    )
+
+    return speeding_legs(
+        _pings_df(spark, sf_dir), synth_boundaries(), SPEED_LIMITS_KMH
+    )
+
+
+def _limits_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN region_code = '{c}' THEN {v}"
+        for c, v in sorted(SPEED_LIMITS_KMH.items())
+    )
+    return f"CASE {whens} END"
+
+
+SQL_SPEEDING_LEGS = f"""
+WITH pings AS ({_PINGS_SQL}),
+legs AS ({_LEGS_SQL}),
+regioned AS (
+  SELECT user, id0, id1, dt_us, dist_m,
+    {_boundaries_case_sql(synth_boundaries()).replace("lon ", "lon1 ").replace("lat ", "lat1 ")} AS region_code
+  FROM legs
+),
+lim AS (
+  SELECT *, {_limits_case_sql()} AS limit_kmh FROM regioned
+)
+SELECT user, id0, id1, region_code, limit_kmh,
+  CAST(FLOOR(dist_m / dt_us::DOUBLE * 3600000.0) AS BIGINT) AS speed_kmh_floor
+FROM lim
+WHERE limit_kmh IS NOT NULL AND dt_us > 0
+  AND dist_m / dt_us::DOUBLE * 3600000.0 > limit_kmh::DOUBLE
+"""
+
+QUERIES.update(
+    {"trajectory_stats": q_trajectory_stats, "speeding_legs": q_speeding_legs}
+)
+ORACLES.update(
+    {"trajectory_stats": SQL_TRAJECTORY_STATS, "speeding_legs": SQL_SPEEDING_LEGS}
+)

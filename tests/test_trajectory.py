@@ -1,0 +1,137 @@
+"""Trajectory operators: leg construction, rollup determinism, and
+jurisdiction-aware speeding semantics (operators/trajectory.py).
+
+The cross-engine value contract (integer-only surfaces, identical
+haversine expression) is pinned by the registry-wide driver-contract
+test; these tests pin the SEMANTICS the oracle can't distinguish:
+tie-break pairing, zero-duration legs, partition invariance of the
+integer rollup, and the boundary/limit edge rules.
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_legal_default_speeds_spark.operators.spatial import RectBoundary
+from osm_legal_default_speeds_spark.operators.trajectory import (
+    speeding_legs,
+    trajectory_legs,
+    trajectory_stats,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def pings(spark):
+    # user 1: a 3-ping walk with a duplicate timestamp on the last leg
+    # (ids 12/13 tie on ts -> id order pairs them deterministically);
+    # user 2: a single ping (no legs).
+    rows = [
+        (10, 1, _ts("2024-01-01T00:00:00"), 10.0, 50.0),
+        (11, 1, _ts("2024-01-01T01:00:00"), 11.0, 50.0),
+        (13, 1, _ts("2024-01-01T02:00:00"), 11.0, 51.0),
+        (12, 1, _ts("2024-01-01T02:00:00"), 12.0, 51.0),
+        (20, 2, _ts("2024-01-01T00:00:00"), 0.0, 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, lon double, lat double"
+    )
+
+
+def test_legs_pairing_and_zero_duration(pings):
+    legs = trajectory_legs(pings).orderBy("id1").collect()
+    # 3 legs for user 1, none for user 2
+    assert [(r.id0, r.id1) for r in legs] == [(10, 11), (11, 12), (12, 13)]
+    by_pair = {(r.id0, r.id1): r for r in legs}
+    # ts tie on (12, 13): id tiebreak orders 12 before 13, dt == 0,
+    # speed NULL (never infinity), distance still real (1 degree lon)
+    tie = by_pair[(12, 13)]
+    assert tie.dt_us == 0 and tie.speed_kmh is None and tie.dist_m > 0
+    # 1 degree of longitude at lat 50 is ~71.7 km; over an hour
+    leg1 = by_pair[(10, 11)]
+    assert leg1.dt_us == 3_600_000_000
+    assert 70_000 < leg1.dist_m < 73_000
+    assert 70 < leg1.speed_kmh < 73
+
+
+def test_stats_partition_invariance(pings):
+    """The rollup sums per-leg floored INTEGER meters, so any
+    repartitioning of the input yields bit-identical rows (a double
+    sum would depend on merge order)."""
+    a = {r.user: r.asDict() for r in trajectory_stats(pings).collect()}
+    b = {
+        r.user: r.asDict()
+        for r in trajectory_stats(pings.repartition(7, "event_id")).collect()
+    }
+    assert a == b
+    assert a[1]["n_legs"] == 3
+    # zero-duration leg contributes distance but no speed sample
+    assert a[1]["total_m"] > 140_000
+    assert a[1]["max_kmh_floor"] >= 70
+    assert 2 not in a  # single ping -> no legs -> no row
+
+
+def test_speeding_legs_limit_and_boundary_rules(spark):
+    bounds = [RectBoundary("AA", 0.0, 0.0, 10.0, 10.0, priority=1)]
+    limits = {"AA": 80}
+    rows = [
+        # fast leg ending inside AA (~79 km in 30 min = ~158 km/h)
+        (1, 1, _ts("2024-01-01T00:00:00"), 5.0, 4.0),
+        (2, 1, _ts("2024-01-01T00:30:00"), 5.0, 4.714),
+        # slow leg ending inside AA (~7.9 km in 1 h)
+        (3, 2, _ts("2024-01-01T00:00:00"), 5.0, 4.0),
+        (4, 2, _ts("2024-01-01T01:00:00"), 5.0, 4.0714),
+        # fast leg ending OUTSIDE every boundary -> no verdict
+        (5, 3, _ts("2024-01-01T00:00:00"), 50.0, 40.0),
+        (6, 3, _ts("2024-01-01T00:30:00"), 50.0, 40.714),
+    ]
+    pings = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, lon double, lat double"
+    )
+    out = speeding_legs(pings, bounds, limits).collect()
+    assert [(r.user, r.id0, r.id1, r.region_code, r.limit_kmh) for r in out] == [
+        (1, 1, 2, "AA", 80)
+    ]
+    assert 150 <= out[0].speed_kmh_floor <= 165
+
+
+def test_speeding_subdivision_priority(spark):
+    """A leg ending inside a higher-priority subdivision rectangle gets
+    the subdivision's limit, mirroring the engine's min-priority PIP."""
+    bounds = [
+        RectBoundary("US", 0.0, 0.0, 30.0, 30.0, priority=2),
+        RectBoundary("US-ND", 10.0, 10.0, 20.0, 20.0, priority=1),
+    ]
+    limits = {"US": 50, "US-ND": 200}
+    rows = [
+        # ~111 km in 1 h ending at (15, 15): inside US-ND (limit 200,
+        # not speeding) even though the US rectangle (limit 50) also
+        # contains it
+        (1, 1, _ts("2024-01-01T00:00:00"), 15.0, 14.0),
+        (2, 1, _ts("2024-01-01T01:00:00"), 15.0, 15.0),
+        # same speed ending at (25, 25): US only -> speeding
+        (3, 2, _ts("2024-01-01T00:00:00"), 25.0, 24.0),
+        (4, 2, _ts("2024-01-01T01:00:00"), 25.0, 25.0),
+    ]
+    pings = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, lon double, lat double"
+    )
+    out = speeding_legs(pings, bounds, limits).collect()
+    assert [(r.user, r.region_code, r.limit_kmh) for r in out] == [(2, "US", 50)]
+
+
+def test_legs_single_exchange(pings):
+    """Window + same-key groupBy plan shape: exactly ONE row-bearing
+    exchange (the user-key shuffle); the stats aggregation reuses the
+    window's partitioning instead of adding a second."""
+    plan = trajectory_stats(pings)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    exchanges = [
+        ln for ln in plan.splitlines() if re.search(r"Exchange hashpartitioning", ln)
+    ]
+    assert len(exchanges) == 1, plan
