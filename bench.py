@@ -622,6 +622,8 @@ EXTENDED_QUERIES = (
     "spatial_split",
     "geo_quota_sample",
     "aspect_buckets",
+    "trajectory_stats",
+    "speeding_legs",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

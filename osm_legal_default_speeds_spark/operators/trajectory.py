@@ -38,6 +38,7 @@ from osm_legal_default_speeds_spark.operators.spatial import (
 )
 
 __all__ = [
+    "leg_metrics",
     "trajectory_legs",
     "trajectory_stats",
     "speeding_legs",
@@ -46,6 +47,34 @@ __all__ = [
 # m/us -> km/h: 1 m/us = 3.6e6 km/h. Keep the literal identical in the
 # DuckDB oracle so both engines evaluate the same fp expression.
 _M_PER_US_TO_KMH = 3600000.0
+
+
+def leg_metrics(pairs: DataFrame) -> DataFrame:
+    """Shared leg arithmetic over raw pair rows
+    (user, id0, id1, lon0, lat0, lon1, lat1, t0_us, t1_us):
+    -> (user, id0, id1, lon1, lat1, dt_us, dist_m, speed_kmh).
+
+    Batch (window pairing) and streaming (stateful pairing) both feed
+    this SAME Column pipeline, so their distances/speeds are
+    bit-identical by construction — the stateful kernel never touches
+    trig (numpy libm could differ from JVM Math by an ulp)."""
+    dt_us = F.col("t1_us") - F.col("t0_us")
+    dist = haversine_m(
+        F.col("lon0"), F.col("lat0"), F.col("lon1"), F.col("lat1")
+    )
+    speed = F.when(
+        dt_us > 0, dist / dt_us.cast("double") * F.lit(_M_PER_US_TO_KMH)
+    )
+    return pairs.select(
+        "user",
+        "id0",
+        "id1",
+        "lon1",
+        "lat1",
+        dt_us.alias("dt_us"),
+        dist.alias("dist_m"),
+        speed.alias("speed_kmh"),
+    )
 
 
 def trajectory_legs(
@@ -88,34 +117,18 @@ def trajectory_legs(
         F.col(lat_col).alias("lat1"),
     )
     w = Window.partitionBy("user").orderBy("t1", "id1")
-    p = base.select(
+    pairs = base.select(
         "user",
         "id1",
-        "t1",
+        to_us(F.col("t1")).alias("t1_us"),
         "lon1",
         "lat1",
         F.lag("id1").over(w).alias("id0"),
-        F.lag("t1").over(w).alias("t0"),
+        to_us(F.lag("t1").over(w)).alias("t0_us"),
         F.lag("lon1").over(w).alias("lon0"),
         F.lag("lat1").over(w).alias("lat0"),
     ).where(F.col("id0").isNotNull())
-    dt_us = to_us(F.col("t1")) - to_us(F.col("t0"))
-    dist = haversine_m(
-        F.col("lon0"), F.col("lat0"), F.col("lon1"), F.col("lat1")
-    )
-    speed = F.when(
-        dt_us > 0, dist / dt_us.cast("double") * F.lit(_M_PER_US_TO_KMH)
-    )
-    return p.select(
-        "user",
-        "id0",
-        "id1",
-        "lon1",
-        "lat1",
-        dt_us.alias("dt_us"),
-        dist.alias("dist_m"),
-        speed.alias("speed_kmh"),
-    )
+    return leg_metrics(pairs)
 
 
 def trajectory_stats(

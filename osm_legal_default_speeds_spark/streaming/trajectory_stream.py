@@ -1,0 +1,161 @@
+"""Streaming trajectory legs + speeding detection: the unbounded twin
+of ``operators.trajectory``.
+
+Split of responsibilities (the reason streaming == batch bit-exactly):
+the stateful kernel does ONLY what statefulness is for — pairing each
+ping with the user's previous ping across micro-batch boundaries
+(state = one last-ping 4-tuple per user). Every float computation
+(haversine, speed, the speeding compare) happens AFTER the stateful
+operator in the SAME shared Column pipeline the batch path uses
+(``operators.trajectory.leg_metrics`` / ``assign_jurisdiction``), so
+no numpy-libm-vs-JVM-Math ulp can separate the two modes.
+
+Ordering contract: pings are sorted by (ts, event_id) WITHIN each
+micro-batch and chained from the stored last ping. A ping arriving in
+a later micro-batch with an EARLIER timestamp than the stored state is
+out of contract (the batch twin's global sort would place it earlier;
+an unbounded stream cannot retract an emitted leg) — the same
+documented late-data bound as ``sessionize``. State is O(active
+users): one (id, ts_us, lon, lat) tuple each.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from osm_legal_default_speeds_spark.operators.spatial import RectBoundary
+from osm_legal_default_speeds_spark.operators.trajectory import leg_metrics
+
+PINGS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, lon double, lat double"
+)
+
+_PAIR_SCHEMA = (
+    "user bigint, id0 bigint, t0_us bigint, lon0 double, lat0 double, "
+    "id1 bigint, t1_us bigint, lon1 double, lat1 double"
+)
+_STATE_SCHEMA = "last_id bigint, last_ts_us bigint, last_lon double, last_lat double"
+
+
+def _pair_fn(key, pdfs, state):
+    """Per-user consecutive-ping pairing kernel for
+    applyInPandasWithState. Emits one raw pair row per adjacent ping;
+    arithmetic-free (see module docstring)."""
+    prev = state.get if state.exists else None
+    frames = list(pdfs)
+    pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+    ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+    ids = pdf["event_id"].to_numpy()
+    lons = pdf["lon"].to_numpy()
+    lats = pdf["lat"].to_numpy()
+    # batch-twin order: (ts, id); lexsort's last key is primary
+    import numpy as np
+
+    order = np.lexsort((ids, ts_us))
+
+    out = {k: [] for k in ("id0", "t0_us", "lon0", "lat0", "id1", "t1_us", "lon1", "lat1")}
+    for i in order.tolist():
+        cur = (int(ids[i]), int(ts_us[i]), float(lons[i]), float(lats[i]))
+        if prev is not None:
+            out["id0"].append(prev[0])
+            out["t0_us"].append(prev[1])
+            out["lon0"].append(prev[2])
+            out["lat0"].append(prev[3])
+            out["id1"].append(cur[0])
+            out["t1_us"].append(cur[1])
+            out["lon1"].append(cur[2])
+            out["lat1"].append(cur[3])
+        prev = cur
+    state.update(prev)
+
+    if out["id0"]:
+        n = len(out["id0"])
+        yield pd.DataFrame(
+            {
+                "user": pd.Series([key[0]] * n, dtype="int64"),
+                "id0": pd.Series(out["id0"], dtype="int64"),
+                "t0_us": pd.Series(out["t0_us"], dtype="int64"),
+                "lon0": pd.Series(out["lon0"], dtype="float64"),
+                "lat0": pd.Series(out["lat0"], dtype="float64"),
+                "id1": pd.Series(out["id1"], dtype="int64"),
+                "t1_us": pd.Series(out["t1_us"], dtype="int64"),
+                "lon1": pd.Series(out["lon1"], dtype="float64"),
+                "lat1": pd.Series(out["lat1"], dtype="float64"),
+            }
+        )
+
+
+def streaming_trajectory_legs(pings_stream: DataFrame) -> DataFrame:
+    """Continuous per-user legs over an unbounded ping stream:
+    stateful pairing + the batch path's shared Column arithmetic.
+    Output schema == ``trajectory_legs``'s."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pairs = pings_stream.groupBy("user_id").applyInPandasWithState(
+        _pair_fn,
+        outputStructType=_PAIR_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return leg_metrics(pairs)
+
+
+def streaming_speeding_legs(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    boundaries: list[RectBoundary],
+    limits_kmh: dict[str, int],
+    sink_table: str = "stream_speeding",
+    max_files_per_trigger: int = 2,
+) -> DataFrame:
+    """Continuous speeding detection: drain ``src_dir`` ping parquet
+    with Trigger.AvailableNow, pair statefully, then apply the SAME
+    jurisdiction-PIP + literal-limit filter as the batch
+    ``speeding_legs`` (a stream-static broadcast join — supported and
+    stateless). Memory sink (test drain, as ``streaming_dedup``
+    documents); returns the sink DataFrame."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        assign_jurisdiction,
+    )
+
+    stream = (
+        spark.readStream.schema(PINGS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+    )
+    legs = streaming_trajectory_legs(stream)
+    with_region = assign_jurisdiction(
+        legs, boundaries, lon_col="lon1", lat_col="lat1"
+    )
+    lim_entries = []
+    for code, lim in sorted(limits_kmh.items()):
+        lim_entries.extend([F.lit(code), F.lit(int(lim))])
+    limit = F.element_at(F.create_map(*lim_entries), F.col("region_code"))
+    flagged = (
+        with_region.withColumn("limit_kmh", limit)
+        .where(
+            F.col("limit_kmh").isNotNull()
+            & (F.col("speed_kmh") > F.col("limit_kmh").cast("double"))
+        )
+        .select(
+            "user",
+            "id0",
+            "id1",
+            "region_code",
+            "limit_kmh",
+            F.floor(F.col("speed_kmh")).cast("long").alias("speed_kmh_floor"),
+        )
+    )
+    q = (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

@@ -135,3 +135,87 @@ def test_legs_single_exchange(pings):
         ln for ln in plan.splitlines() if re.search(r"Exchange hashpartitioning", ln)
     ]
     assert len(exchanges) == 1, plan
+
+
+def test_streaming_speeding_matches_batch(spark, tmp_path):
+    """Streaming legs pair across MICRO-BATCH boundaries (one file per
+    trigger) and must equal the batch speeding verdicts bit-exactly:
+    the stateful kernel only pairs; haversine/speed/PIP run in the
+    same shared Column pipeline in both modes."""
+    import os
+
+    from osm_legal_default_speeds_spark.streaming.trajectory_stream import (
+        streaming_speeding_legs,
+    )
+
+    bounds = [
+        RectBoundary("AA", 0.0, 0.0, 10.0, 10.0, priority=2),
+        RectBoundary("AA-X", 4.0, 4.0, 6.0, 6.0, priority=1),
+    ]
+    limits = {"AA": 80, "AA-X": 300}
+    schema = "event_id long, user_id long, ts timestamp_ntz, lon double, lat double"
+    # user 1 speeds in AA, crosses into the permissive AA-X subdivision,
+    # then slows; user 2 stays slow. The (2 -> 3) and (3 -> 4) legs
+    # straddle the file boundary, so they exist ONLY if state carries.
+    batch_a = [
+        (1, 1, _ts("2024-01-01T00:00:00"), 2.0, 1.0),
+        (2, 1, _ts("2024-01-01T00:30:00"), 2.0, 1.8),   # ~178 km/h in AA
+        (3, 2, _ts("2024-01-01T00:00:00"), 8.0, 8.0),
+    ]
+    batch_b = [
+        (4, 1, _ts("2024-01-01T01:00:00"), 5.0, 4.5),   # fast, ends in AA-X (limit 300)
+        (5, 1, _ts("2024-01-01T02:00:00"), 5.0, 5.5),   # ~111 km/h, AA-X: not speeding
+        (6, 2, _ts("2024-01-01T01:00:00"), 8.0, 8.05),  # ~5.6 km/h: not speeding
+        (7, 2, _ts("2024-01-01T02:00:00"), 8.0, 9.0),   # ~105 km/h in AA: speeding
+    ]
+    all_pings = spark.createDataFrame(batch_a + batch_b, schema)
+    expected = sorted(
+        (r.user, r.id0, r.id1, r.region_code, r.limit_kmh, r.speed_kmh_floor)
+        for r in speeding_legs(all_pings, bounds, limits).collect()
+    )
+    keys = [(u, a, b, rc, lk) for (u, a, b, rc, lk, _) in expected]
+    # a CROSS-FILE leg (2 -> 4) must be among the batch verdicts so the
+    # streaming equality below proves state carry-over, plus an
+    # in-batch verdict for user 2
+    assert (1, 2, 4, "AA-X", 300) in keys
+    assert (2, 6, 7, "AA", 80) in keys
+
+    src = str(tmp_path / "pings")
+    os.makedirs(src)
+    for i, data in enumerate([batch_a, batch_b]):
+        (
+            spark.createDataFrame(data, schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}_stage{i}")
+        )
+    import glob
+    import shutil
+
+    import time
+
+    now = time.time()
+    for i, f in enumerate(
+        sorted(glob.glob(f"{src}_stage*/part-*.parquet"))
+    ):
+        dst = f"{src}/f{i}.parquet"
+        shutil.copy(f, dst)
+        # the file source drains oldest-mtime first; pin explicit
+        # mtimes so micro-batch order == event-time order (the
+        # operator's documented ordering contract)
+        os.utime(dst, (now - 600 + i * 60, now - 600 + i * 60))
+
+    got_df = streaming_speeding_legs(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        bounds,
+        limits,
+        sink_table="t_stream_speeding",
+        max_files_per_trigger=1,
+    )
+    got = sorted(
+        (r.user, r.id0, r.id1, r.region_code, r.limit_kmh, r.speed_kmh_floor)
+        for r in got_df.collect()
+    )
+    assert got == expected and len(got) >= 2
