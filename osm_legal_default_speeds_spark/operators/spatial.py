@@ -1806,6 +1806,194 @@ def within_distance_join_meters(
     return out.select(*cols)
 
 
+def _grid_cell_rescol(lon: Column, lat: Column, res: Column) -> Column:
+    """:func:`grid_cell` with a DATA-DRIVEN res Column. ``pow(2, res)``
+    is exact in IEEE double for res <= 20 (the grid cap), so the integer
+    algebra is identical to the literal-res version at the same res."""
+    ny = F.pow(F.lit(2.0), res).cast("long")
+    nx = ny * F.lit(2)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * nx)
+    y = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * ny)
+    x = F.least(F.greatest(x, F.lit(0)), nx - F.lit(1))
+    y = F.least(F.greatest(y, F.lit(0)), ny - F.lit(1))
+    return (x * ny + y).cast("long")
+
+
+def _neighbor_cells_rescol(lon: Column, lat: Column, res: Column) -> Column:
+    """1-ring of :func:`_grid_cell_rescol` cells (lon wrap / lat clamp,
+    data-driven res) built DIRECTLY from lon/lat — no encode->decode
+    round trip: projection collapse inlines column references into the
+    9 ring arms, so routing through the packed cell id would splice ~4
+    copies of the full encode into every arm (measured ~1.8x slower on
+    the 150 km fixture)."""
+    ny = F.pow(F.lit(2.0), res).cast("long")
+    nx = ny * F.lit(2)
+    x = F.least(
+        F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * nx), F.lit(0)),
+        nx - F.lit(1),
+    )
+    y = F.least(
+        F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * ny), F.lit(0)),
+        ny - F.lit(1),
+    )
+    exprs = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            yy = y + F.lit(dy)
+            xx = F.pmod(x + F.lit(dx), nx)
+            nid = (xx * ny + yy).cast("long")
+            exprs.append(F.when((yy >= F.lit(0)) & (yy < ny), nid))
+    return F.array_distinct(F.filter(F.array(*exprs), lambda c: c.isNotNull()))
+
+
+def within_distance_join_meters_banded(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    lon: str = "lon",
+    lat: str = "lat",
+    lat_cap: float = 84.0,
+    self_pairs: bool = False,
+    with_dist: bool = True,
+) -> DataFrame:
+    """Latitude-banded twin of :func:`within_distance_join_meters` —
+    same contract, same pair set, dramatically fewer candidates.
+
+    Why: the flat version must size its ONE grid res for the worst
+    latitude the cap allows (the longitude extent of a meter radius
+    grows as 1/cos(lat)), so at lat_cap 84 a 150 km radius forces
+    ~13-degree cells EVERYWHERE and equatorial points drown in
+    candidates the exact filter then kills (measured ~98M candidate
+    pairs for 37.5k points -> 128k true pairs). Banding fixes the
+    mismatch: uniform latitude bands, each bucketed at the finest res
+    that is safe for THAT band's worst latitude (+ the radius), so
+    low-latitude bands run 4 res levels finer.
+
+    Correct-capture proof: a pair (a, b) within ``radius_m`` has
+    |dphi| <= radius/R =: r_deg degrees, and band_of(lat) =
+    clamp(floor((lat + cap) / w), 0, n-1) is monotone in lat, so b's
+    band always lies in [band_of(lat_a - r_deg), band_of(lat_a + r_deg)]
+    — the <= 2 consecutive bands a probes (w >= 2 r_deg). Each point
+    builds in exactly ONE band -> every pair is discovered exactly
+    once, no cross-band dedup. Within band i, both endpoints' |lat| <=
+    band_edge + r_deg, the latitude the band's res was solved for ->
+    the 1-ring guarantee holds.
+
+    Plan shape (the part that matters for compile time AND scale): the
+    per-band res is a DATA-DRIVEN lookup — ``element_at(<literal res
+    array>, band + 1)`` feeding :func:`_grid_cell_rescol` — not an
+    unrolled per-band CaseWhen. The first cut unrolled 28 bands x
+    9-cell rings into one expression tree; Catalyst took ~11 s to
+    optimize it and codegen never finished on 2 rows. The lookup
+    version is band-count-independent: a 2 m radius (84 bands) costs
+    the same expression size as 150 km.
+
+    Scale shape: probe explodes <= 2 bands x 9 cells; the join is a
+    (band, cell) equi-join, shuffle-hash hinted, AQE-splittable. Same
+    out-of-contract |lat| > lat_cap exclusion as the flat version."""
+    import math
+
+    if not (0.0 < lat_cap < 90.0):
+        raise ValueError("lat_cap must be in (0, 90)")
+    r_deg_lat = math.degrees(radius_m / EARTH_RADIUS_M)
+    band_w = max(2.0 * r_deg_lat, 6.0)
+    n_bands = max(1, math.ceil(2.0 * lat_cap / band_w))
+    res_list: list[int] = []
+    for i in range(n_bands):
+        lo = -lat_cap + i * band_w
+        hi = min(lo + band_w, lat_cap)
+        # every hashed lat (probe or build) is guarded to |lat| <=
+        # lat_cap, so the band's worst-case latitude clamps there —
+        # same radius acceptance envelope as the flat version
+        worst = min(max(abs(lo), abs(hi)) + r_deg_lat, lat_cap)
+        half = math.sin(radius_m / (2.0 * EARTH_RADIUS_M)) / math.cos(
+            math.radians(worst)
+        )
+        if half >= 1.0:
+            raise ValueError(
+                f"radius_m={radius_m} unbounded in longitude near "
+                f"lat {worst}; lower lat_cap or split polar rows"
+            )
+        radius_deg = max(r_deg_lat, math.degrees(2.0 * math.asin(half)))
+        res_list.append(within_distance_res(radius_deg))
+    res_arr = F.array(*[F.lit(r) for r in res_list])
+
+    def guard(c: Column) -> Column:
+        return F.when(F.abs(c) <= F.lit(lat_cap), c)
+
+    def band_of(latc: Column) -> Column:
+        raw = F.floor((latc + F.lit(lat_cap)) / F.lit(band_w))
+        return F.least(
+            F.greatest(raw, F.lit(0)), F.lit(n_bands - 1)
+        ).cast("int")
+
+    lon_c, lat_g = F.col(lon), guard(F.col(lat))
+
+    # probe: the <= 2 bands the radius interval can touch, each at its
+    # own looked-up res (out-of-cap lat -> null band -> filtered out)
+    probe_bands = F.array_distinct(
+        F.array(
+            band_of(lat_g - F.lit(r_deg_lat)),
+            band_of(lat_g + F.lit(r_deg_lat)),
+        )
+    )
+    probe = (
+        left.select(
+            F.col(left_id).alias("__ida"),
+            F.col(lon).alias("__lona"),
+            lat_g.alias("__lata"),
+            F.explode(
+                F.filter(probe_bands, lambda b: b.isNotNull())
+            ).alias("__band"),
+        )
+        .withColumn("__res", F.element_at(res_arr, F.col("__band") + 1))
+        .select(
+            "__ida",
+            "__lona",
+            "__lata",
+            "__band",
+            F.explode(
+                _neighbor_cells_rescol(
+                    F.col("__lona"), F.col("__lata"), F.col("__res")
+                )
+            ).alias("__cell"),
+        )
+    )
+    # build: each point keys in exactly its OWN band
+    build = (
+        right.select(
+            F.col(right_id).alias("__idb"),
+            F.col(lon).alias("__lonb"),
+            lat_g.alias("__latb"),
+            band_of(lat_g).alias("__band"),
+        )
+        .where(F.col("__band").isNotNull())
+        .withColumn("__res", F.element_at(res_arr, F.col("__band") + 1))
+        .withColumn(
+            "__cell",
+            _grid_cell_rescol(
+                F.col("__lonb"), F.col("__latb"), F.col("__res")
+            ),
+        )
+        .drop("__res")
+    )
+    pair = probe.hint("shuffle_hash").join(
+        build.hint("shuffle_hash"), ["__band", "__cell"]
+    )
+    if self_pairs:
+        pair = pair.where(F.col("__ida") < F.col("__idb"))
+    d = haversine_m(
+        F.col("__lona"), F.col("__lata"), F.col("__lonb"), F.col("__latb")
+    )
+    out = pair.where(d <= F.lit(float(radius_m)))
+    cols = [F.col("__ida").alias(left_id), F.col("__idb").alias(right_id)]
+    if with_dist:
+        cols.append(d.alias("dist_m"))
+    return out.select(*cols)
+
+
 # --------------------------------------------------------------------------
 # Road-network connectivity: connected components over segments that
 # share (quantized) endpoints — island/orphan detection, the graph

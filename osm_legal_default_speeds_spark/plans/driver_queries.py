@@ -1834,15 +1834,21 @@ def q_within_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a libm 1-ulp wobble cannot flip a hash digit; set membership
     flips only for pairs within ~0.2 mm of the radius, which the
     scattered fixture cannot produce. Oracle: brute-force inequality
-    join with the identical haversine expression."""
+    join with the identical haversine expression.
+
+    Runs the latitude-BANDED candidate generator (pair-set-identical to
+    the flat one — pinned by test_banded_matches_flat_on_scatter): per
+    band res cuts the 150 km fixture's candidates ~160x (98M -> ~600k)
+    and the measured sf0.1 time 2.2 -> 1.3 s. wide=True: the probe
+    explode + ring math is an expensive map before the first shuffle."""
     from osm_legal_default_speeds_spark.operators.sketches import unit_hash
     from osm_legal_default_speeds_spark.operators.spatial import (
-        within_distance_join_meters,
+        within_distance_join_meters_banded,
     )
 
     k = F.col("road_id")
     pts = (
-        _roads_df(spark, sf_dir)
+        _roads_df(spark, sf_dir, wide=True)
         .where(k % 4 == 0)
         .select(
             "road_id",
@@ -1852,7 +1858,7 @@ def q_within_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = pts.select(F.col("road_id").alias("id_a"), "lon", "lat")
     b = pts.select(F.col("road_id").alias("id_b"), "lon", "lat")
-    return within_distance_join_meters(
+    return within_distance_join_meters_banded(
         a,
         b,
         HAVERSINE_RADIUS_M,

@@ -462,6 +462,85 @@ def test_haversine_join_high_latitude_and_cap(spark):
     )
 
 
+def test_banded_matches_flat_on_scatter(spark):
+    """The latitude-banded candidate generator must produce the exact
+    pair set (and distances) of the flat one — same contract, fewer
+    candidates. 400 km radius -> multiple bands probed per point."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_join_meters,
+        within_distance_join_meters_banded,
+    )
+
+    pts = _scatter(250, seed=11, lo_lat=-85.0, hi_lat=85.0)
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    a = df.select(F.col("id").alias("id_a"), "lon", "lat")
+    b = df.select(F.col("id").alias("id_b"), "lon", "lat")
+    total = 0
+    for radius in (400_000.0, 800_000.0):
+        flat = {
+            (r["id_a"], r["id_b"]): r["dist_m"]
+            for r in within_distance_join_meters(
+                a, b, radius, lat_cap=84.0, self_pairs=True
+            ).collect()
+        }
+        band = {
+            (r["id_a"], r["id_b"]): r["dist_m"]
+            for r in within_distance_join_meters_banded(
+                a, b, radius, lat_cap=84.0, self_pairs=True
+            ).collect()
+        }
+        assert set(band) == set(flat)
+        for k, d in flat.items():
+            assert band[k] == d  # identical exact-filter expression
+        total += len(flat)
+    assert total > 5
+
+
+def test_banded_join_high_latitude_band_edges(spark):
+    """Pairs straddling a band boundary (lat 6k +- eps at cap 84,
+    band_w 6) and high-latitude wide-lon pairs are both captured; the
+    out-of-cap point is dropped per contract."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_join_meters_banded,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.0, 83.5),   # high lat, wide lon gap to 2
+            (2, 10.0, 83.5),
+            (3, 0.0, 84.9),   # beyond cap -> excluded
+            (4, 50.0, 5.999), # band boundary straddle with 5
+            (5, 50.0, 6.001),
+        ],
+        "id long, lon double, lat double",
+    )
+    a = df.select(F.col("id").alias("id_a"), "lon", "lat")
+    b = df.select(F.col("id").alias("id_b"), "lon", "lat")
+    rows = within_distance_join_meters_banded(
+        a, b, 200_000.0, lat_cap=84.0, self_pairs=True
+    ).collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in rows)
+    assert got == [(1, 2), (4, 5)]
+
+
+def test_banded_join_plan_shuffle_hash(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_join_meters_banded,
+    )
+
+    df = spark.createDataFrame(
+        _scatter(50, seed=6), "id long, lon double, lat double"
+    )
+    a = df.select(F.col("id").alias("id_a"), "lon", "lat")
+    b = df.select(F.col("id").alias("id_b"), "lon", "lat")
+    plan = _plan(
+        within_distance_join_meters_banded(a, b, 100_000.0, self_pairs=True)
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_haversine_join_rejects_unbounded_radius(spark):
     from osm_legal_default_speeds_spark.operators.spatial import (
         within_distance_join_meters,
@@ -470,6 +549,12 @@ def test_haversine_join_rejects_unbounded_radius(spark):
     df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lon double, lat double")
     with pytest.raises(ValueError):
         within_distance_join_meters(df, df, 5_000_000.0, lat_cap=89.9)
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_join_meters_banded,
+    )
+
+    with pytest.raises(ValueError):
+        within_distance_join_meters_banded(df, df, 5_000_000.0, lat_cap=89.9)
 
 
 # --------------------------------------------------------------------------
