@@ -171,7 +171,11 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict, dict]:
         return assign_tiles(roads.withColumn("region_code", region), tile_res=7)
 
     def q_tile_rollup(spark, sf_dir):
-        roads = _par_roads(spark, sf_dir).select("road_id", "lon", "lat")
+        """NARROW scan: the map prefix (tile encode) is cheap and the
+        plan is agg-rooted, so the widening repartition is a pure
+        150k-row shuffle tax (measured 0.97-1.25 s wide vs 0.22-0.32 s
+        narrow at sf0.1) — the same anti-rule as tile_pyramid."""
+        roads = _roads_df(spark, sf_dir).select("road_id", "lon", "lat")
         return tile_rollup(assign_tiles(roads, tile_res=7), salt_buckets=16)
 
     def q_flagship(spark, sf_dir):
