@@ -523,6 +523,68 @@ def test_banded_join_high_latitude_band_edges(spark):
     assert got == [(1, 2), (4, 5)]
 
 
+def test_banded_join_property_vs_brute_force(spark):
+    """Property sweep: random (radius, lat_cap) combos across the
+    accepted envelope, points biased onto band edges / the cap / the
+    antimeridian, banded pair set == brute-force haversine pair set.
+    Catches band-boundary and res-solve errors the fixed fixtures
+    can't (e.g. the worst-lat clamp bug found during round 4)."""
+    import math
+
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        EARTH_RADIUS_M,
+        within_distance_join_meters_banded,
+    )
+
+    combos = [
+        (1_000.0, 84.0),
+        (25_000.0, 60.0),
+        (150_000.0, 84.0),
+        (400_000.0, 45.0),
+        (900_000.0, 75.0),
+        (2_000_000.0, 66.0),
+    ]
+    for ci, (radius, cap) in enumerate(combos):
+        # same acceptance envelope as the flat join
+        assert math.sin(radius / (2 * EARTH_RADIUS_M)) / math.cos(
+            math.radians(cap)
+        ) < 1.0
+        r_deg = math.degrees(radius / EARTH_RADIUS_M)
+        band_w = max(2.0 * r_deg, 6.0)
+        pts = []
+        i = 0
+        # edge-biased lattice: band boundaries +- a hair, the cap, the
+        # poles-adjacent exclusion zone, and the antimeridian
+        edges = [-cap + k * band_w for k in range(int(2 * cap / band_w) + 1)]
+        for e in edges:
+            for dlat in (-1e-9, 0.0, 1e-9, -r_deg / 2, r_deg / 2):
+                lat = e + dlat
+                if abs(lat) <= 89.0:
+                    h = (i * 2654435761 + ci * 40503) % 100000
+                    lon = -180.0 + (h / 100000.0) * 360.0
+                    pts.append((i, lon, lat)); i += 1
+        for lat in (cap, -cap, cap + 1e-9, -(cap + 1e-9), cap - 1e-9):
+            for lon in (-180.0, 179.999999, 0.0):
+                pts.append((i, lon, lat)); i += 1
+        df = spark.createDataFrame(pts, "id long, lon double, lat double")
+        a = df.select(F.col("id").alias("id_a"), "lon", "lat")
+        b = df.select(F.col("id").alias("id_b"), "lon", "lat")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in within_distance_join_meters_banded(
+                a, b, radius, lat_cap=cap, self_pairs=True, with_dist=False
+            ).collect()
+        }
+        capped = [p for p in pts if abs(p[2]) <= cap]
+        want = {
+            (ia, ib)
+            for k, (ia, lon1, lat1) in enumerate(capped)
+            for ib, lon2, lat2 in capped[k + 1 :]
+            if _hav_py(lon1, lat1, lon2, lat2) <= radius
+        }
+        assert got == want, (radius, cap, len(got), len(want))
+
+
 def test_banded_join_plan_shuffle_hash(spark):
     from osm_legal_default_speeds_spark.operators.spatial import (
         within_distance_join_meters_banded,
