@@ -2469,6 +2469,224 @@ def clip_segments(
 
 
 # --------------------------------------------------------------------------
+# Incremental tile maintenance: apply a segment changeset to an
+# existing tile table without rebuilding the corpus — the tile-layer
+# analogue of plans/rules_diff.reinfer_changed. Production shape: OSM
+# diffs arrive daily as changesets; at 10^12 rows a full re-encode is
+# off the table, and because a tile blob is a pure function of its
+# sorted feature SET, the incremental result can be (and is, pinned by
+# test) bit-identical to a full rebuild.
+# --------------------------------------------------------------------------
+
+def segment_changeset(
+    old_segs: DataFrame,
+    new_segs: DataFrame,
+    seg_id: str = "seg_id",
+    lon0: str = "lon0",
+    lat0: str = "lat0",
+    lon1: str = "lon1",
+    lat1: str = "lat1",
+) -> tuple[DataFrame, DataFrame]:
+    """Batch diff of two segment corpora keyed by ``seg_id``:
+    (removed, upserted), each with the (seg_id, lon0, lat0, lon1, lat1)
+    schema. ``removed`` carries the OLD geometry of segments that
+    vanished or moved (needed to know which tiles to clean);
+    ``upserted`` carries the NEW geometry of segments that appeared or
+    moved. Unchanged segments appear in neither.
+
+    One full-outer shuffle join on seg_id; the two outputs are
+    projections of the same joined plan (evaluate both in one pass by
+    persisting the join if the corpora are expensive to rescan — in
+    production the changeset usually ARRIVES as a changeset and this
+    helper is skipped entirely)."""
+    o = old_segs.select(
+        F.col(seg_id).alias("__sid"),
+        F.col(lon0).alias("__olon0"), F.col(lat0).alias("__olat0"),
+        F.col(lon1).alias("__olon1"), F.col(lat1).alias("__olat1"),
+    )
+    n = new_segs.select(
+        F.col(seg_id).alias("__sid"),
+        F.col(lon0).alias("__nlon0"), F.col(lat0).alias("__nlat0"),
+        F.col(lon1).alias("__nlon1"), F.col(lat1).alias("__nlat1"),
+    )
+    j = o.join(n, "__sid", "full_outer")
+    same = (
+        F.col("__olon0").eqNullSafe(F.col("__nlon0"))
+        & F.col("__olat0").eqNullSafe(F.col("__nlat0"))
+        & F.col("__olon1").eqNullSafe(F.col("__nlon1"))
+        & F.col("__olat1").eqNullSafe(F.col("__nlat1"))
+    )
+    removed = j.where(F.col("__olon0").isNotNull() & ~same).select(
+        F.col("__sid").alias(seg_id),
+        F.col("__olon0").alias(lon0), F.col("__olat0").alias(lat0),
+        F.col("__olon1").alias(lon1), F.col("__olat1").alias(lat1),
+    )
+    upserted = j.where(F.col("__nlon0").isNotNull() & ~same).select(
+        F.col("__sid").alias(seg_id),
+        F.col("__nlon0").alias(lon0), F.col("__nlat0").alias(lat0),
+        F.col("__nlon1").alias(lon1), F.col("__nlat1").alias(lat1),
+    )
+    return removed, upserted
+
+
+def rebuild_changed_tiles(
+    old_tiles: DataFrame,
+    removed_segs: DataFrame,
+    upserted_segs: DataFrame,
+    res: int,
+    seg_id: str = "seg_id",
+    lon0: str = "lon0",
+    lat0: str = "lat0",
+    lon1: str = "lon1",
+    lat1: str = "lat1",
+    clip: bool = False,
+) -> DataFrame:
+    """Apply a segment changeset to an :func:`encode_vector_tiles`
+    output table: recompute ONLY the dirty tiles, carry every other
+    blob over untouched. Returns the full new tile table
+    (tile_id, n_features, byte_len, tile_blob) — BIT-IDENTICAL to
+    ``encode_vector_tiles(new_corpus, res, clip=clip)`` (pinned by
+    test_incremental_tiles_equal_full_rebuild), because a blob is a
+    pure function of its sorted feature set: old features are decoded
+    from the dirty tile's own blob, the removed seg ids are dropped,
+    the upserted segments' features are merged in, and the set is
+    re-sorted and re-packed by the same format.
+
+    ``removed_segs`` must carry the exact OLD geometry that was
+    encoded (its supercover names the tiles to clean); ``upserted_segs``
+    carries NEW geometry. A moved segment appears in both (see
+    :func:`segment_changeset`).
+
+    Scale shape (the point of the operator): every explode/groupBy is
+    CHANGESET-proportional, and the corpus-sized ``old_tiles`` is
+    scanned twice but NEVER shuffled — the dirty tile set is
+    changeset-sized and broadcast into an inner join (fetch dirty
+    blobs) and a left-anti join (carry-over). Work is
+    O(|changeset| + features in dirty tiles); a daily planet diff
+    touches a vanishing fraction of 10^12 tiles."""
+    import pandas as pd
+    import struct as _struct
+
+    from pyspark.sql.functions import pandas_udf
+
+    nx, ny = grid_nx(res), grid_ny(res)
+
+    def gx(c: str) -> Column:
+        return (F.col(c) + 180.0) / 360.0 * nx
+
+    def gy(c: str) -> Column:
+        return (F.col(c) + 90.0) / 180.0 * ny
+
+    def cover_cells(segs: DataFrame) -> DataFrame:
+        """(tile_id, __sid) for every tile the segment's supercover
+        crosses — the same midpoint-cut construction the encoder
+        stamped, so the dirty set is exact in both clip modes."""
+        cells = segment_cells(gx(lon0), gy(lat0), gx(lon1), gy(lat1), nx, ny)
+        return segs.select(
+            F.col(seg_id).alias("__sid"), F.explode(cells).alias("__c")
+        ).select(
+            "__sid",
+            (F.col("__c.cx") * ny + F.col("__c.cy")).cast("long").alias("tile_id"),
+        )
+
+    rm_cells = cover_cells(removed_segs)
+    if clip:
+        up_flat = clip_segments(
+            upserted_segs, res, seg_id, lon0, lat0, lon1, lat1
+        ).select(
+            F.col("cell").alias("tile_id"),
+            F.struct(
+                F.col(seg_id).alias("sid"),
+                F.col("clip_lon0").alias("x0"),
+                F.col("clip_lat0").alias("y0"),
+                F.col("clip_lon1").alias("x1"),
+                F.col("clip_lat1").alias("y1"),
+            ).alias("__f"),
+        )
+    else:
+        up_flat = cover_cells(upserted_segs).join(
+            upserted_segs.select(
+                F.col(seg_id).alias("__sid"),
+                F.col(lon0).alias("__x0"), F.col(lat0).alias("__y0"),
+                F.col(lon1).alias("__x1"), F.col(lat1).alias("__y1"),
+            ),
+            "__sid",
+        ).select(
+            "tile_id",
+            F.struct(
+                F.col("__sid").alias("sid"),
+                F.col("__x0").alias("x0"), F.col("__y0").alias("y0"),
+                F.col("__x1").alias("x1"), F.col("__y1").alias("y1"),
+            ).alias("__f"),
+        )
+
+    dirty = (
+        rm_cells.select("tile_id").union(up_flat.select("tile_id")).distinct()
+    )
+    rm_per_tile = rm_cells.groupBy("tile_id").agg(
+        F.collect_set("__sid").alias("__rm_sids")
+    )
+    add_per_tile = up_flat.groupBy("tile_id").agg(
+        F.collect_list("__f").alias("__add_feats")
+    )
+    # corpus-sized side: scanned, never shuffled (broadcast build side)
+    dirty_old = old_tiles.select("tile_id", "tile_blob").join(
+        F.broadcast(dirty), "tile_id"
+    )
+    carried = old_tiles.join(F.broadcast(dirty), "tile_id", "left_anti").select(
+        "tile_id", "n_features", "byte_len", "tile_blob"
+    )
+    base = (
+        dirty.join(F.broadcast(dirty_old), "tile_id", "left")
+        .join(rm_per_tile, "tile_id", "left")
+        .join(add_per_tile, "tile_id", "left")
+    )
+
+    def _rebuild_fn(blobs, rm_sids, add_feats):
+        out = []
+        for blob, rm, add in zip(blobs, rm_sids, add_feats):
+            feats: list[tuple] = []
+            if blob is not None:
+                feats.extend(decode_vector_tile(bytes(blob)))
+            if rm is not None and len(rm):
+                rmset = set(int(s) for s in rm)
+                feats = [f for f in feats if f[0] not in rmset]
+            if add is not None and len(add):
+                feats.extend(
+                    (int(a["sid"]), a["x0"], a["y0"], a["x1"], a["y1"])
+                    for a in add
+                )
+            if not feats:
+                out.append(None)  # tile emptied -> row dropped below
+                continue
+            feats.sort()  # tuple order == array_sort struct field order
+            blob = VT_MAGIC + _struct.pack("<I", len(feats))
+            blob += b"".join(_struct.pack("<Q4d", *f) for f in feats)
+            out.append(blob)
+        return pd.Series(out)
+
+    _rebuild = pandas_udf(_rebuild_fn, "binary")
+    rebuilt = (
+        base.select(
+            "tile_id",
+            _rebuild(
+                F.col("tile_blob"), F.col("__rm_sids"), F.col("__add_feats")
+            ).alias("tile_blob"),
+        )
+        .where(F.col("tile_blob").isNotNull())
+        .select(
+            "tile_id",
+            ((F.length("tile_blob") - VT_HEADER_BYTES) / VT_FEATURE_BYTES)
+            .cast("int")
+            .alias("n_features"),
+            F.length("tile_blob").cast("int").alias("byte_len"),
+            "tile_blob",
+        )
+    )
+    return carried.unionByName(rebuilt)
+
+
+# --------------------------------------------------------------------------
 # Geohash: the interoperable base32 cell id (same bit-interleave family
 # as zorder_key, lon-first, standard alphabet) — pure integer Column
 # algebra, so ids match any external geohash library character for

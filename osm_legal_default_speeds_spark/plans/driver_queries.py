@@ -2920,3 +2920,56 @@ QUERIES.update(
 ORACLES.update(
     {"trajectory_stats": SQL_TRAJECTORY_STATS, "speeding_legs": SQL_SPEEDING_LEGS}
 )
+
+
+# --------------------------------------------------------------------------
+# Incremental tile maintenance (operators/spatial.py::
+# rebuild_changed_tiles): apply a deterministic segment changeset to
+# the previous tile table and recompute ONLY the dirty tiles. The
+# oracle is the FULL clipped rebuild of the new corpus
+# (SQL_VECTOR_TILES_CLIPPED verbatim — the same oracle the full-build
+# query answers), so a green row proves the incremental path converges
+# to the full build exactly. Registered after the window reorder:
+# brand-new operators stay pytest-oracled (full-registry contract
+# test) until a future round rotates them into the driver window.
+# --------------------------------------------------------------------------
+
+def q_tiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New corpus N = the vector_tiles_clipped corpus (seg_id % 4 == 2).
+    Old corpus O is derived from N deterministically: every sid
+    % 3 == 0 is ABSENT from O (-> added), every remaining sid % 5 == 0
+    is SHIFTED in O (-> moved, dirtying both old and new tiles), plus
+    O-only segments from the % 4 == 1 stripe (-> removed). The query
+    encodes O, diffs O -> N, applies the changeset, and returns the
+    oracled surface of the resulting tile table — which must equal the
+    full build over N (the oracle is SQL_VECTOR_TILES_CLIPPED
+    unchanged; bytes are pinned bit-level in pytest)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        encode_vector_tiles,
+        rebuild_changed_tiles,
+        segment_changeset,
+    )
+
+    sid = F.col("seg_id")
+    segs_new = _segs_df(spark, sf_dir).where(sid % 4 == 2)
+    old_core = segs_new.where(sid % 3 != 0).select(
+        "seg_id",
+        F.when(sid % 5 == 0, F.col("lon0") + 4.0).otherwise(F.col("lon0")).alias("lon0"),
+        F.when(sid % 5 == 0, F.col("lat0") - 3.0).otherwise(F.col("lat0")).alias("lat0"),
+        F.when(sid % 5 == 0, F.col("lon1") + 4.0).otherwise(F.col("lon1")).alias("lon1"),
+        F.when(sid % 5 == 0, F.col("lat1") - 3.0).otherwise(F.col("lat1")).alias("lat1"),
+    )
+    old_extra = _segs_df(spark, sf_dir).where((sid % 4 == 1) & (sid % 9 == 0))
+    segs_old = old_core.unionByName(old_extra)
+    old_tiles = encode_vector_tiles(segs_old, _SEG_RES, clip=True)
+    removed, upserted = segment_changeset(segs_old, segs_new)
+    out = rebuild_changed_tiles(old_tiles, removed, upserted, _SEG_RES, clip=True)
+    return out.select(
+        "tile_id",
+        "n_features",
+        F.length("tile_blob").cast("int").alias("byte_len"),
+    )
+
+
+QUERIES.update({"tiles_incremental": q_tiles_incremental})
+ORACLES.update({"tiles_incremental": SQL_VECTOR_TILES_CLIPPED})

@@ -954,7 +954,132 @@ def test_vector_tiles_round_trip_and_partition_invariance(spark):
     assert {t: bytes(r["tile_blob"]) for t, r in tiles.items()} == tiles2
 
 
-def test_vector_tile_decoder_guards(spark):
+def _seg_corpora(n=90):
+    """Deterministic old/new corpora exercising every changeset kind:
+    removals (old-only), adds (new-only), moves (same sid, shifted —
+    including across tiles), and a large unchanged majority."""
+    base = []
+    for i, lon, lat in _scatter(n, seed=21, lo_lon=-40.0, hi_lon=40.0, lo_lat=-30.0, hi_lat=30.0):
+        base.append((i, lon, lat, lon + ((i % 9) - 4) * 1.3, lat + ((i % 7) - 3) * 0.8))
+    old, new = [], []
+    for s in base:
+        i = s[0]
+        if i % 11 == 3:
+            old.append(s)  # removed in new
+        elif i % 11 == 7:
+            new.append(s)  # added in new
+        elif i % 13 == 5:
+            old.append(s)  # moved: whole-tile shift in new
+            new.append((i, s[1] + 4.0, s[2] - 3.0, s[3] + 4.0, s[4] - 3.0))
+        else:
+            old.append(s)
+            new.append(s)
+    return old, new
+
+
+def test_segment_changeset_classification(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        segment_changeset,
+    )
+
+    old, new = _seg_corpora()
+    schema = "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double"
+    od, nd = spark.createDataFrame(old, schema), spark.createDataFrame(new, schema)
+    removed, upserted = segment_changeset(od, nd)
+    rm = {r["seg_id"]: tuple(r)[1:] for r in removed.collect()}
+    up = {r["seg_id"]: tuple(r)[1:] for r in upserted.collect()}
+    oldg = {s[0]: s[1:] for s in old}
+    newg = {s[0]: s[1:] for s in new}
+    want_rm = {i: g for i, g in oldg.items() if newg.get(i) != g}
+    want_up = {i: g for i, g in newg.items() if oldg.get(i) != g}
+    assert rm == want_rm and up == want_up
+    # all three kinds actually present in the fixture
+    assert set(want_rm) - set(want_up)          # pure removals
+    assert set(want_up) - set(want_rm)          # pure adds
+    assert set(want_rm) & set(want_up)          # moves
+
+
+@pytest.mark.parametrize("clip", [False, True])
+def test_incremental_tiles_equal_full_rebuild(spark, clip):
+    """The headline invariant: changeset-applied tiles are
+    BIT-IDENTICAL (blob bytes, counts, byte lengths) to a full
+    re-encode of the new corpus — emptied tiles dropped, fresh tiles
+    created, moved segments cleaned from their old tiles."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        encode_vector_tiles,
+        rebuild_changed_tiles,
+        segment_changeset,
+    )
+
+    old, new = _seg_corpora()
+    schema = "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double"
+    od, nd = spark.createDataFrame(old, schema), spark.createDataFrame(new, schema)
+    res = 6
+    old_tiles = encode_vector_tiles(od, res, clip=clip)
+    removed, upserted = segment_changeset(od, nd)
+    got = {
+        r["tile_id"]: (r["n_features"], r["byte_len"], bytes(r["tile_blob"]))
+        for r in rebuild_changed_tiles(
+            old_tiles, removed, upserted, res, clip=clip
+        ).collect()
+    }
+    want = {
+        r["tile_id"]: (r["n_features"], r["byte_len"], bytes(r["tile_blob"]))
+        for r in encode_vector_tiles(nd, res, clip=clip).collect()
+    }
+    assert got == want
+    # the changeset really exercised tile birth and death
+    old_ids = {r["tile_id"] for r in old_tiles.select("tile_id").collect()}
+    assert set(want) - old_ids and old_ids - set(want)
+
+
+def test_incremental_tiles_plan_never_shuffles_old_tiles(spark):
+    """Scale pin: the corpus-sized old_tiles side must reach both its
+    joins via broadcast of the DIRTY set — no Exchange may sit between
+    the old_tiles parquet scan and its joins."""
+    import os
+
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        encode_vector_tiles,
+        rebuild_changed_tiles,
+        segment_changeset,
+    )
+
+    old, new = _seg_corpora()
+    schema = "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double"
+    od, nd = spark.createDataFrame(old, schema), spark.createDataFrame(new, schema)
+    tdir = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        "inc_tiles_pin",
+    )
+    encode_vector_tiles(od, 6, clip=True).write.mode("overwrite").parquet(tdir)
+    old_tiles = spark.read.parquet(tdir)
+    removed, upserted = segment_changeset(od, nd)
+    out = rebuild_changed_tiles(old_tiles, removed, upserted, 6, clip=True)
+    out.collect()  # AQE finalizes
+    plan = _plan(out)
+    # two broadcast joins against the dirty set (inner fetch + anti carry)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+    def _indent(line: str) -> int:
+        for i, ch in enumerate(line):
+            if ch not in " :+-*(0123456789)":
+                return i
+        return len(line)
+
+    # ancestor walk: no shuffle Exchange may sit above either scan of
+    # the persisted tile table — the corpus-sized side is broadcast-
+    # joined in place, never repartitioned
+    lines = plan.splitlines()
+    scan_idxs = [i for i, ln in enumerate(lines) if "Scan parquet" in ln]
+    assert scan_idxs, plan[:2000]
+    for si in scan_idxs:
+        depth = _indent(lines[si])
+        for j in range(si - 1, -1, -1):
+            d = _indent(lines[j])
+            if d < depth:
+                assert "Exchange hashpartitioning" not in lines[j], lines[j]
+                depth = d
     from osm_legal_default_speeds_spark.operators.spatial import (
         decode_vector_tile,
     )
