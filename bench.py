@@ -628,6 +628,7 @@ EXTENDED_QUERIES = (
     "aspect_buckets",
     "trajectory_stats",
     "speeding_legs",
+    "tiles_incremental",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

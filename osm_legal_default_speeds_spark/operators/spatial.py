@@ -2648,9 +2648,17 @@ def rebuild_changed_tiles(
             feats: list[tuple] = []
             if blob is not None:
                 feats.extend(decode_vector_tile(bytes(blob)))
-            if rm is not None and len(rm):
-                rmset = set(int(s) for s in rm)
-                feats = [f for f in feats if f[0] not in rmset]
+            # upsert REPLACES within the tile: drop both removed sids
+            # and the upserted sids' old features before merging (a
+            # no-op under the segment_changeset contract, where every
+            # moved seg ships its old geometry as a remove — but it
+            # makes per-tile upserts idempotent under streaming
+            # retries)
+            drop = set(int(s) for s in rm) if rm is not None else set()
+            if add is not None and len(add):
+                drop.update(int(a["sid"]) for a in add)
+            if drop:
+                feats = [f for f in feats if f[0] not in drop]
             if add is not None and len(add):
                 feats.extend(
                     (int(a["sid"]), a["x0"], a["y0"], a["x1"], a["y1"])

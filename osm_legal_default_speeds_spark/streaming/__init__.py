@@ -3,3 +3,7 @@ from osm_legal_default_speeds_spark.streaming.event_rollup import (  # noqa: F40
     streaming_event_rollup,
     streaming_speed_inference,
 )
+from osm_legal_default_speeds_spark.streaming.tile_maintenance import (  # noqa: F401
+    read_current_tiles,
+    streaming_tile_maintenance,
+)
