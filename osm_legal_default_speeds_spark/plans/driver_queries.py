@@ -2961,8 +2961,16 @@ def q_tiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old_extra = _segs_df(spark, sf_dir).where((sid % 4 == 1) & (sid % 9 == 0))
     segs_old = old_core.unionByName(old_extra)
-    old_tiles = encode_vector_tiles(segs_old, _SEG_RES, clip=True)
+    # materialize the operator's INPUTS once (production shape: the
+    # previous tile table is a stored table and the changeset arrives
+    # as data; rebuild_changed_tiles references old_tiles twice and
+    # each changeset side feeds two sub-plans — without this, every
+    # reference re-runs the encode/diff pipelines. With this plus the
+    # operator's own dirty-set materialization: 7.1 s -> 0.93 s at
+    # sf0.1, identical output)
+    old_tiles = encode_vector_tiles(segs_old, _SEG_RES, clip=True).localCheckpoint()
     removed, upserted = segment_changeset(segs_old, segs_new)
+    removed, upserted = removed.localCheckpoint(), upserted.localCheckpoint()
     out = rebuild_changed_tiles(old_tiles, removed, upserted, _SEG_RES, clip=True)
     return out.select(
         "tile_id",
