@@ -2541,6 +2541,7 @@ def rebuild_changed_tiles(
     lat1: str = "lat1",
     clip: bool = False,
     materialize: bool = True,
+    broadcast_dirty: bool = True,
 ) -> DataFrame:
     """Apply a segment changeset to an :func:`encode_vector_tiles`
     output table: recompute ONLY the dirty tiles, carry every other
@@ -2574,7 +2575,14 @@ def rebuild_changed_tiles(
     whole supercover/clip explode per reference — measured 4.0 s ->
     1.0 s on a sf0.1 half-corpus changeset, bit-identical output.
     Memory is bounded by the changeset by contract. Pass False for a
-    fully-lazy plan (e.g. to compose into a larger optimized query)."""
+    fully-lazy plan (e.g. to compose into a larger optimized query).
+
+    ``broadcast_dirty`` (default True): broadcast the dirty tile-id set
+    into the two old_tiles joins — right for the contract's small-diff
+    regime. For a BULK changeset (re-import touching a large fraction
+    of tiles) pass False: the joins fall back to shuffles and the job
+    degrades gracefully toward full-rebuild cost instead of overflowing
+    the broadcast limit."""
     import pandas as pd
     import struct as _struct
 
@@ -2650,10 +2658,11 @@ def rebuild_changed_tiles(
     if materialize:
         dirty = dirty.localCheckpoint()
     # corpus-sized side: scanned, never shuffled (broadcast build side)
+    dirty_b = F.broadcast(dirty) if broadcast_dirty else dirty
     dirty_old = old_tiles.select("tile_id", "tile_blob").join(
-        F.broadcast(dirty), "tile_id"
+        dirty_b, "tile_id"
     )
-    carried = old_tiles.join(F.broadcast(dirty), "tile_id", "left_anti").select(
+    carried = old_tiles.join(dirty_b, "tile_id", "left_anti").select(
         "tile_id", "n_features", "byte_len", "tile_blob"
     )
     base = (

@@ -1033,6 +1033,33 @@ def test_incremental_tiles_equal_full_rebuild(spark, clip):
     assert set(want) - old_ids and old_ids - set(want)
 
 
+def test_incremental_tiles_empty_changeset_is_identity(spark):
+    """No diff -> the tile table passes through untouched (and the
+    bulk-changeset fallback path produces the same result)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        encode_vector_tiles,
+        rebuild_changed_tiles,
+    )
+
+    old, _ = _seg_corpora()
+    schema = "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double"
+    od = spark.createDataFrame(old, schema)
+    empty = spark.createDataFrame([], schema)
+    tiles = encode_vector_tiles(od, 6, clip=True)
+    want = {
+        r["tile_id"]: (r["n_features"], r["byte_len"], bytes(r["tile_blob"]))
+        for r in tiles.collect()
+    }
+    for bc in (True, False):
+        got = {
+            r["tile_id"]: (r["n_features"], r["byte_len"], bytes(r["tile_blob"]))
+            for r in rebuild_changed_tiles(
+                tiles, empty, empty, 6, clip=True, broadcast_dirty=bc
+            ).collect()
+        }
+        assert got == want, bc
+
+
 def test_incremental_tiles_plan_never_shuffles_old_tiles(spark):
     """Scale pin: the corpus-sized old_tiles side must reach both its
     joins via broadcast of the DIRTY set — no Exchange may sit between
