@@ -705,6 +705,16 @@ def run_sf_scaling(sf_dirs: list[str]) -> None:
 
     spark = make_spark("bench-sf-scaling")
     per_sf: dict[str, dict] = {}
+    # LARGEST scale first: the sandbox re-homes vCPUs a small leg
+    # leaves idle, degrading a following 32-wide leg ~40% for minutes
+    # (see the strong-scaling leg-order note in BENCH/BASELINE.md) —
+    # measured here as rasterize_segments sf0.1 reading 2.4-2.8 s when
+    # run after the small legs vs 0.6-0.9 s run first. Exponent math
+    # is order-independent.
+    sf_dirs = sorted(
+        sf_dirs, key=lambda d: float(d.rstrip("/").rsplit("sf", 1)[-1]),
+        reverse=True,
+    )
     try:
         _warm_pool(spark)
         for sf_dir in sf_dirs:
