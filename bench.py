@@ -239,8 +239,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict, dict]:
         )
 
         def q_minhash_prod(spark, sf_dir):
-            # _docs_near_aug's scan is already widened (see
-            # driver_queries._WIDE_TABLES) so the tokenize->shingle->
+            # _docs_near_aug's scan is already widened (its wide=True
+            # opt-in to _read) so the tokenize->shingle->
             # explode map — the pipeline's dominant cost — runs
             # cluster-wide; pre_partitions stays None (a second
             # repartition here measured 1.9 -> 3.1 s: the exchanges
@@ -445,8 +445,13 @@ def run_scaling(sf_dir: str) -> None:
         p = subprocess.run(
             cmd, env=env, capture_output=True, text=True, timeout=3600,
         )
-        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if p.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scaling worker (cpus={cpus}) failed rc={p.returncode}: "
+                f"{p.stderr[-2000:]}"
+            )
+        results[cpus] = json.loads(lines[-1])
 
     t8, t32 = results["8"]["wall_s"], results["32"]["wall_s"]
     c8, c32 = results["8"]["control_wall_s"], results["32"]["control_wall_s"]

@@ -152,6 +152,12 @@ def spatial_split(
     shuffles, any partitioning. Adds a ``split`` column."""
     from osm_legal_default_speeds_spark.operators.spatial import grid_cell
 
+    if not (0.0 <= train and 0.0 <= val and train + val <= 1.0):
+        raise ValueError(
+            f"spatial_split fractions out of range: train={train}, "
+            f"val={val} (need train>=0, val>=0, train+val<=1; test "
+            f"gets the 1-train-val remainder)"
+        )
     cell = grid_cell(F.col(lon_col), F.col(lat_col), res)
     u = _salted_unit(cell, salt)
     return df.withColumn(

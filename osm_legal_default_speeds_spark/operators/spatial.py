@@ -2677,8 +2677,12 @@ def rebuild_changed_tiles(
     carried = old_tiles.join(dirty_b, "tile_id", "left_anti").select(
         "tile_id", "n_features", "byte_len", "tile_blob"
     )
+    # dirty_old carries tile BLOBS: broadcast only when the changeset
+    # is small (broadcast_dirty=True); a bulk changeset's dirty-tile
+    # blobs would blow the broadcast cap, so shuffle-join instead
+    dirty_old_b = F.broadcast(dirty_old) if broadcast_dirty else dirty_old
     base = (
-        dirty.join(F.broadcast(dirty_old), "tile_id", "left")
+        dirty.join(dirty_old_b, "tile_id", "left")
         .join(rm_per_tile, "tile_id", "left")
         .join(add_per_tile, "tile_id", "left")
     )

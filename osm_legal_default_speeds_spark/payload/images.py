@@ -602,6 +602,16 @@ def multimodal_dup_classes(
 
     Input must contain narrow ``image_id, phash, caption`` only (bytes
     never enter a shuffle). Output: (id_a, id_b, dup_class)."""
+    n_bands = 64 // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} voids the LSH pigeonhole "
+            f"guarantee with {n_bands} bands of {band_bits} bits: a "
+            f"pair within max_hamming could disagree in every band, "
+            f"and a missed image-side pair with equal captions would "
+            f"be MISCLASSIFIED as caption_only. Require max_hamming < "
+            f"64/band_bits (use smaller band_bits for larger radii)."
+        )
     hashed = meta.select(
         "image_id", "phash", F.xxhash64(F.col("caption")).alias("cap_h")
     )

@@ -123,11 +123,11 @@ NEAR_DUP_MOD = 25
 
 
 def _docs_exact_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # deliberately NOT the widened _read: exact dedup's map stage is a
-    # single md5 per row, so its one legitimate shuffle should carry
-    # (digest, id) — widening would move full text through an exchange
-    # first for no CPU win (measured 0.21 -> 0.66 s on the bench).
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # deliberately narrow (wide=False, the _read default): exact
+    # dedup's map stage is a single md5 per row, so its one legitimate
+    # shuffle should carry (digest, id) — widening would move full text
+    # through an exchange first for no CPU win (measured 0.21 -> 0.66 s).
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     dups = d.where(F.col("doc_id") % EXACT_DUP_MOD == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text"
     )
