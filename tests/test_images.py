@@ -201,6 +201,25 @@ def test_multimodal_dup_classes_stop_caption_cap(spark):
     assert got == {"both": 36, "caption_only": 240}
 
 
+def test_multimodal_dup_classes_rejects_pigeonhole_violation(spark):
+    """max_hamming >= 64/band_bits would let a within-radius pair
+    disagree in every band — a missed image-side pair with equal
+    captions would be MISCLASSIFIED as caption_only, so the operator
+    must refuse rather than silently emit wrong classes."""
+    import pytest
+
+    from osm_legal_default_speeds_spark.payload.images import (
+        images_from_ids,
+        multimodal_dup_classes,
+    )
+
+    meta = images_from_ids(spark.range(0, 8, 1, 2).select("id")).withColumn(
+        "caption", F.lit("c")
+    ).select("image_id", "phash", "caption")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        multimodal_dup_classes(meta, max_hamming=4, band_bits=16)
+
+
 def test_aspect_ratio_buckets_match_brute_force(spark):
     """The Column argmin (integer-exact, tie to earlier bucket) agrees
     with a rational-arithmetic brute force for every (w, h) the

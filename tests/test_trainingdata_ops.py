@@ -934,6 +934,14 @@ def test_spatial_split_leakage_free_and_map_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.split("== Initial Plan ==")[0], plan
 
+    # out-of-range fractions must refuse, not silently empty a split
+    import pytest
+
+    for bad in [dict(train=0.8, val=0.3), dict(train=1.2, val=0.0),
+                dict(train=-0.1, val=0.5)]:
+        with pytest.raises(ValueError, match="fractions out of range"):
+            spatial_split(pts, "lon", "lat", res=3, **bad)
+
 
 def test_decontaminate_drops_planted_overlap(spark, docs):
     """Docs overlapping the eval set by >= min_overlap distinct 3-grams
