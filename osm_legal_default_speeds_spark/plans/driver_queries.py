@@ -2456,30 +2456,21 @@ def q_tile_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface (tile, feature count, byte length). Every stage's
     arithmetic is the same bit-exact construction its standalone
     oracle proves, so the chained DuckDB twin reproduces the whole
-    pipeline."""
-    from pyspark.sql.window import Window
+    pipeline.
 
+    The segment stage is the in-kernel pairing
+    (:func:`simplify_to_segments`) — bit-identical seg_ids/coords to
+    the lead()-window formulation the oracle spells out, but with no
+    line_id shuffle, and the clip/encode stage keeps the widened
+    scan's partitioning instead of the window's post-AQE 3 partitions
+    (measured 3.4 -> 1.7 s at sf0.1)."""
     from osm_legal_default_speeds_spark.operators.spatial import (
         encode_vector_tiles,
-        simplify_lines,
+        simplify_to_segments,
     )
 
-    kept = simplify_lines(_lines_df(spark, sf_dir), tol=_DP_TOL)
-    w = Window.partitionBy("line_id").orderBy("seq")
-    segs = (
-        kept.select(
-            "line_id",
-            "seq",
-            F.col("x").alias("lon0"),
-            F.col("y").alias("lat0"),
-            F.lead("x").over(w).alias("lon1"),
-            F.lead("y").over(w).alias("lat1"),
-        )
-        .where(F.col("lon1").isNotNull())
-        .select(
-            (F.col("line_id") * 32 + F.col("seq")).alias("seg_id"),
-            "lon0", "lat0", "lon1", "lat1",
-        )
+    segs = simplify_to_segments(
+        _lines_df(spark, sf_dir), tol=_DP_TOL, seg_factor=32
     )
     tiles = encode_vector_tiles(segs, _SEG_RES, clip=True)
     return tiles.select(

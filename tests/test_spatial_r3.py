@@ -372,6 +372,60 @@ def test_simplify_idempotent_and_degenerate(spark):
     assert out[102] == [(7.0, 1.0)]
 
 
+def test_simplify_to_segments_equals_window_formulation(spark):
+    """The in-kernel pairing must be bit-identical to
+    simplify_lines + lead() over (partition by line_id order by seq)
+    — the formulation its oracle spells out — and partition-invariant;
+    lines with < 2 kept vertices emit nothing."""
+    from pyspark.sql.window import Window
+
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        simplify_to_segments,
+    )
+
+    rows, df = _lines_fixture(spark)
+    # add a single-vertex line: zero segments expected
+    df = df.unionAll(
+        spark.createDataFrame(
+            [(900, [7.0], [1.0])],
+            "line_id long, xs array<double>, ys array<double>",
+        )
+    )
+    tol = 0.2
+    kept = simplify_lines(df, tol)
+    w = Window.partitionBy("line_id").orderBy("seq")
+    want = sorted(
+        (r["seg_id"], r["lon0"], r["lat0"], r["lon1"], r["lat1"])
+        for r in kept.select(
+            "line_id",
+            "seq",
+            F.col("x").alias("lon0"),
+            F.col("y").alias("lat0"),
+            F.lead("x").over(w).alias("lon1"),
+            F.lead("y").over(w).alias("lat1"),
+        )
+        .where(F.col("lon1").isNotNull())
+        .select(
+            (F.col("line_id") * 32 + F.col("seq")).alias("seg_id"),
+            "lon0", "lat0", "lon1", "lat1",
+        )
+        .collect()
+    )
+    got = sorted(
+        (r["seg_id"], r["lon0"], r["lat0"], r["lon1"], r["lat1"])
+        for r in simplify_to_segments(df, tol, seg_factor=32).collect()
+    )
+    assert got == want and len(got) > 0
+    again = sorted(
+        (r["seg_id"], r["lon0"], r["lat0"], r["lon1"], r["lat1"])
+        for r in simplify_to_segments(
+            df.repartition(7), tol, seg_factor=32
+        ).collect()
+    )
+    assert again == got
+    assert not any(sid // 32 == 900 for sid, *_ in got)
+
+
 # --------------------------------------------------------------------------
 # within_distance_join_meters (great-circle)
 # --------------------------------------------------------------------------
