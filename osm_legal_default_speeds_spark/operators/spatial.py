@@ -2670,6 +2670,67 @@ def rebuild_changed_tiles(
     of tiles) pass False: the joins fall back to shuffles and the job
     degrades gracefully toward full-rebuild cost instead of overflowing
     the broadcast limit."""
+    carried, rebuilt, _ = _rebuild_changed_tiles_parts(
+        old_tiles, removed_segs, upserted_segs, res, seg_id,
+        lon0, lat0, lon1, lat1, clip, materialize, broadcast_dirty,
+    )
+    return carried.unionByName(rebuilt)
+
+
+def rebuild_changed_tiles_delta(
+    old_tiles: DataFrame,
+    removed_segs: DataFrame,
+    upserted_segs: DataFrame,
+    res: int,
+    seg_id: str = "seg_id",
+    lon0: str = "lon0",
+    lat0: str = "lat0",
+    lon1: str = "lon1",
+    lat1: str = "lat1",
+    clip: bool = False,
+    materialize: bool = True,
+    broadcast_dirty: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The DELTA form of :func:`rebuild_changed_tiles`: returns
+    ``(rebuilt, dirty)`` where ``rebuilt`` is the changed tiles' new
+    rows (same schema as the full table; emptied tiles absent) and
+    ``dirty`` is the single-column ``tile_id`` set of every tile the
+    changeset touched (tombstones: dirty ids absent from ``rebuilt``
+    were emptied). ``dirty ⊇ rebuilt.tile_id`` always.
+
+    This is the commit unit for a versioned tile STORE: the full-table
+    form re-WRITES the whole corpus per commit even though it only
+    re-COMPUTES the dirty tiles — at 10^12 tiles the write, not the
+    compute, becomes the bottleneck. A delta commit writes
+    O(|changeset|) rows; readers reconstruct
+    ``current = (previous anti-join dirty) union rebuilt``
+    (see ``streaming/tile_maintenance.py``) and a periodic compaction
+    bounds the chain length. Semantics invariant (pinned by
+    test_tile_maintenance): chain-applying deltas reproduces the
+    full-table form bit-for-bit."""
+    _, rebuilt, dirty = _rebuild_changed_tiles_parts(
+        old_tiles, removed_segs, upserted_segs, res, seg_id,
+        lon0, lat0, lon1, lat1, clip, materialize, broadcast_dirty,
+    )
+    return rebuilt, dirty
+
+
+def _rebuild_changed_tiles_parts(
+    old_tiles: DataFrame,
+    removed_segs: DataFrame,
+    upserted_segs: DataFrame,
+    res: int,
+    seg_id: str,
+    lon0: str,
+    lat0: str,
+    lon1: str,
+    lat1: str,
+    clip: bool,
+    materialize: bool,
+    broadcast_dirty: bool,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared machinery: (carried, rebuilt, dirty) — all lazy, so a
+    caller that ignores ``carried`` never pays its anti-join."""
     import pandas as pd
     import struct as _struct
 
@@ -2811,7 +2872,7 @@ def rebuild_changed_tiles(
             "tile_blob",
         )
     )
-    return carried.unionByName(rebuilt)
+    return carried, rebuilt, dirty
 
 
 # --------------------------------------------------------------------------

@@ -4,6 +4,9 @@ from osm_legal_default_speeds_spark.streaming.event_rollup import (  # noqa: F40
     streaming_speed_inference,
 )
 from osm_legal_default_speeds_spark.streaming.tile_maintenance import (  # noqa: F401
+    compact_tile_store,
+    expire_tile_versions,
     read_current_tiles,
+    read_tiles_at,
     streaming_tile_maintenance,
 )

@@ -4,38 +4,61 @@ Streaming twin of ``operators/spatial.py::rebuild_changed_tiles`` and
 the production shape for continuous OSM-diff ingestion (minutely diffs
 arrive as changesets; the planet tile table must never be re-encoded).
 
-Architecture (all public Structured Streaming mechanics):
+Architecture (all public Structured Streaming mechanics; the store is
+the LSM/snapshot pattern of Iceberg/Delta commit logs, hand-rolled over
+plain parquet + atomic pointer files):
 
 - the changeset arrives as a parquet file stream of rows
   ``(seg_id, lon0, lat0, lon1, lat1, op)`` with op in
   ('remove', 'upsert') — a moved segment ships BOTH rows (its old
   geometry under 'remove', new under 'upsert'), exactly what
   ``segment_changeset`` emits;
-- ``foreachBatch`` applies each micro-batch's changeset to the current
-  tile-table version with ``rebuild_changed_tiles`` (dirty tiles only;
-  the corpus-sized table is scanned, never shuffled) and commits a NEW
-  immutable version directory ``v{batch_id}`` plus an atomically
-  renamed ``CURRENT`` pointer — the same versioned-manifest pattern as
-  ``plans/checkpointed_job.py``;
+- ``foreachBatch`` computes each micro-batch's DELTA with
+  ``rebuild_changed_tiles_delta`` (dirty tiles only; the corpus-sized
+  table is scanned, never shuffled) and commits an immutable version
+  directory ``v{batch_id}`` holding ONLY ``delta/`` (the rebuilt tile
+  rows) and ``dirty/`` (the touched tile-id set — its ids absent from
+  the delta are tombstones for emptied tiles), plus an atomically
+  renamed ``CURRENT`` pointer. A commit writes O(|changeset|) rows —
+  the full-table-per-version scheme this replaces re-WROTE the whole
+  corpus each batch, which at 10^12 tiles makes the write, not the
+  compute, the bottleneck;
+- readers reconstruct any version by folding the delta chain onto the
+  newest base snapshot at or below it:
+  ``state = (state anti-join dirty_v) union delta_v`` — each dirty set
+  is changeset-sized and broadcast, so the base is scanned ONCE with
+  no shuffle regardless of chain length;
+- ``compact_tile_store`` bounds the chain: it materializes the current
+  state into ``base-{v}`` and atomically advances the ``BASE`` pointer
+  (the streaming writer can also do this itself every
+  ``compact_every`` commits). ``expire_tile_versions`` then reclaims
+  version/base directories the latest base has superseded — split from
+  compaction because retained deltas ARE the lineage (time travel to
+  any un-expired version stays available);
 - exactly-once across crashes: the streaming checkpoint replays an
   uncommitted batch with the SAME batch_id; the writer detects an
   already-committed version (CURRENT >= batch_id) and skips — a
   version directory is never half-visible because the pointer rename
-  is atomic and happens last. Old versions remain on disk as lineage.
+  is atomic and happens last. A half-written ``base-*`` directory
+  without its pointer advance is simply ignored and overwritten by the
+  next compaction.
 
 At 10^12-tile scale each micro-batch costs O(|changeset| + features in
-dirty tiles); the table itself is only ever read (broadcast-probed) and
-appended as a new version — no full rewrite, no shuffle of tile rows.
+dirty tiles) compute AND write; the table itself is only ever read
+(broadcast-probed). Compaction is the one full-table write and runs at
+an operator-chosen cadence, not per diff.
 """
 
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from osm_legal_default_speeds_spark.operators.spatial import (
-    rebuild_changed_tiles,
+    rebuild_changed_tiles_delta,
 )
 
 CHANGESET_SCHEMA = (
@@ -59,13 +82,61 @@ def read_changeset_stream(
     )
 
 
-def current_version(store_dir: str) -> int | None:
-    """The committed version (batch id), or None before first commit."""
-    ptr = os.path.join(store_dir, "CURRENT")
+def _read_pointer(store_dir: str, name: str) -> int | None:
+    ptr = os.path.join(store_dir, name)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as fh:
         return int(fh.read().strip())
+
+
+def _write_pointer(store_dir: str, name: str, value: int) -> None:
+    tmp = os.path.join(store_dir, f".{name}.{value}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(value))
+    os.replace(tmp, os.path.join(store_dir, name))  # atomic
+
+
+def current_version(store_dir: str) -> int | None:
+    """The committed version (batch id), or None before first commit."""
+    return _read_pointer(store_dir, "CURRENT")
+
+
+def base_version(store_dir: str) -> int | None:
+    """The latest compacted base snapshot's version, or None if the
+    store has never been compacted (reconstruction starts empty)."""
+    return _read_pointer(store_dir, "BASE")
+
+
+def _empty_tiles(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], _TILES_SCHEMA)
+
+
+def read_tiles_at(
+    spark: SparkSession, store_dir: str, version: int
+) -> DataFrame:
+    """Time travel: the tile table as of committed ``version`` —
+    the newest un-expired base at or below it, with the delta chain
+    folded on top. Each fold step is a broadcast anti-join on the
+    changeset-sized dirty set plus a union of the delta rows: the
+    base is scanned once, shuffle-free, for any chain length."""
+    b = base_version(store_dir)
+    if b is not None and b <= version:
+        cur = spark.read.parquet(os.path.join(store_dir, f"base-{b}"))
+        lo = b + 1
+    else:
+        cur = _empty_tiles(spark)
+        lo = 0
+    for v in range(lo, version + 1):
+        vdir = os.path.join(store_dir, f"v{v}")
+        if not os.path.isdir(vdir):
+            continue  # ids need not be dense (e.g. empty micro-batch)
+        dirty = F.broadcast(
+            spark.read.parquet(os.path.join(vdir, "dirty"))
+        )
+        delta = spark.read.parquet(os.path.join(vdir, "delta"))
+        cur = cur.join(dirty, "tile_id", "left_anti").unionByName(delta)
+    return cur
 
 
 def read_current_tiles(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -73,17 +144,60 @@ def read_current_tiles(spark: SparkSession, store_dir: str) -> DataFrame:
     first commit) — what a serving layer reads between commits."""
     v = current_version(store_dir)
     if v is None:
-        return spark.createDataFrame([], _TILES_SCHEMA)
-    return spark.read.parquet(os.path.join(store_dir, f"v{v}"))
+        return _empty_tiles(spark)
+    return read_tiles_at(spark, store_dir, v)
 
 
-def _apply_changeset(
+def compact_tile_store(spark: SparkSession, store_dir: str) -> int | None:
+    """Materialize the current delta chain into a new base snapshot
+    ``base-{CURRENT}`` and advance the ``BASE`` pointer (atomic, last).
+    Returns the new base version, or None on an empty store. Readers
+    of any version >= the new base now fold a chain of length 0 from
+    it; older versions keep reconstructing from the previous base until
+    :func:`expire_tile_versions` reclaims it. Idempotent: re-compacting
+    an already-compacted version rewrites the same directory."""
+    v = current_version(store_dir)
+    if v is None:
+        return None
+    out = read_current_tiles(spark, store_dir)
+    out.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"base-{v}")
+    )
+    _write_pointer(store_dir, "BASE", v)
+    return v
+
+
+def expire_tile_versions(store_dir: str) -> list[str]:
+    """Reclaim storage the latest base snapshot supersedes: delta
+    version dirs at or below BASE and older base dirs. Split from
+    compaction because retained deltas are the time-travel lineage —
+    run this only when history before the base is no longer needed.
+    Returns the removed directory names."""
+    b = base_version(store_dir)
+    if b is None:
+        return []
+    removed = []
+    for name in sorted(os.listdir(store_dir)):
+        m = re.fullmatch(r"v(\d+)", name)
+        if m and int(m.group(1)) <= b:
+            removed.append(name)
+        m = re.fullmatch(r"base-(\d+)", name)
+        if m and int(m.group(1)) < b:
+            removed.append(name)
+    for name in removed:
+        shutil.rmtree(os.path.join(store_dir, name))
+    return removed
+
+
+def _apply_changeset_delta(
     tiles: DataFrame, batch: DataFrame, res: int, clip: bool
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     geom = ["seg_id", "lon0", "lat0", "lon1", "lat1"]
     removed = batch.where(F.col("op") == "remove").select(*geom)
     upserted = batch.where(F.col("op") == "upsert").select(*geom)
-    return rebuild_changed_tiles(tiles, removed, upserted, res, clip=clip)
+    return rebuild_changed_tiles_delta(
+        tiles, removed, upserted, res, clip=clip
+    )
 
 
 def streaming_tile_maintenance(
@@ -95,10 +209,17 @@ def streaming_tile_maintenance(
     clip: bool = True,
     available_now: bool = True,
     max_files_per_trigger: int = 1,
+    compact_every: int | None = None,
 ):
     """Start the maintenance stream; returns the StreamingQuery (caller
     awaits/stops). ``read_current_tiles(spark, store_dir)`` serves the
-    latest committed version at any point, including mid-stream."""
+    latest committed version at any point, including mid-stream.
+
+    ``compact_every``: if set, every Nth commit also materializes a
+    base snapshot, bounding the reconstruction chain every reader
+    (including the NEXT commit's own rebuild) folds. Expiry stays
+    manual (:func:`expire_tile_versions`) so lineage retention is an
+    operator policy, not a side effect of ingestion."""
     os.makedirs(store_dir, exist_ok=True)
 
     def _commit(batch: DataFrame, batch_id: int) -> None:
@@ -106,13 +227,17 @@ def streaming_tile_maintenance(
         if committed is not None and committed >= batch_id:
             return  # checkpoint replay of an already-committed batch
         tiles = read_current_tiles(spark, store_dir)
-        out = _apply_changeset(tiles, batch, res, clip)
+        rebuilt, dirty = _apply_changeset_delta(tiles, batch, res, clip)
         vdir = os.path.join(store_dir, f"v{batch_id}")
-        out.write.mode("overwrite").parquet(vdir)
-        tmp = os.path.join(store_dir, f".CURRENT.{batch_id}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(str(batch_id))
-        os.replace(tmp, os.path.join(store_dir, "CURRENT"))  # atomic
+        # delta first (reads the old chain), then the (materialized)
+        # dirty set; the version becomes visible only via the pointer
+        rebuilt.write.mode("overwrite").parquet(
+            os.path.join(vdir, "delta")
+        )
+        dirty.write.mode("overwrite").parquet(os.path.join(vdir, "dirty"))
+        _write_pointer(store_dir, "CURRENT", batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_tile_store(spark, store_dir)
 
     stream = read_changeset_stream(spark, changeset_dir, max_files_per_trigger)
     writer = stream.writeStream.foreachBatch(_commit).option(

@@ -1,8 +1,10 @@
 """Streaming tile maintenance: a changeset file stream keeps the
 persistent tile table bit-identical to a full re-encode of whatever
 corpus the applied diffs imply — including every INTERMEDIATE version
-(lineage), and across a stream restart (checkpoint replay skips
-committed versions; new diffs keep applying)."""
+(delta-chain time travel), across a stream restart (checkpoint replay
+skips committed versions; new diffs keep applying), and through
+compaction + expiry (base snapshot materialization changes no
+serving-visible state; expiry reclaims only superseded dirs)."""
 
 import glob
 import os
@@ -15,8 +17,12 @@ from osm_legal_default_speeds_spark.operators.spatial import (
     encode_vector_tiles,
 )
 from osm_legal_default_speeds_spark.streaming.tile_maintenance import (
+    base_version,
+    compact_tile_store,
     current_version,
+    expire_tile_versions,
     read_current_tiles,
+    read_tiles_at,
     streaming_tile_maintenance,
 )
 
@@ -105,11 +111,80 @@ def test_streaming_maintenance_matches_full_rebuild_per_version(
     assert _tiles_map(read_current_tiles(spark, store)) == _full_build(
         spark, 3
     )
-    # lineage: every intermediate version is the full rebuild of ITS
-    # corpus — a serving layer can pin any historical version
+    # lineage (time travel): every intermediate version reconstructs
+    # to the full rebuild of ITS corpus — a serving layer can pin any
+    # un-expired historical version
     for batch_id, version in ((0, 1), (1, 2)):
-        got = _tiles_map(spark.read.parquet(f"{store}/v{batch_id}"))
+        got = _tiles_map(read_tiles_at(spark, store, batch_id))
         assert got == _full_build(spark, version), batch_id
+    # the commit unit is the DELTA: after the base batch, each version
+    # dir holds changeset-proportional rows, not the whole corpus
+    full_n = len(_full_build(spark, 3))
+    for batch_id in (1, 2):
+        delta_n = spark.read.parquet(f"{store}/v{batch_id}/delta").count()
+        dirty_n = spark.read.parquet(f"{store}/v{batch_id}/dirty").count()
+        assert 0 < delta_n <= dirty_n < full_n, (batch_id, delta_n, dirty_n)
+
+
+def test_compaction_and_expiry(spark, tmp_path):
+    """compact_tile_store materializes the chain into a base snapshot
+    (state bit-identical before/after), new commits fold from the base,
+    and expire_tile_versions reclaims exactly the superseded dirs while
+    the current state keeps serving."""
+    src = _stage_changesets(spark, tmp_path, range(1, 3))
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    q = streaming_tile_maintenance(spark, src, ck, store, RES, clip=True)
+    q.awaitTermination()
+    assert current_version(store) == 1 and base_version(store) is None
+
+    before = _tiles_map(read_current_tiles(spark, store))
+    assert compact_tile_store(spark, store) == 1
+    assert base_version(store) == 1
+    assert _tiles_map(read_current_tiles(spark, store)) == before
+
+    # a later diff commits a delta on top of the base
+    for v in range(3, 4):
+        rows = _changeset(_corpus(v - 1), _corpus(v))
+        d = str(tmp_path / f"cs_late_{v}")
+        spark.createDataFrame(rows, SCHEMA + ", op string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(d)
+        [part] = glob.glob(f"{d}/part-*.parquet")
+        dst = f"{src}/f{v:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + v, 1_700_000_000 + v))
+    q = streaming_tile_maintenance(spark, src, ck, store, RES, clip=True)
+    q.awaitTermination()
+    assert _tiles_map(read_current_tiles(spark, store)) == _full_build(
+        spark, 3
+    )
+
+    removed = expire_tile_versions(store)
+    assert sorted(removed) == ["v0", "v1"]  # superseded by base-1
+    assert not os.path.exists(f"{store}/v0")
+    assert os.path.isdir(f"{store}/base-1") and os.path.isdir(f"{store}/v2")
+    assert _tiles_map(read_current_tiles(spark, store)) == _full_build(
+        spark, 3
+    )
+
+
+def test_streaming_compact_every(spark, tmp_path):
+    """compact_every folds the chain during ingestion: after 3 commits
+    with compact_every=2, a base exists at version 1 and the final
+    state still matches the full rebuild bit-for-bit."""
+    src = _stage_changesets(spark, tmp_path, range(1, 4))
+    store = str(tmp_path / "store")
+    q = streaming_tile_maintenance(
+        spark, src, str(tmp_path / "ck"), store, RES, clip=True,
+        compact_every=2,
+    )
+    q.awaitTermination()
+    assert current_version(store) == 2
+    assert base_version(store) == 1
+    assert _tiles_map(read_current_tiles(spark, store)) == _full_build(
+        spark, 3
+    )
 
 
 def test_streaming_maintenance_restart_and_replay(spark, tmp_path):
