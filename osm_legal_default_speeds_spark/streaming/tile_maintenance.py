@@ -125,12 +125,24 @@ def read_tiles_at(
         cur = spark.read.parquet(os.path.join(store_dir, f"base-{b}"))
         lo = b + 1
     else:
+        # no base at or below the asked version: the full delta chain
+        # from v0 is required. Batch ids are dense, so a missing v0
+        # means expire_tile_versions reclaimed the chain — refuse
+        # rather than silently reconstruct an empty/partial table.
+        if version >= 0 and not os.path.isdir(
+            os.path.join(store_dir, "v0")
+        ):
+            raise ValueError(
+                f"version {version} predates the latest base snapshot "
+                f"({b}) and its delta chain has been expired — only "
+                f"versions >= {b} remain reconstructible"
+            )
         cur = _empty_tiles(spark)
         lo = 0
     for v in range(lo, version + 1):
         vdir = os.path.join(store_dir, f"v{v}")
         if not os.path.isdir(vdir):
-            continue  # ids need not be dense (e.g. empty micro-batch)
+            continue  # replay gaps cannot happen; tolerate manual ops
         dirty = F.broadcast(
             spark.read.parquet(os.path.join(vdir, "dirty"))
         )

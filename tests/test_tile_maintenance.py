@@ -167,6 +167,13 @@ def test_compaction_and_expiry(spark, tmp_path):
     assert _tiles_map(read_current_tiles(spark, store)) == _full_build(
         spark, 3
     )
+    # time travel to an expired version refuses instead of silently
+    # reconstructing an empty/partial table; un-expired versions serve
+    with pytest.raises(ValueError, match="expired"):
+        read_tiles_at(spark, store, 0)
+    assert _tiles_map(read_tiles_at(spark, store, 1)) == _full_build(
+        spark, 2
+    )
 
 
 def test_streaming_compact_every(spark, tmp_path):
