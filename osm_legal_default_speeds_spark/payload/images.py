@@ -425,22 +425,31 @@ def hamming64(a, b):
 def phash_near_dup_pairs(
     meta: DataFrame,
     max_hamming: int = 6,
-    band_bits: int = 16,
+    band_bits: int = 8,
     carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Near-duplicate image pairs by phash banding (LSH on bit-bands):
     two hashes within ``max_hamming`` of each other must agree exactly on
-    at least one of the 64/band_bits bands (pigeonhole, if
-    max_hamming < #bands), so candidate generation is an equi-join per
-    band — no cross product. Input: metadata projection only (image_id,
-    phash); the payload column must NOT be in ``meta`` (keeps bytes out
-    of the shuffle).
+    at least one of the 64/band_bits bands (pigeonhole — which needs
+    max_hamming < #bands, enforced), so candidate generation is an
+    equi-join per band with COMPLETE recall — no cross product, no
+    missed pairs. Input: metadata projection only (image_id, phash);
+    the payload column must NOT be in ``meta`` (keeps bytes out of the
+    shuffle).
 
     ``carry`` names extra (narrow!) columns of ``meta`` to ride the band
     rows and come back as ``<col>_a`` / ``<col>_b`` on each pair —
     cheaper than joining pair ids back to a corpus-sized table, which
     has no stats and sort-merge-spills (CLAUDE.md)."""
     nbands = 64 // band_bits
+    if max_hamming >= nbands:
+        raise ValueError(
+            f"max_hamming={max_hamming} with {nbands} bands of "
+            f"{band_bits} bits voids the pigeonhole guarantee: a pair "
+            f"within the radius could disagree in every band and be "
+            f"silently missed. Use band_bits <= {64 // (max_hamming + 1)} "
+            f"so that max_hamming < 64/band_bits."
+        )
     mask = (1 << band_bits) - 1
     bands = F.array(
         *[
@@ -484,7 +493,7 @@ def phash_near_dup_pairs(
 
 
 def caption_conflict_pairs(
-    meta: DataFrame, max_hamming: int = 6, band_bits: int = 16
+    meta: DataFrame, max_hamming: int = 6, band_bits: int = 8
 ) -> DataFrame:
     """Label-noise detection for image+caption training data: pairs of
     visually near-duplicate images (phash band LSH, same shape as

@@ -120,6 +120,12 @@ def read_tiles_at(
     folded on top. Each fold step is a broadcast anti-join on the
     changeset-sized dirty set plus a union of the delta rows: the
     base is scanned once, shuffle-free, for any chain length."""
+    committed = current_version(store_dir)
+    if committed is None or version > committed:
+        raise ValueError(
+            f"version {version} has not been committed "
+            f"(CURRENT is {committed})"
+        )
     b = base_version(store_dir)
     if b is not None and b <= version:
         cur = spark.read.parquet(os.path.join(store_dir, f"base-{b}"))
@@ -141,8 +147,17 @@ def read_tiles_at(
         lo = 0
     for v in range(lo, version + 1):
         vdir = os.path.join(store_dir, f"v{v}")
-        if not os.path.isdir(vdir):
-            continue  # replay gaps cannot happen; tolerate manual ops
+        if not os.path.isdir(os.path.join(vdir, "dirty")):
+            # batch ids are dense and expiry only reclaims below the
+            # base, so a committed version without delta/dirty tables
+            # is a store written by the pre-delta format (full table
+            # directly under v{n}) or external damage — refuse loudly
+            raise ValueError(
+                f"{vdir} is not a delta-format version (no dirty/ "
+                f"table): the store was written by an older "
+                f"full-table-per-version release or has been modified "
+                f"externally; re-ingest into a fresh store directory"
+            )
         dirty = F.broadcast(
             spark.read.parquet(os.path.join(vdir, "dirty"))
         )
@@ -167,10 +182,14 @@ def compact_tile_store(spark: SparkSession, store_dir: str) -> int | None:
     of any version >= the new base now fold a chain of length 0 from
     it; older versions keep reconstructing from the previous base until
     :func:`expire_tile_versions` reclaims it. Idempotent: re-compacting
-    an already-compacted version rewrites the same directory."""
+    with no commit since the last compaction is a no-op (it must be —
+    writing base-{v} FROM base-{v} would be a self-overwrite, which
+    Spark rejects)."""
     v = current_version(store_dir)
     if v is None:
         return None
+    if base_version(store_dir) == v:
+        return v  # already compacted at CURRENT; nothing to fold
     out = read_current_tiles(spark, store_dir)
     out.write.mode("overwrite").parquet(
         os.path.join(store_dir, f"base-{v}")
@@ -202,13 +221,18 @@ def expire_tile_versions(store_dir: str) -> list[str]:
 
 
 def _apply_changeset_delta(
-    tiles: DataFrame, batch: DataFrame, res: int, clip: bool
+    tiles: DataFrame,
+    batch: DataFrame,
+    res: int,
+    clip: bool,
+    broadcast_dirty: bool,
 ) -> tuple[DataFrame, DataFrame]:
     geom = ["seg_id", "lon0", "lat0", "lon1", "lat1"]
     removed = batch.where(F.col("op") == "remove").select(*geom)
     upserted = batch.where(F.col("op") == "upsert").select(*geom)
     return rebuild_changed_tiles_delta(
-        tiles, removed, upserted, res, clip=clip
+        tiles, removed, upserted, res, clip=clip,
+        broadcast_dirty=broadcast_dirty,
     )
 
 
@@ -221,17 +245,27 @@ def streaming_tile_maintenance(
     clip: bool = True,
     available_now: bool = True,
     max_files_per_trigger: int = 1,
-    compact_every: int | None = None,
+    compact_every: int | None = 16,
+    broadcast_dirty: bool = True,
 ):
     """Start the maintenance stream; returns the StreamingQuery (caller
     awaits/stops). ``read_current_tiles(spark, store_dir)`` serves the
     latest committed version at any point, including mid-stream.
 
-    ``compact_every``: if set, every Nth commit also materializes a
-    base snapshot, bounding the reconstruction chain every reader
-    (including the NEXT commit's own rebuild) folds. Expiry stays
-    manual (:func:`expire_tile_versions`) so lineage retention is an
-    operator policy, not a side effect of ingestion."""
+    ``compact_every`` (default 16): every Nth commit also materializes
+    a base snapshot, bounding the reconstruction chain every reader
+    (including the NEXT commit's own rebuild) folds — without it the
+    chain grows one broadcast-anti-join fold per commit forever
+    (cumulative O(N^2) re-reads and an ever-deepening plan), so pass
+    None only for short bounded runs that compact manually. Expiry
+    stays manual (:func:`expire_tile_versions`) so lineage retention
+    is an operator policy, not a side effect of ingestion.
+
+    ``broadcast_dirty``: forwarded to
+    :func:`rebuild_changed_tiles_delta`. Pass False when micro-batches
+    are BULK (the initial base import of a whole corpus arriving as
+    one changeset, a re-import wave): the dirty tile set is then
+    corpus-sized and must shuffle-join rather than broadcast."""
     os.makedirs(store_dir, exist_ok=True)
 
     def _commit(batch: DataFrame, batch_id: int) -> None:
@@ -239,7 +273,9 @@ def streaming_tile_maintenance(
         if committed is not None and committed >= batch_id:
             return  # checkpoint replay of an already-committed batch
         tiles = read_current_tiles(spark, store_dir)
-        rebuilt, dirty = _apply_changeset_delta(tiles, batch, res, clip)
+        rebuilt, dirty = _apply_changeset_delta(
+            tiles, batch, res, clip, broadcast_dirty
+        )
         vdir = os.path.join(store_dir, f"v{batch_id}")
         # delta first (reads the old chain), then the (materialized)
         # dirty set; the version becomes visible only via the pointer

@@ -219,6 +219,19 @@ def test_multimodal_dup_classes_rejects_pigeonhole_violation(spark):
     with pytest.raises(ValueError, match="pigeonhole"):
         multimodal_dup_classes(meta, max_hamming=4, band_bits=16)
 
+    # the guard lives at the source too: the raw pair generator (and
+    # every caller inheriting its defaults) enforces the same bound
+    from osm_legal_default_speeds_spark.payload.images import (
+        phash_near_dup_pairs,
+    )
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_dup_pairs(
+            meta.select("image_id", "phash"), max_hamming=4, band_bits=16
+        )
+    # defaults are self-consistent: max_hamming=6 with 8-bit bands
+    phash_near_dup_pairs(meta.select("image_id", "phash")).count()
+
 
 def test_aspect_ratio_buckets_match_brute_force(spark):
     """The Column argmin (integer-exact, tie to earlier bucket) agrees

@@ -142,6 +142,13 @@ def test_compaction_and_expiry(spark, tmp_path):
     assert compact_tile_store(spark, store) == 1
     assert base_version(store) == 1
     assert _tiles_map(read_current_tiles(spark, store)) == before
+    # idempotent: re-compacting with no new commit is a no-op (must
+    # not self-overwrite base-1)
+    assert compact_tile_store(spark, store) == 1
+    assert _tiles_map(read_current_tiles(spark, store)) == before
+    # uncommitted versions refuse instead of serving stale state
+    with pytest.raises(ValueError, match="not been committed"):
+        read_tiles_at(spark, store, 99)
 
     # a later diff commits a delta on top of the base
     for v in range(3, 4):
