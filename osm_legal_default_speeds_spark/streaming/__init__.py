@@ -4,6 +4,7 @@ from osm_legal_default_speeds_spark.streaming.event_rollup import (  # noqa: F40
     streaming_speed_inference,
 )
 from osm_legal_default_speeds_spark.streaming.tile_maintenance import (  # noqa: F401
+    commit_changeset,
     compact_tile_store,
     expire_tile_versions,
     read_current_tiles,

@@ -236,6 +236,50 @@ def _apply_changeset_delta(
     )
 
 
+def commit_changeset(
+    spark: SparkSession,
+    store_dir: str,
+    batch: DataFrame,
+    batch_id: int,
+    res: int,
+    clip: bool = True,
+    compact_every: int | None = 16,
+    broadcast_dirty: bool = True,
+) -> bool:
+    """Apply one changeset batch to the store as version ``batch_id``
+    — the commit unit `streaming_tile_maintenance` runs per
+    micro-batch, exposed for BATCH ingestion (a daily-diff cron job
+    needs the same store without a streaming query). Returns False if
+    ``batch_id`` is already committed (idempotent replay), True after
+    committing. ``batch`` carries the changeset schema
+    (:data:`CHANGESET_SCHEMA`). Version ids must be dense and
+    ascending — pass ``current_version(store_dir) + 1`` (or 0 for a
+    fresh store)."""
+    os.makedirs(store_dir, exist_ok=True)
+    committed = current_version(store_dir)
+    if committed is not None and committed >= batch_id:
+        return False
+    if batch_id != (0 if committed is None else committed + 1):
+        raise ValueError(
+            f"batch_id {batch_id} breaks the dense version sequence "
+            f"(CURRENT is {committed}) — readers rely on density to "
+            f"fold and to detect expiry"
+        )
+    tiles = read_current_tiles(spark, store_dir)
+    rebuilt, dirty = _apply_changeset_delta(
+        tiles, batch, res, clip, broadcast_dirty
+    )
+    vdir = os.path.join(store_dir, f"v{batch_id}")
+    # delta first (reads the old chain), then the (materialized)
+    # dirty set; the version becomes visible only via the pointer
+    rebuilt.write.mode("overwrite").parquet(os.path.join(vdir, "delta"))
+    dirty.write.mode("overwrite").parquet(os.path.join(vdir, "dirty"))
+    _write_pointer(store_dir, "CURRENT", batch_id)
+    if compact_every and (batch_id + 1) % compact_every == 0:
+        compact_tile_store(spark, store_dir)
+    return True
+
+
 def streaming_tile_maintenance(
     spark: SparkSession,
     changeset_dir: str,
@@ -269,23 +313,10 @@ def streaming_tile_maintenance(
     os.makedirs(store_dir, exist_ok=True)
 
     def _commit(batch: DataFrame, batch_id: int) -> None:
-        committed = current_version(store_dir)
-        if committed is not None and committed >= batch_id:
-            return  # checkpoint replay of an already-committed batch
-        tiles = read_current_tiles(spark, store_dir)
-        rebuilt, dirty = _apply_changeset_delta(
-            tiles, batch, res, clip, broadcast_dirty
+        commit_changeset(
+            spark, store_dir, batch, batch_id, res, clip=clip,
+            compact_every=compact_every, broadcast_dirty=broadcast_dirty,
         )
-        vdir = os.path.join(store_dir, f"v{batch_id}")
-        # delta first (reads the old chain), then the (materialized)
-        # dirty set; the version becomes visible only via the pointer
-        rebuilt.write.mode("overwrite").parquet(
-            os.path.join(vdir, "delta")
-        )
-        dirty.write.mode("overwrite").parquet(os.path.join(vdir, "dirty"))
-        _write_pointer(store_dir, "CURRENT", batch_id)
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_tile_store(spark, store_dir)
 
     stream = read_changeset_stream(spark, changeset_dir, max_files_per_trigger)
     writer = stream.writeStream.foreachBatch(_commit).option(

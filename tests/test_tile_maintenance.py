@@ -18,6 +18,7 @@ from osm_legal_default_speeds_spark.operators.spatial import (
 )
 from osm_legal_default_speeds_spark.streaming.tile_maintenance import (
     base_version,
+    commit_changeset,
     compact_tile_store,
     current_version,
     expire_tile_versions,
@@ -246,3 +247,75 @@ def test_changeset_fixture_exercises_all_kinds(spark):
         rm = {r[0] for r in rows if r[-1] == "remove"}
         up = {r[0] for r in rows if r[-1] == "upsert"}
         assert rm - up and up - rm and rm & up, v
+
+
+def _rand_corpus_seq(seed: int, n_versions: int):
+    """Seeded random corpus evolution: each step removes, moves, and
+    adds random segments (deterministic LCG — no global random state)."""
+    state = seed * 2654435761 % (2**31)
+
+    def rnd():
+        nonlocal state
+        state = (1103515245 * state + 12345) % (2**31)
+        return state
+
+    segs = {}
+    for i in range(40):
+        lon = -60.0 + rnd() % 120
+        lat = -40.0 + rnd() % 80
+        segs[i] = (i, lon, lat, lon + rnd() % 7 - 3.0, lat + rnd() % 5 - 2.0)
+    out = [sorted(segs.values())]
+    nxt = 1000
+    for _ in range(n_versions - 1):
+        for i in sorted(segs):
+            r = rnd() % 10
+            if r < 2:
+                del segs[i]
+            elif r < 4:
+                s = segs[i]
+                dx, dy = rnd() % 9 - 4.0, rnd() % 7 - 3.0
+                segs[i] = (i, s[1] + dx, s[2] + dy, s[3] + dx, s[4] + dy)
+        for _ in range(rnd() % 4 + 1):
+            lon = -60.0 + rnd() % 120
+            lat = -40.0 + rnd() % 80
+            segs[nxt] = (nxt, lon, lat, lon + 1.5, lat - 1.0)
+            nxt += 1
+        out.append(sorted(segs.values()))
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_batch_commit_random_differential(spark, tmp_path, seed):
+    """Property sweep of the batch commit API: random changeset
+    sequences (removes/moves/adds), commits interleaved with automatic
+    compaction (compact_every=2) — EVERY version reconstructs
+    bit-identical to a full re-encode of its corpus, and replaying a
+    committed id is a no-op."""
+    versions = _rand_corpus_seq(seed, 4)
+    store = str(tmp_path / f"store{seed}")
+    for b, corpus in enumerate(versions):
+        old = versions[b - 1] if b else []
+        rows = _changeset(old, corpus)
+        batch = spark.createDataFrame(rows, SCHEMA + ", op string")
+        assert commit_changeset(
+            spark, store, batch, b, RES, clip=True, compact_every=2
+        )
+    assert not commit_changeset(  # replay
+        spark, store,
+        spark.createDataFrame([], SCHEMA + ", op string"),
+        len(versions) - 1, RES, clip=True,
+    )
+    with pytest.raises(ValueError, match="dense"):
+        commit_changeset(
+            spark, store,
+            spark.createDataFrame([], SCHEMA + ", op string"),
+            len(versions) + 3, RES, clip=True,
+        )
+    assert base_version(store) is not None  # compaction really ran
+    for b, corpus in enumerate(versions):
+        want = _tiles_map(
+            encode_vector_tiles(
+                spark.createDataFrame(corpus, SCHEMA), RES, clip=True
+            )
+        )
+        assert _tiles_map(read_tiles_at(spark, store, b)) == want, (seed, b)
