@@ -2689,14 +2689,19 @@ ORACLES.update({"tile_hotspots": SQL_TILE_HOTSPOTS})
 # --------------------------------------------------------------------------
 
 _WINDOW_HEAD = [
-    # core reference-engine representatives (r01-r03 green).
     # tagfilter_atoms / units_normalize / relation_semijoin_native /
     # override_column_native rotated OUT in round 4 (each has three
     # green driver rows on record, and the full-registry pytest
     # contract still pins them) to admit the four round-4 operators,
-    # which have never had a driver row.
-    "cascade_infer_native",
-    "result_assembly_native",
+    # which have never had a driver row. cascade_infer_native /
+    # result_assembly_native (r02+r03 green) and ann_ivf_topk_np (a
+    # rows-only twin whose oracled sibling ann_ivf_topk stays inside)
+    # rotated out late in round 4 so the three youngest operators get
+    # their first driver rows: trajectory legs, speeding detection,
+    # and the incremental tile rebuild.
+    "trajectory_stats",
+    "speeding_legs",
+    "tiles_incremental",
     # round-4 additions, never driver-checked
     "image_patch_containment",
     "image_verify_streaming",
@@ -2722,7 +2727,6 @@ _WINDOW_HEAD = [
     "ann_lsh_topk_partial",
     "ann_multiprobe",
     "ann_ivf_topk",
-    "ann_ivf_topk_np",
     "ann_pq_topk",
     "semantic_dedup",
     "events_rollup_streaming",
@@ -2762,18 +2766,11 @@ def _window_reorder(d: dict) -> dict:
     return {**head, **{k: v for k, v in d.items() if k not in head}}
 
 
-QUERIES = _window_reorder(QUERIES)
-ORACLES = _window_reorder(ORACLES)
-
-
 # --------------------------------------------------------------------------
 # Trajectory operators (operators/trajectory.py): per-user ping legs,
 # trajectory rollup, and jurisdiction-aware speeding detection — the
 # events-table twin of the speed-limit theme (reference inference says
-# what the limit IS; these measure who exceeds it). Registered after
-# the window reorder on purpose: brand-new operators stay
-# pytest-oracled (full-registry contract test) until a future round
-# rotates them into the driver window.
+# what the limit IS; these measure who exceeds it).
 # --------------------------------------------------------------------------
 
 # Deterministic ping fixture: a per-user base position plus an
@@ -2972,3 +2969,9 @@ def q_tiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"tiles_incremental": q_tiles_incremental})
 ORACLES.update({"tiles_incremental": SQL_VECTOR_TILES_CLIPPED})
+
+
+# The window reorder runs LAST so _WINDOW_HEAD can name any registered
+# query, including the late-round additions above.
+QUERIES = _window_reorder(QUERIES)
+ORACLES = _window_reorder(ORACLES)
