@@ -689,12 +689,15 @@ def run_extended(sf_dir: str) -> None:
     )
 
 
-# The five most expensive extended queries: the rows-scaling exponent
-# pins the 100 TB claim that their work is output/rows-proportional
-# (exponent ~1 over the sf0.01 -> sf0.1 decade; sub-linear readings
-# mean fixed overhead still dominates at the smaller point, never
-# super-linear row^2 blowup).
+# The five most expensive extended queries plus two core-engine
+# representatives (the full native rule cascade and MinHash+LSH
+# dedup): the rows-scaling exponent pins the 100 TB claim that their
+# work is output/rows-proportional (exponent ~1 over a decade;
+# sub-linear readings mean fixed overhead still dominates at the
+# smaller point, never super-linear row^2 blowup).
 SF_SCALING_QUERIES = (
+    "cascade_infer_native",
+    "minhash_near_dup",
     "tile_build_e2e",
     "cross_doc_spans",
     "rasterize_segments",
@@ -866,6 +869,28 @@ def main() -> None:
                 f"(found: {dirs})"
             )
         return run_sf_scaling(dirs[: dirs.index(abs_dir) + 1])
+    if "--sf-scaling-xl" in sys.argv:
+        # one decade past the largest driver-generated fixture: a
+        # deterministic salted 10x replication of sf0.1 (see
+        # plans/sf_synth.py for why replication alone would be a
+        # pathological corpus), synthesized once into a scratch dir
+        # and reused. Exponent printed is the sf0.1 -> sf1 slope.
+        from osm_legal_default_speeds_spark.plans.sf_synth import (
+            synthesize_sf,
+        )
+
+        abs_dir = os.path.abspath(sf_dir.rstrip("/"))
+        root = os.path.dirname(abs_dir)
+        src = os.path.join(root, "sf0.1")
+        out_root = os.environ.get(
+            "SPARK_GRAFT_SYNTH_DIR", "/tmp/sparkgraft-xl"
+        )
+        spark = make_spark("sf-synth")
+        try:
+            sf1 = synthesize_sf(spark, src, os.path.join(out_root, "sf1"))
+        finally:
+            spark.stop()
+        return run_sf_scaling([os.path.join(root, "sf0.01"), src, sf1])
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = make_spark()
     try:

@@ -1,0 +1,128 @@
+"""Deterministic sf1 synthesis: a 10x replication of the sf0.1 fixture
+tables that extends the rows-scaling ladder one decade past the largest
+driver-generated scale factor (TESTDATA.md stops at sf0.1), with no
+external data.
+
+Each copy is SALTED so replication does not create a pathological
+distribution the real tables don't have:
+
+- ``orders``: key offset per copy. Every geometry fixture derives
+  lon/lat and tag mixes arithmetically from ``o_orderkey``
+  (driver_queries._roads_df), so offset keys yield NEW deterministic
+  positions with the same spatial spread — not 10 stacked copies of
+  the same map.
+- ``documents``: every whitespace-delimited token gets a per-copy
+  suffix (``$1q{i}`` regexp rewrite). Token COUNT is unchanged (the
+  per-doc work of tokenize/shingle pipelines stays constant per row),
+  within-copy duplicate structure is preserved exactly (the rewrite is
+  a bijective token renaming), and cross-copy shingles are disjoint —
+  so the shared-gram groups of cross_doc_spans grow in NUMBER, not in
+  SIZE, exactly how a 10x-bigger real corpus behaves.
+- ``embeddings``: id offset per copy plus a copy-dependent shift on
+  one coordinate (dimension ``copy % d``), moving each copy into its
+  own cosine region — cluster populations grow with corpus size
+  instead of every copy collapsing onto the sf0.1 points.
+
+Remaining tables are symlinked from the source directory: the scaling
+queries (bench.SF_SCALING_QUERIES) read only orders / documents /
+embeddings, and a symlink keeps any incidental lookup working.
+
+Copy 0 is the identity, so sf1 strictly contains sf0.1.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# distinct id namespaces per copy; far above sf0.1 key ranges (orders
+# max 149,999) and the fixture augmentations (+10000 vec_id dups,
+# +100000 near-dup doc_ids) so no synthetic id collides with either
+_COPY_OFFSET = 1_000_000
+
+REPLICATED = ("orders", "documents", "embeddings")
+
+
+def _orders_copy(o: DataFrame, i: int) -> DataFrame:
+    return o.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(i * _COPY_OFFSET)
+    )
+
+
+def _documents_copy(d: DataFrame, i: int) -> DataFrame:
+    if i == 0:
+        return d
+    text = F.regexp_replace(F.col("text"), r"(\S+)", f"$1q{i}")
+    return d.select(
+        (F.col("doc_id") + F.lit(i * _COPY_OFFSET)).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length(text).alias("n_chars"),
+    )
+
+
+def _embeddings_copy(e: DataFrame, i: int, dim: int) -> DataFrame:
+    if i == 0:
+        return e
+    j = i % dim
+    vec = F.transform(
+        F.col("embedding"),
+        lambda x, k: F.when(k == F.lit(j), x + F.lit(float(i) * 0.5))
+        .otherwise(x)
+        .cast("float"),
+    )
+    return e.select(
+        (F.col("vec_id") + F.lit(i * _COPY_OFFSET)).alias("vec_id"),
+        vec.alias("embedding"),
+        "label",
+    )
+
+
+def synthesize_sf(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    copies: int = 10,
+    force: bool = False,
+) -> str:
+    """Materialize the replicated scale directory (idempotent: reuses
+    an existing complete output unless ``force``). Returns ``out_dir``.
+    The directory name should end in the target scale factor (e.g.
+    ``.../sf1``) so bench.run_sf_scaling can parse it."""
+    marker = os.path.join(out_dir, "_SYNTH_COMPLETE")
+    if os.path.exists(marker) and not force:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    o = spark.read.parquet(f"{src_dir}/orders.parquet")
+    d = spark.read.parquet(f"{src_dir}/documents.parquet")
+    e = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    dim = len(e.select("embedding").head()[0])
+
+    builders = {
+        "orders": lambda i: _orders_copy(o, i),
+        "documents": lambda i: _documents_copy(d, i),
+        "embeddings": lambda i: _embeddings_copy(e, i, dim),
+    }
+    for table, build in builders.items():
+        full = build(0)
+        for i in range(1, copies):
+            full = full.unionByName(build(i))
+        full.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
+
+    for name in sorted(os.listdir(src_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        if name.rsplit(".", 1)[0] in REPLICATED:
+            continue
+        dst = os.path.join(out_dir, name)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src_dir, name), dst)
+
+    with open(marker, "w") as fh:
+        fh.write(f"copies={copies} src={src_dir}\n")
+    return out_dir

@@ -41,7 +41,13 @@ plain parquet + atomic pointer files):
   version directory is never half-visible because the pointer rename
   is atomic and happens last. A half-written ``base-*`` directory
   without its pointer advance is simply ignored and overwritten by the
-  next compaction.
+  next compaction;
+- SINGLE WRITER by contract: one streaming query or one batch job
+  commits at a time. The pointer rename is atomic, but there is no
+  cross-process commit lock — the dense-version guard in
+  ``commit_changeset`` rejects stale ids from a lagging writer, yet
+  two writers racing on the SAME next id could interleave. Readers
+  are unaffected either way (they only follow committed pointers).
 
 At 10^12-tile scale each micro-batch costs O(|changeset| + features in
 dirty tiles) compute AND write; the table itself is only ever read
