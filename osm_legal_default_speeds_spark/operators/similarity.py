@@ -888,7 +888,17 @@ def semantic_dedup(
     self-join uses SHUFFLE_HASH hints on both (identical) sides so the
     assignment pipeline is computed once (ReuseExchange) and nothing
     corpus-sized is broadcast; the final anti-join broadcasts the
-    known-small loser set explicitly."""
+    known-small loser set explicitly.
+
+    Scale guidance (measured on the synthetic sf1 decade, see
+    BENCH/BASELINE.md): total cost is O(n*C*d) assignment plus
+    O(n^2/C*d) in-cell pairs, so ``n_centroids`` must GROW with the
+    corpus to keep cells bounded — a fixed C reads as a quadratic
+    decade slope. Past ~10k rows/cell the in-cell work is
+    matmul-shaped and ``np_assign``/``np_pairs`` win decisively
+    (20k vecs: 23 s interpreted at C=32 vs 3.4 s numpy at C=320);
+    below that the interpreted Column path is faster (0.96 s vs
+    ~2 s at 2k vecs) because Arrow transfer dominates."""
     v_in = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
