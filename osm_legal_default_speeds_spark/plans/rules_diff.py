@@ -20,6 +20,15 @@ table is absurd. This module gives the targeted-recompute path:
    write side composes with the checkpointed job's dynamic partition
    overwrite — country is the leading partition column, so only
    changed partitions rewrite.
+4. ``apply_road_changeset`` — the ROW-keyed twin for the other input
+   axis: the rules are unchanged but the ROADS changed (the OSM
+   minutely/daily diff). Inference is per-row, so a changeset touches
+   exactly its own rows: drop the removed/re-tagged ids from the
+   stored results, infer the upserted rows, union. The geometry-side
+   counterpart is ``operators/spatial.py::rebuild_changed_tiles`` /
+   the versioned tile store — together they keep BOTH derived tables
+   (inference results, tile blobs) current under a diff stream
+   without ever recomputing the corpus.
 
 Scale: the decision is driver-side over the rule DIM (KBs); the data
 pass is one partition-prunable filter plus the normal broadcast
@@ -148,3 +157,60 @@ def reinfer_changed(
         redo = project(redo)
     keep = old_results.join(keep_ids, id_col, "left_semi")
     return keep.unionByName(redo.select(*old_results.columns))
+
+
+def apply_road_changeset(
+    old_results: DataFrame,
+    removed_ids: DataFrame,
+    upserted_roads: DataFrame,
+    ruleset,
+    id_col: str = "road_id",
+    country_col: str = "country_code",
+    engine: str = "native",
+    project=None,
+    broadcast_ids: bool = True,
+    **infer_kwargs,
+) -> DataFrame:
+    """Apply a ROAD changeset to a stored inference-result table under
+    an UNCHANGED ruleset: the row-keyed twin of :func:`reinfer_changed`
+    (which handles the rule-change axis). Inference has no cross-row
+    dependencies, so the update is exact by construction — drop every
+    id the changeset names, infer the upserted rows, union; pinned
+    bit-identical to a full re-inference of the implied corpus by
+    test_rules_diff.
+
+    ``removed_ids`` is a single-``id_col`` DataFrame naming rows that
+    vanished; ``upserted_roads`` carries full road rows (new or
+    re-tagged/moved — a modified road needs only its new row here, its
+    id is dropped from the old results automatically). ``project``
+    maps raw inference output onto ``old_results``' stored schema,
+    same contract as :func:`reinfer_changed`.
+
+    Scale shape: the dropped-id set is changeset-sized and broadcast
+    into ONE left-anti join (the corpus-sized result table is scanned,
+    never shuffled), and the inference side is the normal broadcast
+    cascade over changeset-sized input. Pass ``broadcast_ids=False``
+    for a BULK changeset (initial import, re-import wave) — the
+    anti-join then degrades gracefully to a shuffle instead of
+    overflowing the broadcast limit. Composes with the checkpointed
+    job's partitioned write the same way reinfer_changed does."""
+    if engine == "native":
+        from osm_legal_default_speeds_spark.plans.native_cascade import (
+            infer_speed_limits_native as _infer,
+        )
+    else:
+        from osm_legal_default_speeds_spark.operators.inference import (
+            infer_speed_limits as _infer,
+        )
+    touched = (
+        removed_ids.select(id_col)
+        .unionByName(upserted_roads.select(id_col))
+        .distinct()
+    )
+    if broadcast_ids:
+        touched = F.broadcast(touched)
+    keep = old_results.join(touched, id_col, "left_anti")
+    fresh = _infer(upserted_roads, ruleset, country_col=country_col, **infer_kwargs)
+    if project is not None:
+        fresh = project(fresh)
+    return keep.unionByName(fresh.select(*old_results.columns))

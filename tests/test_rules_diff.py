@@ -225,3 +225,74 @@ def test_removed_subdivision_reinfers_under_parent(spark, roads):
     fr = {t[0]: t[2] for t in map(tuple, inc.collect()) if t[1] == "FR-IDF"}
     fr_old = {t[0]: t[2] for t in map(tuple, old_results.collect()) if t[1] == "FR-IDF"}
     assert fr and fr != fr_old
+
+
+def test_road_changeset_equals_full_recompute(spark, roads):
+    """apply_road_changeset (the ROW-keyed axis: rules unchanged, the
+    ROADS changed — the OSM-diff flow) must be bit-identical to fully
+    re-inferring the implied new corpus. The changeset exercises every
+    kind: pure removals, re-tagged rows (including country flips to
+    and from NULL), and brand-new rows."""
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
+    )
+    from osm_legal_default_speeds_spark.plans.rules_diff import (
+        apply_road_changeset,
+    )
+
+    rs = compile_ruleset(_road_types(), _rules())
+    r = F.col("speed_limit")
+
+    def flat(df):
+        return df.select(
+            "road_id",
+            "country_code",
+            r.getField("road_type_name").alias("rt"),
+            r.getField("certitude").alias("cert"),
+            F.element_at(r.getField("tags"), F.lit("maxspeed")).alias("ms"),
+        )
+
+    old_results = flat(infer_speed_limits_native(roads, rs))
+
+    removed = {5, 12}
+    schema = "road_id long, country_code string, tags map<string,string>"
+    modified = [
+        (7, "DE", {"highway": "motorway", "lit": "no"}),   # re-tagged
+        (14, None, {"highway": "residential"}),            # country -> NULL
+        (20, "ZA", {"highway": "living_street"}),          # NULL -> country
+    ]
+    added = [
+        (1000, "ZA-NC", {"highway": "motorway"}),
+        (1001, None, {"highway": "residential", "lit": "yes"}),
+    ]
+    upserted = spark.createDataFrame(modified + added, schema)
+    removed_df = spark.createDataFrame([(i,) for i in removed], "road_id long")
+
+    inc = apply_road_changeset(old_results, removed_df, upserted, rs, project=flat)
+
+    touched = removed | {row[0] for row in modified}
+    new_corpus = roads.where(~F.col("road_id").isin(list(touched))).unionByName(
+        upserted
+    )
+    full = flat(infer_speed_limits_native(new_corpus, rs))
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+    assert inc.count() == 240 - len(removed) + len(added)
+
+    # bulk mode (shuffle anti-join) computes the same table
+    inc_bulk = apply_road_changeset(
+        old_results, removed_df, upserted, rs, project=flat,
+        broadcast_ids=False,
+    )
+    assert sorted(map(tuple, inc_bulk.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    # empty changeset is the identity
+    empty_ids = spark.createDataFrame([], "road_id long")
+    empty_roads = spark.createDataFrame([], schema)
+    same = apply_road_changeset(
+        old_results, empty_ids, empty_roads, rs, project=flat
+    )
+    assert sorted(map(tuple, same.collect())) == sorted(
+        map(tuple, old_results.collect())
+    )
