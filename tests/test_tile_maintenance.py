@@ -319,3 +319,101 @@ def test_batch_commit_random_differential(spark, tmp_path, seed):
             )
         )
         assert _tiles_map(read_tiles_at(spark, store, b)) == want, (seed, b)
+
+
+def test_one_changeset_maintains_both_derived_tables(spark, tmp_path):
+    """The production claim (PLANS.md): ONE OSM-style diff stream keeps
+    BOTH derived tables current — the versioned tile store on the
+    geometry axis (commit_changeset) and the stored inference table on
+    the tag axis (rules_diff.apply_road_changeset) — each bit-identical
+    to a full recompute of the implied corpus, at changeset-sized work.
+    The same _changeset rows feed both: remove/upsert geometry rows for
+    the tiles, the upsert ids' road rows (tags derived per seg id) for
+    the inference."""
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
+    )
+    from osm_legal_default_speeds_spark.plans.rules_compiler import (
+        compile_ruleset,
+    )
+    from osm_legal_default_speeds_spark.plans.rules_diff import (
+        apply_road_changeset,
+    )
+    from osm_legal_default_speeds_spark.plans.rules_model import (
+        RoadTypeDef,
+        RoadTypeFilterDef,
+    )
+
+    rs = compile_ruleset(
+        {
+            "motorway": RoadTypeFilterDef("highway=motorway"),
+            "urban": RoadTypeFilterDef("lit=yes", "highway=residential"),
+        },
+        {
+            "ZA": [
+                RoadTypeDef("urban", {"maxspeed": "60"}),
+                RoadTypeDef("motorway", {"maxspeed": "120"}),
+            ],
+            "DE": [RoadTypeDef("motorway", {"maxspeed": "130"})],
+        },
+    )
+    hw = ["motorway", "residential", "living_street"]
+    cc = ["ZA", "DE", "ZA-NC", None]
+
+    def road_rows(seg_rows):
+        return [
+            (
+                i,
+                cc[i % 4],
+                {"highway": hw[i % 3], "lit": "yes" if i % 2 == 0 else "no"},
+            )
+            for (i, *_geom) in seg_rows
+        ]
+
+    road_schema = "road_id long, country_code string, tags map<string,string>"
+    r = F.col("speed_limit")
+
+    def flat(df):
+        return df.select(
+            "road_id",
+            "country_code",
+            r.getField("road_type_name").alias("rt"),
+            r.getField("certitude").alias("cert"),
+        )
+
+    def res_map(df):
+        return {t[0]: t for t in map(tuple, df.collect())}
+
+    store = str(tmp_path / "both_store")
+    results = None
+    for v in (1, 2, 3):
+        old = _corpus(v - 1) if v > 1 else []
+        rows = _changeset(old, _corpus(v))
+        batch = spark.createDataFrame(rows, SCHEMA + ", op string")
+        # geometry axis: delta commit to the versioned tile store
+        assert commit_changeset(spark, store, batch, v - 1, RES, clip=True)
+        # tag axis: the same changeset's ids update the result table
+        removed_df = batch.where("op = 'remove'").select(
+            F.col("seg_id").alias("road_id")
+        )
+        upserted = spark.createDataFrame(
+            road_rows([row for row in rows if row[-1] == "upsert"]),
+            road_schema,
+        )
+        if results is None:
+            results = flat(infer_speed_limits_native(upserted, rs))
+        else:
+            results = apply_road_changeset(
+                results, removed_df, upserted, rs, project=flat
+            )
+        results = spark.createDataFrame(
+            results.collect(), results.schema
+        )  # snapshot: the stored table, not a growing lazy plan
+        # both tables equal a full recompute of the implied corpus
+        want_tiles = _full_build(spark, v)
+        assert _tiles_map(read_current_tiles(spark, store)) == want_tiles
+        full_roads = spark.createDataFrame(
+            road_rows(_corpus(v)), road_schema
+        )
+        want_res = res_map(flat(infer_speed_limits_native(full_roads, rs)))
+        assert res_map(results) == want_res, v
