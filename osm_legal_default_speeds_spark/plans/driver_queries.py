@@ -2971,6 +2971,61 @@ QUERIES.update({"tiles_incremental": q_tiles_incremental})
 ORACLES.update({"tiles_incremental": SQL_VECTOR_TILES_CLIPPED})
 
 
+def q_cascade_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-keyed incremental inference (rules_diff.apply_road_changeset,
+    the OSM-diff flow). The stored table is built from a STALE corpus —
+    a corrupted tag stripe plus phantom rows — and one changeset
+    (remove the phantoms, upsert the stripe's true rows) repairs it.
+    The implied final corpus is exactly the fixture, so the result must
+    ride the full-cascade oracle VERBATIM: any carry-over/drop/union
+    defect surfaces as a hash mismatch against SQL_CASCADE_INFER."""
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
+    )
+    from osm_legal_default_speeds_spark.plans.rules_diff import (
+        apply_road_changeset,
+    )
+
+    ruleset = mini_ruleset()
+    roads = _roads_df(spark, sf_dir)
+    r = F.col("speed_limit")
+
+    def flat(out: DataFrame) -> DataFrame:
+        return out.select(
+            "road_id",
+            r.getField("road_type_name").alias("road_type_name"),
+            r.getField("certitude").alias("certitude"),
+            F.element_at(
+                r.getField("tags"), F.lit("maxspeed")
+            ).alias("out_maxspeed"),
+        )
+
+    stale = F.col("road_id") % 10 == 3
+    stale_stripe = roads.where(stale).withColumn(
+        "tags", F.create_map(F.lit("highway"), F.lit("unclassified_xx"))
+    )
+    phantoms = roads.where(F.col("road_id") % 10 == 7).withColumn(
+        "road_id", F.col("road_id") + F.lit(1_000_000_000)
+    )
+    old_corpus = (
+        roads.where(~stale).unionByName(stale_stripe).unionByName(phantoms)
+    )
+    old_results = flat(infer_speed_limits_native(old_corpus, ruleset))
+    return apply_road_changeset(
+        old_results,
+        phantoms.select("road_id"),
+        roads.where(stale),
+        ruleset,
+        project=flat,
+    )
+
+
+# same oracle as the full cascade: the changeset repairs the stale
+# corpus back to exactly the fixture
+QUERIES.update({"cascade_incremental": q_cascade_incremental})
+ORACLES.update({"cascade_incremental": SQL_CASCADE_INFER})
+
+
 # The window reorder runs LAST so _WINDOW_HEAD can name any registered
 # query, including the late-round additions above.
 QUERIES = _window_reorder(QUERIES)
