@@ -634,6 +634,7 @@ EXTENDED_QUERIES = (
     "trajectory_stats",
     "speeding_legs",
     "tiles_incremental",
+    "cascade_incremental",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan
@@ -882,6 +883,12 @@ def main() -> None:
         abs_dir = os.path.abspath(sf_dir.rstrip("/"))
         root = os.path.dirname(abs_dir)
         src = os.path.join(root, "sf0.1")
+        small = os.path.join(root, "sf0.01")
+        if not (os.path.isdir(src) and os.path.isdir(small)):
+            raise SystemExit(
+                f"--sf-scaling-xl needs sf0.01 and sf0.1 siblings of "
+                f"SPARK_GRAFT_SF_DIR; missing under {root}"
+            )
         out_root = os.environ.get(
             "SPARK_GRAFT_SYNTH_DIR", "/tmp/sparkgraft-xl"
         )

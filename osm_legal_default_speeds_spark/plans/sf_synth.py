@@ -100,6 +100,15 @@ def synthesize_sf(
     d = spark.read.parquet(f"{src_dir}/documents.parquet")
     e = spark.read.parquet(f"{src_dir}/embeddings.parquet")
     dim = len(e.select("embedding").head()[0])
+    # copy namespaces must not collide: the offset bounds the source's
+    # key range (true for every driver-generated scale; a larger
+    # source needs a larger offset, not silent id collisions)
+    max_key = o.agg(F.max("o_orderkey")).head()[0]
+    if max_key >= _COPY_OFFSET:
+        raise ValueError(
+            f"source keys reach {max_key} >= copy offset {_COPY_OFFSET}; "
+            f"raise _COPY_OFFSET before replicating this source"
+        )
 
     builders = {
         "orders": lambda i: _orders_copy(o, i),

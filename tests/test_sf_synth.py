@@ -89,3 +89,19 @@ def test_synthesis_is_idempotent(spark, synth_dir):
     before = os.path.getmtime(marker)
     assert synthesize_sf(spark, SRC, synth_dir, copies=3) == synth_dir
     assert os.path.getmtime(marker) == before
+
+
+def test_oversized_source_keys_are_rejected(spark, tmp_path):
+    """Keys at or above the copy offset would silently collide across
+    copies; the synthesizer must refuse instead."""
+    fake = tmp_path / "fake_src"
+    fake.mkdir()
+    for t in ("documents", "embeddings"):
+        os.symlink(f"{SRC}/{t}.parquet", fake / f"{t}.parquet")
+    spark.createDataFrame(
+        [(2_000_000, 1, "O", 1.0)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double",
+    ).write.parquet(str(fake / "orders.parquet"))
+    with pytest.raises(ValueError, match="copy offset"):
+        synthesize_sf(spark, str(fake), str(tmp_path / "out"), copies=2)
