@@ -1,0 +1,221 @@
+"""Generic versioned DELTA store: the LSM/snapshot commit-log pattern
+(Iceberg/Delta-style) hand-rolled over plain parquet + atomic pointer
+files, factored out of the tile store so every derived table maintained
+from a changeset stream shares one implementation — vector tiles
+(``tile_maintenance.py``) and inference results
+(``inference_maintenance.py``) today.
+
+Store layout (all committed state is immutable; only pointers move):
+
+- ``v{N}/delta``  — the rows version N changed (new values);
+- ``v{N}/dirty``  — the key set version N touched (single key column;
+  keys absent from the delta are tombstones for removed rows);
+- ``base-{N}``    — a compacted full snapshot at version N;
+- ``CURRENT`` / ``BASE`` — atomically renamed pointer files naming the
+  newest committed version and the newest base snapshot.
+
+Readers reconstruct any committed version by folding the delta chain
+onto the newest base at or below it:
+``state = (state anti-join dirty_v) union delta_v`` per step — each
+dirty set is changeset-sized and broadcast, so the base is scanned
+ONCE, shuffle-free, for any chain length. ``compact_store`` bounds the
+chain (measured chain-cost numbers in PLANS.md justify the default
+cadence of 16); ``expire_versions`` reclaims superseded directories,
+split from compaction because retained deltas ARE the time-travel
+lineage.
+
+Exactly-once across crashes: a replayed batch id is detected
+(``CURRENT >= batch_id``) and skipped; a version is never half-visible
+because the pointer rename is atomic and happens last. SINGLE WRITER
+by contract — there is no cross-process commit lock; the dense-version
+guard rejects stale ids from a lagging writer, and readers only follow
+committed pointers either way.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _read_pointer(store_dir: str, name: str) -> int | None:
+    ptr = os.path.join(store_dir, name)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return int(fh.read().strip())
+
+
+def _write_pointer(store_dir: str, name: str, value: int) -> None:
+    tmp = os.path.join(store_dir, f".{name}.{value}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(value))
+    os.replace(tmp, os.path.join(store_dir, name))  # atomic
+
+
+def current_version(store_dir: str) -> int | None:
+    """The committed version (batch id), or None before first commit."""
+    return _read_pointer(store_dir, "CURRENT")
+
+
+def base_version(store_dir: str) -> int | None:
+    """The latest compacted base snapshot's version, or None if the
+    store has never been compacted (reconstruction starts empty)."""
+    return _read_pointer(store_dir, "BASE")
+
+
+def read_state_at(
+    spark: SparkSession, store_dir: str, version: int, key: str
+) -> DataFrame:
+    """Time travel: the table as of committed ``version`` — the newest
+    un-expired base at or below it, with the delta chain folded on top.
+    Each fold step is a broadcast anti-join on the changeset-sized
+    dirty set plus a union of the delta rows: the base is scanned once,
+    shuffle-free, for any chain length. The empty starting state (no
+    base) takes its schema from v0's delta, so callers never pass a
+    schema."""
+    committed = current_version(store_dir)
+    if committed is None or version > committed:
+        raise ValueError(
+            f"version {version} has not been committed "
+            f"(CURRENT is {committed})"
+        )
+    b = base_version(store_dir)
+    if b is not None and b <= version:
+        cur = spark.read.parquet(os.path.join(store_dir, f"base-{b}"))
+        lo = b + 1
+    else:
+        # no base at or below the asked version: the full delta chain
+        # from v0 is required. Batch ids are dense, so a missing v0
+        # means expire_versions reclaimed the chain — refuse rather
+        # than silently reconstruct an empty/partial table.
+        if version >= 0 and not os.path.isdir(
+            os.path.join(store_dir, "v0")
+        ):
+            raise ValueError(
+                f"version {version} predates the latest base snapshot "
+                f"({b}) and its delta chain has been expired — only "
+                f"versions >= {b} remain reconstructible"
+            )
+        cur = spark.read.parquet(
+            os.path.join(store_dir, "v0", "delta")
+        ).limit(0)
+        lo = 0
+    for v in range(lo, version + 1):
+        vdir = os.path.join(store_dir, f"v{v}")
+        if not os.path.isdir(os.path.join(vdir, "dirty")):
+            # batch ids are dense and expiry only reclaims below the
+            # base, so a committed version without delta/dirty tables
+            # is a store written by a pre-delta format or external
+            # damage — refuse loudly
+            raise ValueError(
+                f"{vdir} is not a delta-format version (no dirty/ "
+                f"table): the store was written by an older "
+                f"full-table-per-version release or has been modified "
+                f"externally; re-ingest into a fresh store directory"
+            )
+        dirty = F.broadcast(
+            spark.read.parquet(os.path.join(vdir, "dirty"))
+        )
+        delta = spark.read.parquet(os.path.join(vdir, "delta"))
+        cur = cur.join(dirty, key, "left_anti").unionByName(delta)
+    return cur
+
+
+def read_current_state(
+    spark: SparkSession, store_dir: str, key: str
+) -> DataFrame | None:
+    """The committed table, or None before the first commit (callers
+    with a known schema may substitute their own typed empty)."""
+    v = current_version(store_dir)
+    if v is None:
+        return None
+    return read_state_at(spark, store_dir, v, key)
+
+
+def compact_store(
+    spark: SparkSession, store_dir: str, key: str
+) -> int | None:
+    """Materialize the current delta chain into a new base snapshot
+    ``base-{CURRENT}`` and advance the ``BASE`` pointer (atomic, last).
+    Returns the new base version, or None on an empty store. Idempotent:
+    re-compacting with no commit since the last compaction is a no-op
+    (it must be — writing base-{v} FROM base-{v} would be a
+    self-overwrite, which Spark rejects)."""
+    v = current_version(store_dir)
+    if v is None:
+        return None
+    if base_version(store_dir) == v:
+        return v  # already compacted at CURRENT; nothing to fold
+    out = read_state_at(spark, store_dir, v, key)
+    out.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"base-{v}")
+    )
+    _write_pointer(store_dir, "BASE", v)
+    return v
+
+
+def expire_versions(store_dir: str) -> list[str]:
+    """Reclaim storage the latest base snapshot supersedes: delta
+    version dirs at or below BASE and older base dirs. Split from
+    compaction because retained deltas are the time-travel lineage —
+    run this only when history before the base is no longer needed.
+    Returns the removed directory names."""
+    b = base_version(store_dir)
+    if b is None:
+        return []
+    removed = []
+    for name in sorted(os.listdir(store_dir)):
+        m = re.fullmatch(r"v(\d+)", name)
+        if m and int(m.group(1)) <= b:
+            removed.append(name)
+        m = re.fullmatch(r"base-(\d+)", name)
+        if m and int(m.group(1)) < b:
+            removed.append(name)
+    for name in removed:
+        shutil.rmtree(os.path.join(store_dir, name))
+    return removed
+
+
+def commit_delta(
+    spark: SparkSession,
+    store_dir: str,
+    fresh: DataFrame,
+    touched: DataFrame,
+    batch_id: int,
+    key: str,
+    compact_every: int | None = 16,
+) -> bool:
+    """Commit one version: ``fresh`` is the changed rows' new values,
+    ``touched`` the single-``key``-column set of every key the
+    changeset affected (``touched ⊇ fresh[key]``; touched keys absent
+    from fresh are tombstones). Returns False if ``batch_id`` is
+    already committed (idempotent replay), True after committing.
+    Version ids must be dense and ascending. A commit writes
+    O(|changeset|) rows; ``compact_every`` bounds the reconstruction
+    chain every reader (including the next commit's own input fold)
+    pays."""
+    os.makedirs(store_dir, exist_ok=True)
+    committed = current_version(store_dir)
+    if committed is not None and committed >= batch_id:
+        return False
+    if batch_id != (0 if committed is None else committed + 1):
+        raise ValueError(
+            f"batch_id {batch_id} breaks the dense version sequence "
+            f"(CURRENT is {committed}) — readers rely on density to "
+            f"fold and to detect expiry"
+        )
+    vdir = os.path.join(store_dir, f"v{batch_id}")
+    # delta first (it may read the old chain), then the dirty set;
+    # the version becomes visible only via the pointer
+    fresh.write.mode("overwrite").parquet(os.path.join(vdir, "delta"))
+    touched.select(key).write.mode("overwrite").parquet(
+        os.path.join(vdir, "dirty")
+    )
+    _write_pointer(store_dir, "CURRENT", batch_id)
+    if compact_every and (batch_id + 1) % compact_every == 0:
+        compact_store(spark, store_dir, key)
+    return True

@@ -1,0 +1,170 @@
+"""Streaming inference-table maintenance: continuous road-changeset
+ingestion keeping the stored speed-limit RESULT table current — the
+Structured Streaming twin of ``plans/rules_diff.apply_road_changeset``
+(whose batch form repairs a stored table in one call) and the
+inference-side counterpart of ``tile_maintenance.py``. Together the
+two streams keep BOTH derived tables (inference rows, tile blobs)
+current from one OSM-diff feed without ever recomputing the corpus.
+
+The store is the generic versioned delta store
+(``streaming/delta_store.py`` — layout, fold semantics, exactly-once
+replay, single-writer contract). The per-version delta is cheap by
+construction: inference has no cross-row dependencies, so a changeset
+touches exactly its own rows — the commit runs the broadcast rule
+cascade over the changeset-sized upserts ONLY and writes
+O(|changeset|) rows; tombstoning of removed roads happens at read/fold
+time via the broadcast dirty-id anti-join, never as a corpus rewrite.
+
+Changeset rows carry ``(road_id, country_code, tags, op)`` with op in
+('remove', 'upsert'); a re-tagged or moved road ships only its new row
+under 'upsert' (its result row is superseded in place — same key).
+'remove' rows need only the id; other columns may be null.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from osm_legal_default_speeds_spark.streaming.delta_store import (
+    commit_delta,
+    compact_store,
+    current_version,
+    expire_versions,
+    read_state_at,
+)
+
+ROAD_CHANGESET_SCHEMA = (
+    "road_id long, country_code string, tags map<string,string>, "
+    "op string"
+)
+_KEY = "road_id"
+
+
+def read_road_changeset_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File stream of road-changeset rows; one file per micro-batch by
+    default so every diff commits its own result-table version."""
+    return (
+        spark.readStream.schema(ROAD_CHANGESET_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+    )
+
+
+def read_results_at(
+    spark: SparkSession, store_dir: str, version: int
+) -> DataFrame:
+    """Time travel: the result table as of committed ``version``
+    (delta_store.read_state_at keyed on road_id)."""
+    return read_state_at(spark, store_dir, version, _KEY)
+
+
+def read_current_results(
+    spark: SparkSession, store_dir: str
+) -> DataFrame | None:
+    """The committed result table, or None before the first commit
+    (the result schema is the caller's projection — unknowable before
+    version 0 exists)."""
+    v = current_version(store_dir)
+    if v is None:
+        return None
+    return read_results_at(spark, store_dir, v)
+
+
+def compact_results_store(
+    spark: SparkSession, store_dir: str
+) -> int | None:
+    """Materialize the current delta chain into a new base snapshot
+    (delta_store.compact_store)."""
+    return compact_store(spark, store_dir, _KEY)
+
+
+def expire_result_versions(store_dir: str) -> list[str]:
+    """Reclaim directories the latest base supersedes
+    (delta_store.expire_versions)."""
+    return expire_versions(store_dir)
+
+
+def commit_road_batch(
+    spark: SparkSession,
+    store_dir: str,
+    batch: DataFrame,
+    batch_id: int,
+    ruleset,
+    project=None,
+    engine: str = "native",
+    country_col: str = "country_code",
+    compact_every: int | None = 16,
+    **infer_kwargs,
+) -> bool:
+    """Apply one road-changeset batch to the result store as version
+    ``batch_id`` — the commit unit the streaming query runs per
+    micro-batch, exposed for BATCH ingestion (daily-diff cron).
+    Returns False on idempotent replay of a committed id. ``project``
+    maps raw inference output onto the stored result schema, same
+    contract as apply_road_changeset; it MUST keep the ``road_id``
+    column. The cascade runs over the changeset's upserts only — the
+    stored table is never read at commit time (contrast the tile
+    commit, which must decode dirty blobs)."""
+    os.makedirs(store_dir, exist_ok=True)
+    if engine == "native":
+        from osm_legal_default_speeds_spark.plans.native_cascade import (
+            infer_speed_limits_native as _infer,
+        )
+    else:
+        from osm_legal_default_speeds_spark.operators.inference import (
+            infer_speed_limits as _infer,
+        )
+    upserted = batch.where(F.col("op") == "upsert").drop("op")
+    fresh = _infer(upserted, ruleset, country_col=country_col, **infer_kwargs)
+    if project is not None:
+        fresh = project(fresh)
+    touched = batch.select(_KEY).distinct()
+    return commit_delta(
+        spark, store_dir, fresh, touched, batch_id, _KEY,
+        compact_every=compact_every,
+    )
+
+
+def streaming_inference_maintenance(
+    spark: SparkSession,
+    changeset_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    ruleset,
+    project=None,
+    engine: str = "native",
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+    compact_every: int | None = 16,
+    **infer_kwargs,
+):
+    """Start the maintenance stream; returns the StreamingQuery (caller
+    awaits/stops). ``read_current_results(spark, store_dir)`` serves
+    the latest committed version at any point, including mid-stream.
+    ``compact_every`` bounds the reader-side reconstruction chain
+    (measured costs: PLANS.md); expiry stays manual so lineage
+    retention is an operator policy."""
+    os.makedirs(store_dir, exist_ok=True)
+
+    def _commit(batch: DataFrame, batch_id: int) -> None:
+        commit_road_batch(
+            spark, store_dir, batch, batch_id, ruleset,
+            project=project, engine=engine, compact_every=compact_every,
+            **infer_kwargs,
+        )
+
+    stream = read_road_changeset_stream(
+        spark, changeset_dir, max_files_per_trigger
+    )
+    writer = stream.writeStream.foreachBatch(_commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="0 seconds")
+    return writer.start()

@@ -1,0 +1,183 @@
+"""Streaming inference-table maintenance: every committed version of
+the result store must equal a full re-inference of the corpus the
+changeset stream implies at that point (the same invariant the tile
+store pins on the geometry axis), plus replay idempotence, the dense
+version guard, compaction, and expiry over the shared delta store."""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_legal_default_speeds_spark.plans.native_cascade import (
+    infer_speed_limits_native,
+)
+from osm_legal_default_speeds_spark.plans.rules_compiler import compile_ruleset
+from osm_legal_default_speeds_spark.plans.rules_model import (
+    RoadTypeDef,
+    RoadTypeFilterDef,
+)
+from osm_legal_default_speeds_spark.streaming.inference_maintenance import (
+    ROAD_CHANGESET_SCHEMA,
+    commit_road_batch,
+    compact_results_store,
+    expire_result_versions,
+    read_current_results,
+    read_results_at,
+    streaming_inference_maintenance,
+)
+from osm_legal_default_speeds_spark.streaming.delta_store import (
+    base_version,
+    current_version,
+)
+
+ROAD_SCHEMA = "road_id long, country_code string, tags map<string,string>"
+HW = ["motorway", "residential", "living_street"]
+CC = ["ZA", "DE", "ZA-NC", None]
+
+
+def _ruleset():
+    return compile_ruleset(
+        {
+            "motorway": RoadTypeFilterDef("highway=motorway"),
+            "urban": RoadTypeFilterDef("lit=yes", "highway=residential"),
+        },
+        {
+            "ZA": [
+                RoadTypeDef("urban", {"maxspeed": "60"}),
+                RoadTypeDef("motorway", {"maxspeed": "120"}),
+            ],
+            "DE": [RoadTypeDef("motorway", {"maxspeed": "130"})],
+        },
+    )
+
+
+def _tags(i: int, v: int) -> dict:
+    # v enters the lit flip so a re-tag stripe really changes results
+    return {"highway": HW[i % 3], "lit": "yes" if (i + v) % 2 == 0 else "no"}
+
+
+def _corpus(version: int) -> dict[int, tuple]:
+    """Deterministic corpus per version: v1 = base; each later version
+    removes the id % 7 == v stripe, re-tags the id % 5 == v stripe, and
+    adds a fresh id range."""
+    rows = {i: (i, CC[i % 4], _tags(i, 0)) for i in range(40)}
+    for v in range(2, version + 1):
+        for i in list(rows):
+            if i % 7 == v:
+                del rows[i]
+            elif i in rows and i % 5 == v:
+                rows[i] = (i, CC[i % 4], _tags(i, v))
+        for i in range(100 * v, 100 * v + 4):
+            rows[i] = (i, CC[i % 4], _tags(i, 1))
+    return rows
+
+
+def _changeset(old: dict, new: dict) -> list[tuple]:
+    out = []
+    for i, r in old.items():
+        if new.get(i) != r:
+            out.append((i, None, None, "remove"))
+    for i, r in new.items():
+        if old.get(i) != r:
+            out.append(r + ("upsert",))
+    return out
+
+
+def _flat(df):
+    r = F.col("speed_limit")
+    return df.select(
+        "road_id",
+        r.getField("road_type_name").alias("rt"),
+        r.getField("certitude").alias("cert"),
+        F.element_at(r.getField("tags"), F.lit("maxspeed")).alias("ms"),
+    )
+
+
+def _res_map(df):
+    return {t[0]: t for t in map(tuple, df.collect())}
+
+
+def _full(spark, version: int):
+    roads = spark.createDataFrame(
+        sorted(_corpus(version).values()), ROAD_SCHEMA
+    )
+    return _res_map(_flat(infer_speed_limits_native(roads, _ruleset())))
+
+
+def _stage_changesets(spark, tmp_path, versions: range) -> str:
+    src = str(tmp_path / "road_changesets")
+    os.makedirs(src, exist_ok=True)
+    for v in versions:
+        old = _corpus(v - 1) if v > 1 else {}
+        rows = _changeset(old, _corpus(v))
+        d = str(tmp_path / f"rcs_build_{v}")
+        spark.createDataFrame(rows, ROAD_CHANGESET_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(d)
+        [part] = glob.glob(f"{d}/part-*.parquet")
+        dst = f"{src}/f{v:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + v, 1_700_000_000 + v))
+    return src
+
+
+def test_streaming_maintenance_matches_full_inference_per_version(
+    spark, tmp_path
+):
+    src = _stage_changesets(spark, tmp_path, range(1, 5))
+    store = str(tmp_path / "res_store")
+    q = streaming_inference_maintenance(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        store,
+        _ruleset(),
+        project=_flat,
+        compact_every=2,
+    )
+    q.awaitTermination()
+    assert current_version(store) == 3
+    assert base_version(store) is not None  # auto-compaction ran
+    for b, v in enumerate(range(1, 5)):
+        assert _res_map(read_results_at(spark, store, b)) == _full(
+            spark, v
+        ), v
+    # serving read == newest version
+    assert _res_map(read_current_results(spark, store)) == _full(spark, 4)
+
+
+def test_batch_commit_replay_guard_compact_expire(spark, tmp_path):
+    store = str(tmp_path / "res_store_b")
+    for b, v in enumerate(range(1, 4)):
+        old = _corpus(v - 1) if v > 1 else {}
+        batch = spark.createDataFrame(
+            _changeset(old, _corpus(v)), ROAD_CHANGESET_SCHEMA
+        )
+        assert commit_road_batch(
+            spark, store, batch, b, _ruleset(), project=_flat,
+            compact_every=None,
+        )
+    # replay of a committed id is a no-op (stream checkpoint semantics)
+    assert not commit_road_batch(
+        spark, store,
+        spark.createDataFrame([], ROAD_CHANGESET_SCHEMA),
+        2, _ruleset(), project=_flat,
+    )
+    with pytest.raises(ValueError, match="dense"):
+        commit_road_batch(
+            spark, store,
+            spark.createDataFrame([], ROAD_CHANGESET_SCHEMA),
+            7, _ruleset(), project=_flat,
+        )
+    assert _res_map(read_current_results(spark, store)) == _full(spark, 3)
+    # manual compaction then expiry: the current state survives, the
+    # pre-base lineage is reclaimed, expired versions refuse loudly
+    assert compact_results_store(spark, store) == 2
+    removed = expire_result_versions(store)
+    assert removed == ["v0", "v1", "v2"]
+    assert _res_map(read_current_results(spark, store)) == _full(spark, 3)
+    with pytest.raises(ValueError, match="expired"):
+        read_results_at(spark, store, 1)
