@@ -100,6 +100,17 @@ def read_state_at(
                 f"({b}) and its delta chain has been expired — only "
                 f"versions >= {b} remain reconstructible"
             )
+        if not os.path.isdir(os.path.join(store_dir, "v0", "delta")):
+            # probe BEFORE the schema read so a pre-delta-format v0
+            # (full table directly under v0) gets the loop's friendly
+            # migration error, not a raw path-not-found
+            raise ValueError(
+                f"{os.path.join(store_dir, 'v0')} is not a "
+                f"delta-format version (no delta/ table): the store "
+                f"was written by an older full-table-per-version "
+                f"release or has been modified externally; re-ingest "
+                f"into a fresh store directory"
+            )
         cur = spark.read.parquet(
             os.path.join(store_dir, "v0", "delta")
         ).limit(0)

@@ -181,3 +181,19 @@ def test_batch_commit_replay_guard_compact_expire(spark, tmp_path):
     assert _res_map(read_current_results(spark, store)) == _full(spark, 3)
     with pytest.raises(ValueError, match="expired"):
         read_results_at(spark, store, 1)
+
+
+def test_pre_delta_format_store_refused(spark, tmp_path):
+    """A store whose v0 lacks the delta/ table (older
+    full-table-per-version layout, or external damage) must fail with
+    the migration message, not a raw path error — on BOTH the
+    schema-probe path (no base) and the fold path."""
+    store = tmp_path / "old_store"
+    (store / "v0").mkdir(parents=True)
+    spark.createDataFrame([(1, "x")], "road_id long, v string").write.parquet(
+        str(store / "v0" / "table")
+    )
+    with open(store / "CURRENT", "w") as fh:
+        fh.write("0")
+    with pytest.raises(ValueError, match="delta-format"):
+        read_results_at(spark, str(store), 0)
