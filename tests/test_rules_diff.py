@@ -296,3 +296,62 @@ def test_road_changeset_equals_full_recompute(spark, roads):
     assert sorted(map(tuple, same.collect())) == sorted(
         map(tuple, old_results.collect())
     )
+
+
+def test_composed_road_and_rule_changesets(spark, roads):
+    """The two incremental axes COMPOSE: apply a road changeset under
+    the old rules, then reinfer_changed for a rule edit — the result
+    must equal a full inference of the new corpus under the new rules.
+    (Safe because reinfer_changed recomputes every row whose effective
+    country changed; rows inferred under old rules in unchanged
+    countries are identical under the new rules by fingerprint.)"""
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
+    )
+    from osm_legal_default_speeds_spark.plans.rules_diff import (
+        apply_road_changeset,
+    )
+
+    old_rs = compile_ruleset(_road_types(), _rules())
+    new_rules = _rules(za_motorway="130")
+    new_rs = compile_ruleset(_road_types(), new_rules)
+    changed = changed_countries(
+        country_fingerprints(_road_types(), _rules()),
+        country_fingerprints(_road_types(), new_rules),
+    )
+    r = F.col("speed_limit")
+
+    def flat(df):
+        return df.select(
+            "road_id",
+            "country_code",
+            r.getField("road_type_name").alias("rt"),
+            r.getField("certitude").alias("cert"),
+            F.element_at(r.getField("tags"), F.lit("maxspeed")).alias("ms"),
+        )
+
+    old_results = flat(infer_speed_limits_native(roads, old_rs))
+
+    schema = "road_id long, country_code string, tags map<string,string>"
+    removed_df = spark.createDataFrame([(3,), (10,)], "road_id long")
+    upserted = spark.createDataFrame(
+        [
+            (0, "ZA", {"highway": "motorway"}),      # re-tag in the changed country
+            (500, "DE", {"highway": "motorway"}),    # add in an unchanged one
+        ],
+        schema,
+    )
+    # axis 1: roads changed, old rules
+    step1 = apply_road_changeset(old_results, removed_df, upserted, old_rs, project=flat)
+    # the stored table between steps (materialized, not a lazy chain)
+    step1 = spark.createDataFrame(step1.collect(), step1.schema)
+    # axis 2: rules changed — needs the NEW corpus for routing
+    new_corpus = roads.where(~F.col("road_id").isin([3, 10, 0])).unionByName(upserted)
+    step2 = reinfer_changed(
+        new_corpus, step1, new_rs, changed, sorted(new_rules.keys()),
+        project=flat,
+    )
+    full = flat(infer_speed_limits_native(new_corpus, new_rs))
+    assert sorted(map(tuple, step2.collect())) == sorted(
+        map(tuple, full.collect())
+    )
