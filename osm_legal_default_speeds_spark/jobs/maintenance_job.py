@@ -62,15 +62,8 @@ def main(argv: list[str] | None = None) -> None:
         .getOrCreate()
     )
 
-    from osm_legal_default_speeds_spark.plans.driver_queries import (
-        mini_ruleset,
-    )
-    from osm_legal_default_speeds_spark.plans.rules_compiler import (
-        compile_ruleset,
-    )
-    from osm_legal_default_speeds_spark.sources.rules_json import (
-        REFERENCE_DATASET_PATH,
-        load_rules_json,
+    from osm_legal_default_speeds_spark.jobs.pipeline_job import (
+        load_default_ruleset,
     )
     from osm_legal_default_speeds_spark.streaming.delta_store import (
         current_version,
@@ -97,13 +90,7 @@ def main(argv: list[str] | None = None) -> None:
             )
         )
     if args.results_store:
-        if os.path.exists(REFERENCE_DATASET_PATH):
-            _, road_types, speed_limits, _ = load_rules_json(
-                REFERENCE_DATASET_PATH
-            )
-            ruleset = compile_ruleset(road_types, speed_limits)
-        else:
-            ruleset = mini_ruleset()
+        ruleset = load_default_ruleset()
 
         def project(out):
             r = F.col("speed_limit")

@@ -49,6 +49,30 @@ def build_pyfiles_zip(dest_path: str, package_root: str | None = None) -> str:
     return dest_path
 
 
+def load_default_ruleset():
+    """The compiled FULL reference ruleset when the dataset file is
+    present, else the embedded mini ruleset — the fallback every job
+    entry point shares (imports stay lazy so --py-files resolution
+    happens on the cluster, not at module import)."""
+    from osm_legal_default_speeds_spark.plans.driver_queries import (
+        mini_ruleset,
+    )
+    from osm_legal_default_speeds_spark.plans.rules_compiler import (
+        compile_ruleset,
+    )
+    from osm_legal_default_speeds_spark.sources.rules_json import (
+        REFERENCE_DATASET_PATH,
+        load_rules_json,
+    )
+
+    if os.path.exists(REFERENCE_DATASET_PATH):
+        _, road_types, speed_limits, _ = load_rules_json(
+            REFERENCE_DATASET_PATH
+        )
+        return compile_ruleset(road_types, speed_limits)
+    return mini_ruleset()
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", required=True)
@@ -96,22 +120,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     from osm_legal_default_speeds_spark.plans.driver_queries import (
         _roads_df,
-        mini_ruleset,
         synth_boundaries,
     )
-    from osm_legal_default_speeds_spark.plans.rules_compiler import (
-        compile_ruleset,
-    )
-    from osm_legal_default_speeds_spark.sources.rules_json import (
-        REFERENCE_DATASET_PATH,
-        load_rules_json,
-    )
 
-    if os.path.exists(REFERENCE_DATASET_PATH):
-        _, road_types, speed_limits, _ = load_rules_json(REFERENCE_DATASET_PATH)
-        ruleset = compile_ruleset(road_types, speed_limits)
-    else:
-        ruleset = mini_ruleset()
+    ruleset = load_default_ruleset()
     boundaries = synth_boundaries()
 
     def pipeline(spark):

@@ -159,6 +159,54 @@ def reinfer_changed(
     return keep.unionByName(redo.select(*old_results.columns))
 
 
+def infer_upserts(
+    upserted_roads: DataFrame,
+    ruleset,
+    id_col: str = "road_id",
+    country_col: str = "country_code",
+    engine: str = "native",
+    project=None,
+    **infer_kwargs,
+) -> DataFrame:
+    """Infer the changeset's upserted rows — the shared 'fresh side' of
+    :func:`apply_road_changeset` (batch) and
+    ``streaming/inference_maintenance.commit_road_batch`` (streaming),
+    factored so the twins cannot drift.
+
+    At-most-one result row per ``id_col`` is guaranteed: a changeset
+    carrying several upserts for the same road (two edits of one
+    object in one diff window, or multiple diff files coalesced into
+    one micro-batch) resolves to ONE row, chosen by the greatest
+    xxhash64 of the row's JSON — deterministic and order-independent
+    (parquet/micro-batch row order is not). Feeds SHOULD pre-resolve
+    same-id edits (OSM applies last-edit-wins, which needs a version
+    column this schema doesn't carry); the hash rule only makes an
+    unresolved feed deterministic instead of silently duplicating the
+    key in the stored table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.xxhash64(F.to_json(F.struct(*upserted_roads.columns))).desc()
+    )
+    deduped = (
+        upserted_roads.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if engine == "native":
+        from osm_legal_default_speeds_spark.plans.native_cascade import (
+            infer_speed_limits_native as _infer,
+        )
+    else:
+        from osm_legal_default_speeds_spark.operators.inference import (
+            infer_speed_limits as _infer,
+        )
+    fresh = _infer(deduped, ruleset, country_col=country_col, **infer_kwargs)
+    if project is not None:
+        fresh = project(fresh)
+    return fresh
+
+
 def apply_road_changeset(
     old_results: DataFrame,
     removed_ids: DataFrame,
@@ -193,15 +241,9 @@ def apply_road_changeset(
     for a BULK changeset (initial import, re-import wave) — the
     anti-join then degrades gracefully to a shuffle instead of
     overflowing the broadcast limit. Composes with the checkpointed
-    job's partitioned write the same way reinfer_changed does."""
-    if engine == "native":
-        from osm_legal_default_speeds_spark.plans.native_cascade import (
-            infer_speed_limits_native as _infer,
-        )
-    else:
-        from osm_legal_default_speeds_spark.operators.inference import (
-            infer_speed_limits as _infer,
-        )
+    job's partitioned write the same way reinfer_changed does.
+    Duplicate same-id upserts resolve deterministically to one row
+    (see :func:`infer_upserts`)."""
     touched = (
         removed_ids.select(id_col)
         .unionByName(upserted_roads.select(id_col))
@@ -210,7 +252,8 @@ def apply_road_changeset(
     if broadcast_ids:
         touched = F.broadcast(touched)
     keep = old_results.join(touched, id_col, "left_anti")
-    fresh = _infer(upserted_roads, ruleset, country_col=country_col, **infer_kwargs)
-    if project is not None:
-        fresh = project(fresh)
+    fresh = infer_upserts(
+        upserted_roads, ruleset, id_col=id_col, country_col=country_col,
+        engine=engine, project=project, **infer_kwargs,
+    )
     return keep.unionByName(fresh.select(*old_results.columns))

@@ -92,23 +92,34 @@ def synthesize_sf(
     The directory name should end in the target scale factor (e.g.
     ``.../sf1``) so bench.run_sf_scaling can parse it."""
     marker = os.path.join(out_dir, "_SYNTH_COMPLETE")
-    if os.path.exists(marker) and not force:
-        return out_dir
+    if os.path.exists(marker):
+        if not force:
+            return out_dir
+        # drop the stale marker FIRST: a crash mid-force must not
+        # leave a completeness claim over partially rewritten tables
+        os.remove(marker)
     os.makedirs(out_dir, exist_ok=True)
 
     o = spark.read.parquet(f"{src_dir}/orders.parquet")
     d = spark.read.parquet(f"{src_dir}/documents.parquet")
     e = spark.read.parquet(f"{src_dir}/embeddings.parquet")
     dim = len(e.select("embedding").head()[0])
-    # copy namespaces must not collide: the offset bounds the source's
-    # key range (true for every driver-generated scale; a larger
-    # source needs a larger offset, not silent id collisions)
-    max_key = o.agg(F.max("o_orderkey")).head()[0]
-    if max_key >= _COPY_OFFSET:
-        raise ValueError(
-            f"source keys reach {max_key} >= copy offset {_COPY_OFFSET}; "
-            f"raise _COPY_OFFSET before replicating this source"
-        )
+    # copy namespaces must not collide: the offset bounds EVERY
+    # replicated table's key range (true for every driver-generated
+    # scale; a larger source needs a larger offset, not silent id
+    # collisions that merge shingle/cluster structure across copies)
+    for table, df, k in (
+        ("orders", o, "o_orderkey"),
+        ("documents", d, "doc_id"),
+        ("embeddings", e, "vec_id"),
+    ):
+        max_key = df.agg(F.max(k)).head()[0]
+        if max_key >= _COPY_OFFSET:
+            raise ValueError(
+                f"{table}.{k} reaches {max_key} >= copy offset "
+                f"{_COPY_OFFSET}; raise _COPY_OFFSET before "
+                f"replicating this source"
+            )
 
     builders = {
         "orders": lambda i: _orders_copy(o, i),

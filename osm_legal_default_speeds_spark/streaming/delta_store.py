@@ -16,9 +16,11 @@ Store layout (all committed state is immutable; only pointers move):
 
 Readers reconstruct any committed version by folding the delta chain
 onto the newest base at or below it:
-``state = (state anti-join dirty_v) union delta_v`` per step — each
-dirty set is changeset-sized and broadcast, so the base is scanned
-ONCE, shuffle-free, for any chain length. ``compact_store`` bounds the
+``state = (state anti-join dirty_v) union delta_v`` per step — a
+changeset-sized dirty set is broadcast, so the base is scanned ONCE,
+shuffle-free, for any chain length; a BULK version's corpus-sized
+dirty set (above :data:`BROADCAST_DIRTY_MAX_BYTES` on disk) falls back
+to a regular join instead of collecting the corpus to the driver. ``compact_store`` bounds the
 chain (measured chain-cost numbers in PLANS.md justify the default
 cadence of 16); ``expire_versions`` reclaims superseded directories,
 split from compaction because retained deltas ARE the time-travel
@@ -49,11 +51,27 @@ def _read_pointer(store_dir: str, name: str) -> int | None:
         return int(fh.read().strip())
 
 
+def _dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if os.path.isfile(os.path.join(path, f))
+    )
+
+
 def _write_pointer(store_dir: str, name: str, value: int) -> None:
     tmp = os.path.join(store_dir, f".{name}.{value}.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(value))
     os.replace(tmp, os.path.join(store_dir, name))  # atomic
+
+
+# a dirty set bigger than this folds as a regular (shuffle) join
+# instead of a forced broadcast: a BULK version (initial corpus
+# import, re-import wave) has a corpus-sized dirty set, and the
+# explicit broadcast hint would bypass autoBroadcastJoinThreshold and
+# collect it to the driver. Sized near Spark's default threshold.
+BROADCAST_DIRTY_MAX_BYTES = 64 << 20
 
 
 def current_version(store_dir: str) -> int | None:
@@ -128,9 +146,9 @@ def read_state_at(
                 f"full-table-per-version release or has been modified "
                 f"externally; re-ingest into a fresh store directory"
             )
-        dirty = F.broadcast(
-            spark.read.parquet(os.path.join(vdir, "dirty"))
-        )
+        dirty = spark.read.parquet(os.path.join(vdir, "dirty"))
+        if _dir_bytes(os.path.join(vdir, "dirty")) <= BROADCAST_DIRTY_MAX_BYTES:
+            dirty = F.broadcast(dirty)
         delta = spark.read.parquet(os.path.join(vdir, "delta"))
         cur = cur.join(dirty, key, "left_anti").unionByName(delta)
     return cur
@@ -191,6 +209,24 @@ def expire_versions(store_dir: str) -> list[str]:
     return removed
 
 
+def validate_batch_id(store_dir: str, batch_id: int) -> bool:
+    """Pre-flight for a commit: False if ``batch_id`` is already
+    committed (idempotent replay — skip the work), raises on a gap in
+    the dense version sequence, True when the commit should proceed.
+    Call BEFORE computing an expensive delta; :func:`commit_delta`
+    re-checks under the same rules."""
+    committed = current_version(store_dir)
+    if committed is not None and committed >= batch_id:
+        return False
+    if batch_id != (0 if committed is None else committed + 1):
+        raise ValueError(
+            f"batch_id {batch_id} breaks the dense version sequence "
+            f"(CURRENT is {committed}) — readers rely on density to "
+            f"fold and to detect expiry"
+        )
+    return True
+
+
 def commit_delta(
     spark: SparkSession,
     store_dir: str,
@@ -210,15 +246,8 @@ def commit_delta(
     chain every reader (including the next commit's own input fold)
     pays."""
     os.makedirs(store_dir, exist_ok=True)
-    committed = current_version(store_dir)
-    if committed is not None and committed >= batch_id:
+    if not validate_batch_id(store_dir, batch_id):
         return False
-    if batch_id != (0 if committed is None else committed + 1):
-        raise ValueError(
-            f"batch_id {batch_id} breaks the dense version sequence "
-            f"(CURRENT is {committed}) — readers rely on density to "
-            f"fold and to detect expiry"
-        )
     vdir = os.path.join(store_dir, f"v{batch_id}")
     # delta first (it may read the old chain), then the dirty set;
     # the version becomes visible only via the pointer

@@ -108,20 +108,22 @@ def commit_road_batch(
     contract as apply_road_changeset; it MUST keep the ``road_id``
     column. The cascade runs over the changeset's upserts only — the
     stored table is never read at commit time (contrast the tile
-    commit, which must decode dirty blobs)."""
+    commit, which must decode dirty blobs). The fresh side is
+    ``rules_diff.infer_upserts``, shared with the batch twin: same
+    engine selection, same deterministic resolution of duplicate
+    same-id upserts within one micro-batch (multiple diff files
+    coalesced by maxFilesPerTrigger, or one diff editing an object
+    twice) — without it the store would serve duplicate key rows."""
+    from osm_legal_default_speeds_spark.plans.rules_diff import (
+        infer_upserts,
+    )
+
     os.makedirs(store_dir, exist_ok=True)
-    if engine == "native":
-        from osm_legal_default_speeds_spark.plans.native_cascade import (
-            infer_speed_limits_native as _infer,
-        )
-    else:
-        from osm_legal_default_speeds_spark.operators.inference import (
-            infer_speed_limits as _infer,
-        )
     upserted = batch.where(F.col("op") == "upsert").drop("op")
-    fresh = _infer(upserted, ruleset, country_col=country_col, **infer_kwargs)
-    if project is not None:
-        fresh = project(fresh)
+    fresh = infer_upserts(
+        upserted, ruleset, id_col=_KEY, country_col=country_col,
+        engine=engine, project=project, **infer_kwargs,
+    )
     touched = batch.select(_KEY).distinct()
     return commit_delta(
         spark, store_dir, fresh, touched, batch_id, _KEY,

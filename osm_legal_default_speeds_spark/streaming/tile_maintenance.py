@@ -47,6 +47,7 @@ from osm_legal_default_speeds_spark.streaming.delta_store import (  # noqa: F401
     current_version,
     expire_versions,
     read_state_at,
+    validate_batch_id,
 )
 
 CHANGESET_SCHEMA = (
@@ -140,11 +141,11 @@ def commit_changeset(
     ascending — pass ``current_version(store_dir) + 1`` (or 0 for a
     fresh store)."""
     os.makedirs(store_dir, exist_ok=True)
-    committed = current_version(store_dir)
-    if committed is not None and committed >= batch_id:
-        # checked here as well as in commit_delta: the rebuild below
-        # materializes changeset-sized intermediates eagerly, which a
-        # replayed (already-committed) batch must never pay for
+    # full pre-flight (replay AND dense-gap) before the rebuild: it
+    # materializes changeset-sized intermediates eagerly and decodes
+    # dirty blobs, which neither a replayed batch nor a doomed
+    # out-of-sequence one should ever pay for
+    if not validate_batch_id(store_dir, batch_id):
         return False
     tiles = read_current_tiles(spark, store_dir)
     rebuilt, dirty = _apply_changeset_delta(

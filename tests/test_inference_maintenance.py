@@ -197,3 +197,50 @@ def test_pre_delta_format_store_refused(spark, tmp_path):
         fh.write("0")
     with pytest.raises(ValueError, match="delta-format"):
         read_results_at(spark, str(store), 0)
+
+
+def test_duplicate_upserts_in_one_batch_resolve_to_one_row(spark, tmp_path):
+    """Two upserts for the same road in one micro-batch (coalesced diff
+    files, or one diff editing an object twice) must commit ONE result
+    row, picked deterministically — not duplicate key rows."""
+    store = str(tmp_path / "dup_store")
+    batch = spark.createDataFrame(
+        [
+            (1, "ZA", {"highway": "motorway"}, "upsert"),
+            (1, "ZA", {"highway": "residential", "lit": "yes"}, "upsert"),
+            (1, "ZA", {"highway": "motorway"}, "upsert"),  # exact dup
+            (2, "DE", {"highway": "motorway"}, "upsert"),
+        ],
+        ROAD_CHANGESET_SCHEMA,
+    )
+    assert commit_road_batch(
+        spark, store, batch, 0, _ruleset(), project=_flat,
+    )
+    rows = read_current_results(spark, store).collect()
+    assert sorted(r["road_id"] for r in rows) == [1, 2]
+    # deterministic: a second store fed the same batch picks the same row
+    store2 = str(tmp_path / "dup_store2")
+    commit_road_batch(spark, store2, batch, 0, _ruleset(), project=_flat)
+    assert _res_map(read_current_results(spark, store)) == _res_map(
+        read_current_results(spark, store2)
+    )
+
+
+def test_bulk_dirty_set_is_not_broadcast(spark, tmp_path, monkeypatch):
+    """A version whose dirty set exceeds the broadcast cap must fold as
+    a regular join — the forced broadcast would collect a corpus-sized
+    key set to the driver on every read after a bulk import."""
+    from osm_legal_default_speeds_spark.streaming import delta_store
+
+    store = str(tmp_path / "bulk_store")
+    batch = spark.createDataFrame(
+        [(i, CC[i % 4], _tags(i, 0), "upsert") for i in range(50)],
+        ROAD_CHANGESET_SCHEMA,
+    )
+    commit_road_batch(spark, store, batch, 0, _ruleset(), project=_flat)
+    monkeypatch.setattr(delta_store, "BROADCAST_DIRTY_MAX_BYTES", 1)
+    folded = read_current_results(spark, store)
+    plan = folded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    # and the fold is still correct
+    assert len(folded.collect()) == 50
