@@ -3,6 +3,10 @@ from osm_legal_default_speeds_spark.streaming.event_rollup import (  # noqa: F40
     streaming_event_rollup,
     streaming_speed_inference,
 )
+from osm_legal_default_speeds_spark.streaming.delta_store import (  # noqa: F401
+    diff_versions,
+    version_manifest,
+)
 from osm_legal_default_speeds_spark.streaming.inference_maintenance import (  # noqa: F401
     commit_road_batch,
     compact_results_store,

@@ -36,9 +36,11 @@ committed pointers either way.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -248,6 +250,7 @@ def commit_delta(
     os.makedirs(store_dir, exist_ok=True)
     if not validate_batch_id(store_dir, batch_id):
         return False
+    t0 = time.monotonic()
     vdir = os.path.join(store_dir, f"v{batch_id}")
     # delta first (it may read the old chain), then the dirty set;
     # the version becomes visible only via the pointer
@@ -255,7 +258,94 @@ def commit_delta(
     touched.select(key).write.mode("overwrite").parquet(
         os.path.join(vdir, "dirty")
     )
+    # lineage manifest BEFORE the pointer (a version is visible only
+    # with its manifest): row counts come from the parquet footers of
+    # the files just written (metadata read, no data scan), sizes from
+    # the local dir — the audit trail a maintenance operator reads
+    # without reconstructing anything
+    delta_rows = spark.read.parquet(os.path.join(vdir, "delta")).count()
+    dirty_rows = spark.read.parquet(os.path.join(vdir, "dirty")).count()
+    manifest = {
+        "version": batch_id,
+        "key": key,
+        "delta_rows": delta_rows,
+        "dirty_keys": dirty_rows,
+        "tombstoned_keys": dirty_rows - delta_rows
+        if dirty_rows >= delta_rows else None,
+        "delta_bytes": _dir_bytes(os.path.join(vdir, "delta")),
+        "dirty_bytes": _dir_bytes(os.path.join(vdir, "dirty")),
+        "commit_wall_s": round(time.monotonic() - t0, 3),
+    }
+    tmp = os.path.join(vdir, ".manifest.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(vdir, "manifest.json"))
     _write_pointer(store_dir, "CURRENT", batch_id)
     if compact_every and (batch_id + 1) % compact_every == 0:
         compact_store(spark, store_dir, key)
     return True
+
+
+def version_manifest(store_dir: str, version: int) -> dict | None:
+    """The lineage manifest commit_delta wrote for ``version`` (row
+    counts, tombstones, bytes, commit wall) — None for versions
+    committed before manifests existed or reclaimed by expiry."""
+    path = os.path.join(store_dir, f"v{version}", "manifest.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def diff_versions(
+    spark: SparkSession, store_dir: str, v_from: int, v_to: int, key: str
+) -> DataFrame:
+    """Audit diff between two committed versions WITHOUT reconstructing
+    either table: the union of the intervening deltas/dirty sets,
+    collapsed to each key's final disposition — ``(key, change)`` with
+    change in ('upserted', 'removed'). A key touched then restored to a
+    newer value still reports 'upserted' (latest intervening version
+    wins); keys untouched in (v_from, v_to] are absent. One honest
+    limit: a TRANSIENT key (created after v_from, deleted again before
+    v_to) reports 'removed' even though v_from never had it — exact
+    transient detection would need v_from's corpus-sized state, and
+    downstream consumers treat 'removed' for an absent key as a no-op
+    anyway. Work is O(sum of changeset sizes), never corpus-sized."""
+    if not 0 <= v_from <= v_to:
+        raise ValueError(f"need 0 <= v_from <= v_to, got {v_from}..{v_to}")
+    committed = current_version(store_dir)
+    if committed is None or v_to > committed:
+        raise ValueError(
+            f"version {v_to} has not been committed (CURRENT is {committed})"
+        )
+    parts = []
+    for v in range(v_from + 1, v_to + 1):
+        vdir = os.path.join(store_dir, f"v{v}")
+        if not os.path.isdir(os.path.join(vdir, "dirty")):
+            raise ValueError(
+                f"{vdir} has been expired or predates the delta format "
+                f"— diff is only available over retained lineage"
+            )
+        dirty = spark.read.parquet(os.path.join(vdir, "dirty")).select(
+            F.col(key), F.lit(v).alias("__v")
+        )
+        kept = spark.read.parquet(os.path.join(vdir, "delta")).select(
+            F.col(key), F.lit(v).alias("__v"), F.lit(True).alias("__kept")
+        )
+        parts.append(dirty.join(kept, [key, "__v"], "left_outer"))
+    if not parts:
+        raise ValueError("empty version range: v_from == v_to")
+    allv = parts[0]
+    for p in parts[1:]:
+        allv = allv.unionByName(p)
+    last = allv.groupBy(key).agg(
+        F.max_by(F.coalesce(F.col("__kept"), F.lit(False)), F.col("__v")).alias(
+            "__kept"
+        )
+    )
+    return last.select(
+        key,
+        F.when(F.col("__kept"), F.lit("upserted"))
+        .otherwise(F.lit("removed"))
+        .alias("change"),
+    )

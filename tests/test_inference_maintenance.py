@@ -244,3 +244,52 @@ def test_bulk_dirty_set_is_not_broadcast(spark, tmp_path, monkeypatch):
     assert "BroadcastHashJoin" not in plan
     # and the fold is still correct
     assert len(folded.collect()) == 50
+
+
+def test_version_manifest_and_diff(spark, tmp_path):
+    """Every commit writes a lineage manifest (row counts, tombstones,
+    bytes, wall) and diff_versions reports each touched key's final
+    disposition across a version range without reconstructing state."""
+    from osm_legal_default_speeds_spark.streaming.delta_store import (
+        diff_versions,
+        version_manifest,
+    )
+
+    store = str(tmp_path / "mstore")
+    for b, v in enumerate(range(1, 4)):
+        old = _corpus(v - 1) if v > 1 else {}
+        batch = spark.createDataFrame(
+            _changeset(old, _corpus(v)), ROAD_CHANGESET_SCHEMA
+        )
+        commit_road_batch(
+            spark, store, batch, b, _ruleset(), project=_flat,
+            compact_every=None,
+        )
+    m0 = version_manifest(store, 0)
+    assert m0["version"] == 0 and m0["key"] == "road_id"
+    assert m0["delta_rows"] == len(_corpus(1))
+    assert m0["dirty_keys"] == len(_corpus(1)) and m0["tombstoned_keys"] == 0
+    assert m0["delta_bytes"] > 0 and m0["commit_wall_s"] > 0
+    m1 = version_manifest(store, 1)
+    c1, c2 = _corpus(1), _corpus(2)
+    assert m1["tombstoned_keys"] == len(set(c1) - set(c2))
+    assert version_manifest(store, 99) is None
+
+    # diff v0 (corpus 1) -> v2 (corpus 3): final dispositions
+    d = {
+        r["road_id"]: r["change"]
+        for r in diff_versions(spark, store, 0, 2, "road_id").collect()
+    }
+    c3 = _corpus(3)
+    gone = set(c1) - set(c3)
+    assert gone and all(d[i] == "removed" for i in gone)
+    retagged_or_new = {
+        i for i in c3 if i not in c1 or c3[i] != c1[i]
+    }
+    assert retagged_or_new and all(
+        d[i] == "upserted" for i in retagged_or_new
+    )
+    untouched = {i for i in c3 if i in c1 and c3[i] == c1[i]}
+    assert untouched and not (set(d) & untouched)
+    with pytest.raises(ValueError, match="committed"):
+        diff_versions(spark, store, 0, 9, "road_id")
