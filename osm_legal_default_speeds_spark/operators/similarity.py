@@ -851,6 +851,58 @@ def pq_adc_topk(
     )
 
 
+def pq_adc_rerank_topk(
+    vectors: DataFrame,
+    codes_df: DataFrame,
+    queries: list[tuple],
+    codebooks: np.ndarray,
+    k: int = 5,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Coarse-to-fine PQ serving (the FAISS IVFPQ+refine composition):
+    an ADC shortlist over the stored 1-byte-per-subspace codes, then an
+    EXACT cosine re-rank of only the shortlisted candidates against the
+    full-precision ``vectors``. Output (query_id, id, sim, rank) — sims
+    are exact, so recall is bounded only by whether the true neighbors
+    survive the shortlist (measured on the sf1 corpus: recall@10
+    0.381 raw ADC -> 0.588 at shortlist=50 -> 0.738 at 200;
+    BENCH/BASELINE.md).
+
+    Scale shape: the corpus is scanned as CODES (m bytes/vector); only
+    ``queries x shortlist`` full-precision rows move — fetched by a
+    broadcast semi-join of the shortlist's candidate ids into the
+    vector table — and the re-rank is a candidate-local window,
+    never a corpus cross join."""
+    short = pq_adc_topk(codes_df, queries, codebooks, k=shortlist, id_col=id_col)
+    cand = short.select("query_id", id_col)
+    qdf = cand.sparkSession.createDataFrame(
+        [(q[0], list(map(float, q[1]))) for q in queries],
+        f"query_id long, query_vec array<double>",
+    )
+    full = vectors.select(id_col, vec_col).join(
+        F.broadcast(cand.select(id_col).distinct()), id_col, "left_semi"
+    )
+    scored = (
+        cand.join(full, id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            cosine(F.col(vec_col), F.col("query_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "sim", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic deduplication (SemDeDup: Abbas et al. 2023,
 # arXiv:2303.09540) — cluster the embedding space with a coarse

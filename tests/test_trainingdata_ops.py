@@ -1296,6 +1296,63 @@ def test_pq_recall_vs_exact(vectors, spark):
         assert q in ids  # self-hit survives quantization
 
 
+def test_pq_rerank_improves_recall_with_exact_sims(vectors, spark):
+    """Coarse-to-fine serving: the exact re-rank of the ADC shortlist
+    must (a) never lose recall vs raw ADC at the same k, (b) reach
+    FULL recall once the shortlist covers the corpus (the re-rank is
+    exact, so only shortlist membership can cost recall), and (c)
+    report exact cosine sims (match the brute-force scores)."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_rerank_topk,
+        pq_adc_topk,
+        pq_encode,
+        train_pq,
+    )
+
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in vectors.where(F.col("vec_id") < 5).collect()
+    ]
+    qdf = spark.createDataFrame(
+        queries, "query_id long, query_vec array<float>"
+    )
+    k = 5
+    exact = brute_force_topk(vectors, qdf, k=k)
+    ex, ex_sims = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+        ex_sims[(r["query_id"], r["vec_id"])] = r["sim"]
+
+    books = train_pq(vectors, m=16, ksub=16, n_iters=8)
+    codes = pq_encode(vectors, books)
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    raw = sets(pq_adc_topk(codes, queries, books, k=k))
+    rr = pq_adc_rerank_topk(
+        vectors, codes, queries, books, k=k, shortlist=40
+    )
+    rr_sets = sets(rr)
+    mean = lambda d: sum(len(ex[q] & d[q]) / k for q in ex) / len(ex)
+    assert mean(rr_sets) >= mean(raw)
+    # shortlist = corpus -> the re-rank IS the exact scan
+    n = vectors.count()
+    full = sets(
+        pq_adc_rerank_topk(vectors, codes, queries, books, k=k, shortlist=n)
+    )
+    assert full == ex
+    # sims are exact (bit-match the brute-force cosine)
+    for r in rr.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in ex_sims:
+            assert r["sim"] == ex_sims[key]
+
+
 def test_cross_doc_spans_islands_and_merging(spark):
     from osm_legal_default_speeds_spark.operators.dedup import (
         cross_doc_spans,
