@@ -635,6 +635,7 @@ EXTENDED_QUERIES = (
     "speeding_legs",
     "tiles_incremental",
     "cascade_incremental",
+    "ann_pq_rerank",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

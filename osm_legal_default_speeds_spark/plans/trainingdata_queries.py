@@ -2742,6 +2742,35 @@ def q_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRAININGDATA_QUERIES["knn_indexed"] = q_knn_indexed
 
+
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine PQ serving (similarity.pq_adc_rerank_topk): ADC
+    shortlist over stored codes, exact cosine re-rank of only the
+    shortlisted candidates. ROWS-ONLY like ann_pq_topk (numpy matmul +
+    table gather in the shortlist stage is not SQL-expressible);
+    recall/exactness pinned by
+    test_pq_rerank_improves_recall_with_exact_sims, measured
+    recall/latency at sf1 in BENCH/BASELINE.md."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        pq_adc_rerank_topk,
+        pq_encode,
+        train_pq,
+    )
+
+    vecs = _read(spark, sf_dir, "embeddings", wide=True)
+    books = train_pq(vecs, m=8, ksub=16, n_iters=10)
+    codes = pq_encode(vecs, books)
+    queries = [
+        (r["query_id"], list(r["query_vec"]))
+        for r in _queries_df(spark, sf_dir).collect()
+    ]
+    return pq_adc_rerank_topk(
+        vecs, codes, queries, books, k=ANN_K, shortlist=20
+    )
+
+
+TRAININGDATA_QUERIES["ann_pq_rerank"] = q_ann_pq_rerank
+
 TRAININGDATA_ORACLES = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
