@@ -636,6 +636,7 @@ EXTENDED_QUERIES = (
     "tiles_incremental",
     "cascade_incremental",
     "ann_pq_rerank",
+    "ann_ivfpq",
     # events_dedup_streaming excluded: the stream drains eagerly when
     # the query callable builds the sink (untimed), so timing its
     # returned DataFrame would only measure the memory-table scan

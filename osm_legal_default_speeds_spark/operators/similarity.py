@@ -851,6 +851,44 @@ def pq_adc_topk(
     )
 
 
+def _exact_rerank(
+    vectors: DataFrame,
+    cand: DataFrame,
+    queries: list[tuple],
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact cosine re-rank of per-query candidate ids ``cand``
+    (query_id, id): fetch only the candidate rows' full-precision
+    vectors via a broadcast semi-join, score, window top-k. Shared by
+    the PQ and IVF+PQ coarse-to-fine serving paths."""
+    qdf = cand.sparkSession.createDataFrame(
+        [(q[0], list(map(float, q[1]))) for q in queries],
+        "query_id long, query_vec array<double>",
+    )
+    full = vectors.select(id_col, vec_col).join(
+        F.broadcast(cand.select(id_col).distinct()), id_col, "left_semi"
+    )
+    scored = (
+        cand.join(full, id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            cosine(F.col(vec_col), F.col("query_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "sim", "rank")
+    )
+
+
 def pq_adc_rerank_topk(
     vectors: DataFrame,
     codes_df: DataFrame,
@@ -876,30 +914,138 @@ def pq_adc_rerank_topk(
     vector table — and the re-rank is a candidate-local window,
     never a corpus cross join."""
     short = pq_adc_topk(codes_df, queries, codebooks, k=shortlist, id_col=id_col)
-    cand = short.select("query_id", id_col)
-    qdf = cand.sparkSession.createDataFrame(
-        [(q[0], list(map(float, q[1]))) for q in queries],
-        f"query_id long, query_vec array<double>",
+    return _exact_rerank(
+        vectors, short.select("query_id", id_col), queries, k, vec_col, id_col
     )
-    full = vectors.select(id_col, vec_col).join(
-        F.broadcast(cand.select(id_col).distinct()), id_col, "left_semi"
-    )
-    scored = (
-        cand.join(full, id_col)
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id",
-            id_col,
-            cosine(F.col(vec_col), F.col("query_vec")).alias("sim"),
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: list[tuple],
+    codebooks: np.ndarray,
+    n_centroids: int,
+    nprobe: int = 8,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    codes_df: DataFrame | None = None,
+    rerank_shortlist: int | None = None,
+) -> DataFrame:
+    """IVF+PQ — the full production ANN composition (FAISS IndexIVFPQ):
+    a coarse quantizer partitions the corpus into cells, each query
+    probes its ``nprobe`` nearest cells, and asymmetric-distance PQ
+    scoring runs over ONLY the probed cells' byte codes. With
+    ``rerank_shortlist`` set, the ADC shortlist is re-ranked exactly
+    against the full-precision vectors (coarse -> code -> exact).
+
+    Invariant (pinned by test): ``nprobe == n_centroids`` degenerates
+    to the full ADC scan — bit-identical to :func:`pq_adc_topk` — so
+    cell pruning is the ONLY approximation this operator adds on top
+    of PQ itself.
+
+    Scale shape at 10^9+ rows: the corpus is stored and scanned as
+    (cell, m-byte code) rows; per query only ``nprobe/C`` of the codes
+    are scored (mask inside the Arrow kernel — no per-query join or
+    shuffle), the coarse codebook and probe lists ship in the UDF
+    closure (C x d doubles — MBs), and the optional re-rank moves only
+    queries x shortlist full-precision rows. ``centroids`` defaults to
+    the deterministic first-``n_centroids``-by-id codebook (same
+    convention as :func:`ivf_topk`); pass a trained k-means codebook in
+    production."""
+    if centroids is None:
+        centroids = vectors.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
         )
+    book = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+        for r in centroids.collect()
+    ]
+    book.sort(key=lambda c: c[0])
+    if codes_df is None:
+        codes_df = pq_encode(vectors, codebooks, vec_col=vec_col, id_col=id_col)
+    cells = assign_cells_np(
+        vectors.select(id_col, vec_col), book, vec_col, 1, "__vc"
+    ).select(id_col, F.element_at(F.col("__vc"), 1).alias("cell"))
+    coded = codes_df.join(cells, id_col)
+
+    # query-side probes driver-side: same normalized-dot argmax and
+    # cid-ascending tie-break as assign_cells_np
+    cids = np.asarray([c[0] for c in book], dtype=np.int64)
+    cmat = np.asarray([c[1] for c in book], dtype=np.float64)
+    cn = cmat / np.maximum(
+        np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300
     )
+    qids = [q[0] for q in queries]
+    qm = np.asarray([q[1] for q in queries], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    sims_qc = qn @ cn.T
+    nprobe = min(nprobe, len(book))
+    probe_sets = []
+    for qi in range(len(qids)):
+        order = np.lexsort((cids, -sims_qc[qi]))[:nprobe]
+        probe_sets.append(frozenset(int(cids[j]) for j in order))
+
+    m, ksub, dsub = codebooks.shape
+    qtab = np.einsum(
+        "qsd,scd->qsc", qn.reshape(len(qids), m, dsub), codebooks
+    )
+    ntab = (codebooks * codebooks).sum(axis=2)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            cell_arr = pdf["cell"].to_numpy()
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            # rows' reconstructed sims vs every query, gathered once
+            sims = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            rn2 = np.zeros(len(ids), dtype=np.float64)
+            for s in range(m):
+                cs = codes[:, s]
+                sims += qtab[:, s, :][:, cs]
+                rn2 += ntab[s, cs]
+            rn = np.sqrt(rn2)
+            rn[rn == 0.0] = 1.0
+            sims /= rn[None, :]
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(len(qids)):
+                mask = np.fromiter(
+                    (c in probe_sets[qi] for c in cell_arr),
+                    dtype=bool,
+                    count=len(ids),
+                )
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                col = sims[qi][idx]
+                n_keep = min(k if rerank_shortlist is None
+                             else rerank_shortlist, idx.size)
+                cand = np.argpartition(-col, n_keep - 1)[:n_keep]
+                for i in cand:
+                    out_q.append(qids[qi])
+                    out_id.append(ids[idx[i]])
+                    out_sim.append(col[i])
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_id, "score": out_sim}
+            )
+
+    partial = coded.select(id_col, "codes", "cell").mapInPandas(
+        score, f"query_id long, {id_col} long, score double"
+    )
+    kk = k if rerank_shortlist is None else rerank_shortlist
     w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col(id_col).asc()
+        F.col("score").desc(), F.col(id_col).asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "sim", "rank")
+    short = (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select("query_id", id_col, "score", "rank")
+    )
+    if rerank_shortlist is None:
+        return short
+    return _exact_rerank(
+        vectors, short.select("query_id", id_col), queries, k, vec_col, id_col
     )
 
 

@@ -2771,6 +2771,34 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRAININGDATA_QUERIES["ann_pq_rerank"] = q_ann_pq_rerank
 
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF+PQ composition (similarity.ivfpq_topk): coarse cells
+    prune the corpus, ADC scores only the probed cells' codes, exact
+    re-rank of the shortlist. ROWS-ONLY like the other numpy-matmul
+    ANN paths; degenerate-equality (nprobe=C == full ADC scan) and
+    recall invariants pinned by
+    test_ivfpq_degenerates_to_full_adc_and_prunes; sf1 recall/latency
+    ladder in BENCH/BASELINE.md."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        ivfpq_topk,
+        train_pq,
+    )
+
+    vecs = _read(spark, sf_dir, "embeddings", wide=True)
+    books = train_pq(vecs, m=8, ksub=16, n_iters=10)
+    queries = [
+        (r["query_id"], list(r["query_vec"]))
+        for r in _queries_df(spark, sf_dir).collect()
+    ]
+    return ivfpq_topk(
+        vecs, queries, books, n_centroids=IVF_C, nprobe=IVF_NPROBE,
+        k=ANN_K, rerank_shortlist=20,
+    )
+
+
+TRAININGDATA_QUERIES["ann_ivfpq"] = q_ann_ivfpq
+
 TRAININGDATA_ORACLES = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,

@@ -1462,3 +1462,65 @@ def test_semantic_dedup_np_pairs_parity(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_ivfpq_degenerates_to_full_adc_and_prunes(vectors, spark):
+    """IVF+PQ invariants: (a) probing EVERY cell is exactly the full
+    ADC scan (cell pruning is the only approximation added on top of
+    PQ), (b) real pruning keeps the self-hit and above-chance recall,
+    (c) the optional exact re-rank returns exact sims."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        brute_force_topk_np,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+        train_pq,
+    )
+
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in vectors.where(F.col("vec_id") < 5).collect()
+    ]
+    k = 5
+    books = train_pq(vectors, m=16, ksub=16, n_iters=8)
+    codes = pq_encode(vectors, books)
+
+    def rows(df):
+        return {
+            (r["query_id"], r["vec_id"]): round(r[df.columns[2]], 12)
+            for r in df.collect()
+        }
+
+    C = 8
+    full_adc = rows(pq_adc_topk(codes, queries, books, k=k))
+    degenerate = rows(
+        ivfpq_topk(vectors, queries, books, n_centroids=C, nprobe=C, k=k,
+                   codes_df=codes)
+    )
+    assert degenerate == full_adc
+
+    pruned = ivfpq_topk(
+        vectors, queries, books, n_centroids=C, nprobe=2, k=k, codes_df=codes
+    )
+    pr = {}
+    for r in pruned.collect():
+        pr.setdefault(r["query_id"], set()).add(r["vec_id"])
+    exact = brute_force_topk_np(vectors, queries, k=k)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert all(q in ids for q, ids in pr.items())  # self-hit survives
+    recalls = [len(ex[q] & pr[q]) / k for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.3  # chance is ~2.5%
+
+    rr = ivfpq_topk(
+        vectors, queries, books, n_centroids=C, nprobe=4, k=k,
+        codes_df=codes, rerank_shortlist=40,
+    )
+    bf = rows(brute_force_topk_np(vectors, queries, k=vectors.count()))
+    for r in rr.collect():
+        # re-ranked sims are the exact cosine (same Column evaluation
+        # as brute_force_topk; allow float64 fold vs numpy ulps)
+        assert r["sim"] == pytest.approx(
+            bf[(r["query_id"], r["vec_id"])], abs=1e-9
+        )
