@@ -2727,7 +2727,12 @@ _WINDOW_HEAD = [
     "ann_lsh_topk_partial",
     "ann_multiprobe",
     "ann_ivf_topk",
-    "ann_pq_topk",
+    # cascade_incremental (hash-verifiable, the incremental-inference
+    # showcase) took ann_pq_topk's slot late in round 4: a rows-only
+    # driver row carries far less signal than a value-hash row, and
+    # the PQ path keeps its pytest recall/determinism pins plus the
+    # full-registry contract test either way.
+    "cascade_incremental",
     "semantic_dedup",
     "events_rollup_streaming",
     "events_dedup_streaming",

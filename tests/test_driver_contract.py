@@ -113,7 +113,11 @@ def test_driver_window_composition():
     window = set(keys[:50])
     must_be_inside = {
         "pack_sequences",  # the r03 red row, fixed in round 4
-        "ann_ivf_topk", "ann_pq_topk",
+        "ann_ivf_topk",
+        # cascade_incremental replaced the rows-only ann_pq_topk slot:
+        # a value-hash row over the incremental-inference path beats a
+        # rows-only row the pytest contract already covers
+        "cascade_incremental",
         "semantic_dedup",
         "events_rollup_streaming", "events_dedup_streaming",
         "events_tile_rollup_streaming",
