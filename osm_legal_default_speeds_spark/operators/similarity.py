@@ -789,6 +789,40 @@ def pq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     )
 
 
+def _adc_tables(queries: list[tuple], codebooks: np.ndarray):
+    """The ADC lookup tables shared by :func:`pq_adc_topk` and
+    :func:`ivfpq_topk`: ``qtab[qi, s, c]`` = normalized-query
+    subvector . codebook entry, ``ntab[s, c]`` = |entry|^2. One
+    construction site keeps the two kernels' float math in provable
+    lockstep (the ivfpq degenerate-equality test depends on it); the
+    zero-norm query guard lives here for the same reason."""
+    m, ksub, dsub = codebooks.shape
+    qids = [q[0] for q in queries]
+    qm = np.asarray([q[1] for q in queries], dtype=np.float64)
+    qn = qm / np.maximum(
+        np.linalg.norm(qm, axis=1, keepdims=True), 1e-300
+    )
+    qtab = np.einsum(
+        "qsd,scd->qsc", qn.reshape(len(qids), m, dsub), codebooks
+    )
+    ntab = (codebooks * codebooks).sum(axis=2)
+    return qids, qn, qtab, ntab
+
+
+def _keep_topk_with_ties(col: np.ndarray, n_keep: int) -> np.ndarray:
+    """Indices of the ``n_keep`` best scores INCLUDING every row tied
+    with the kept k-th value. A bare argpartition cuts boundary ties
+    arbitrarily, which makes partial top-k batch-layout-dependent
+    (identical PQ codes — real in deduped corpora — score identically);
+    keeping the ties lets the final (score desc, id asc) window stay
+    deterministic for any partitioning."""
+    if col.size <= n_keep:
+        return np.arange(col.size)
+    part = np.argpartition(-col, n_keep - 1)[:n_keep]
+    kth = col[part].min()
+    return np.nonzero(col >= kth)[0]
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     queries: list[tuple],
@@ -801,16 +835,9 @@ def pq_adc_topk(
     table |c|^2 are precomputed; each batch's score is a table gather
     + sum, normalized by the reconstructed vector norm (approximate
     cosine). Output (query_id, id, score, rank); per-batch partial
-    top-k keeps the final window tiny."""
-    m, ksub, dsub = codebooks.shape
-    qids = [q[0] for q in queries]
-    qm = np.asarray([q[1] for q in queries], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    # qtab[qi, s, c] = q_s . c ; ntab[s, c] = |c|^2
-    qtab = np.einsum(
-        "qsd,scd->qsc", qn.reshape(len(qids), m, dsub), codebooks
-    )
-    ntab = (codebooks * codebooks).sum(axis=2)
+    top-k (boundary ties kept) keeps the final window tiny."""
+    m = codebooks.shape[0]
+    qids, _, qtab, ntab = _adc_tables(queries, codebooks)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -825,12 +852,10 @@ def pq_adc_topk(
             rn = np.sqrt(rn2)
             rn[rn == 0.0] = 1.0
             sims /= rn[None, :]
-            n_keep = min(k, len(ids))
             out_q, out_id, out_sim = [], [], []
             for qi in range(len(qids)):
                 col = sims[qi]
-                cand = np.argpartition(-col, n_keep - 1)[:n_keep]
-                for i in cand:
+                for i in _keep_topk_with_ties(col, min(k, col.size)):
                     out_q.append(qids[qi])
                     out_id.append(ids[i])
                     out_sim.append(col[i])
@@ -919,6 +944,67 @@ def pq_adc_rerank_topk(
     )
 
 
+def ivfpq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    coarse_book: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fused coarse-cell assignment + PQ encoding: ONE mapInPandas pass
+    emits ``(id, cell, codes)`` — the inverted-list layout the IVF+PQ
+    scan wants STORED. Fusing matters twice: a separate
+    assign-then-join pays a corpus-wide shuffle join of two stat-less
+    UDF outputs (sort-merge, and the skinny post-join shuffle
+    AQE-coalesces to a few partitions — the window-shuffle trap in
+    CLAUDE.md), and stored cells let the serving scan prune unprobed
+    cells at the source. ``coarse_book``: [(cid, vec)] sorted by cid —
+    assignment is normalized-dot argmax with cid-ascending ties,
+    matching :func:`assign_cells_np`; PQ codes match
+    :func:`pq_encode` exactly."""
+    m, ksub, dsub = codebooks.shape
+    books = codebooks.copy()
+    cnorm2 = (books * books).sum(axis=2)
+    cids = np.asarray([c[0] for c in coarse_book], dtype=np.int64)
+    cm = np.asarray([c[1] for c in coarse_book], dtype=np.float64)
+    cnm = np.linalg.norm(cm, axis=1, keepdims=True)
+    cnm[cnm == 0.0] = 1.0
+    cn = cm / cnm
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if mat.ndim == 1:  # empty batch
+                yield pd.DataFrame(
+                    {id_col: [], "cell": [], "codes": []}
+                )
+                continue
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            sims = (mat / norms) @ cn.T
+            # book sorted by cid => argmax's first-max IS the lowest
+            # cid among ties, matching assign_cells_np's lexsort
+            cell = cids[np.argmax(sims, axis=1)].astype(np.int32)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                Xs = mat[:, s * dsub : (s + 1) * dsub]
+                d2 = cnorm2[s][None, :] - 2.0 * (Xs @ books[s].T)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cell,
+                    "codes": list(codes),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        enc, f"{id_col} long, cell int, codes array<int>"
+    )
+
+
 def ivfpq_topk(
     vectors: DataFrame,
     queries: list[tuple],
@@ -945,13 +1031,20 @@ def ivfpq_topk(
     of PQ itself.
 
     Scale shape at 10^9+ rows: the corpus is stored and scanned as
-    (cell, m-byte code) rows; per query only ``nprobe/C`` of the codes
-    are scored (mask inside the Arrow kernel — no per-query join or
-    shuffle), the coarse codebook and probe lists ship in the UDF
-    closure (C x d doubles — MBs), and the optional re-rank moves only
-    queries x shortlist full-precision rows. ``centroids`` defaults to
-    the deterministic first-``n_centroids``-by-id codebook (same
-    convention as :func:`ivf_topk`); pass a trained k-means codebook in
+    ``(cell, m-byte code)`` rows (:func:`ivfpq_encode` — pass its
+    output as ``codes_df``, or leave ``codes_df=None`` to fuse encode
+    into this call); an IN-list filter on the union of all probed
+    cells prunes the scan itself, the Arrow kernel then ADC-gathers
+    each query's scores over ONLY its own probed rows (per-query index
+    mask — never a per-query join, and never a full Q x N matrix),
+    the coarse codebook and probe lists ship in the UDF closure
+    (C x d doubles — MBs), and the optional re-rank moves only
+    queries x shortlist full-precision rows. A ``codes_df`` WITHOUT a
+    cell column is accepted but pays a corpus-wide join of two
+    stat-less UDF outputs — store cells with the codes instead.
+    ``centroids`` defaults to the deterministic
+    first-``n_centroids``-by-id codebook (same convention as
+    :func:`ivf_topk`); pass a trained k-means codebook in
     production."""
     if centroids is None:
         centroids = vectors.where(F.col(id_col) < n_centroids).select(
@@ -963,66 +1056,80 @@ def ivfpq_topk(
         for r in centroids.collect()
     ]
     book.sort(key=lambda c: c[0])
-    if codes_df is None:
-        codes_df = pq_encode(vectors, codebooks, vec_col=vec_col, id_col=id_col)
-    cells = assign_cells_np(
-        vectors.select(id_col, vec_col), book, vec_col, 1, "__vc"
-    ).select(id_col, F.element_at(F.col("__vc"), 1).alias("cell"))
-    coded = codes_df.join(cells, id_col)
-
-    # query-side probes driver-side: same normalized-dot argmax and
-    # cid-ascending tie-break as assign_cells_np
+    # coarse codebook + per-query probe lists, driver-side (C x d)
     cids = np.asarray([c[0] for c in book], dtype=np.int64)
     cmat = np.asarray([c[1] for c in book], dtype=np.float64)
-    cn = cmat / np.maximum(
-        np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300
-    )
-    qids = [q[0] for q in queries]
-    qm = np.asarray([q[1] for q in queries], dtype=np.float64)
-    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    cnm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnm[cnm == 0.0] = 1.0
+    cn = cmat / cnm
+    qids, qn, qtab, ntab = _adc_tables(queries, codebooks)
     sims_qc = qn @ cn.T
     nprobe = min(nprobe, len(book))
-    probe_sets = []
+    probe_arrs = []
     for qi in range(len(qids)):
+        # same normalized-dot + cid-ascending tie-break as
+        # assign_cells_np / the fused encoder
         order = np.lexsort((cids, -sims_qc[qi]))[:nprobe]
-        probe_sets.append(frozenset(int(cids[j]) for j in order))
+        probe_arrs.append(np.sort(cids[order]))
 
-    m, ksub, dsub = codebooks.shape
-    qtab = np.einsum(
-        "qsd,scd->qsc", qn.reshape(len(qids), m, dsub), codebooks
-    )
-    ntab = (codebooks * codebooks).sum(axis=2)
+    if codes_df is None:
+        coded = ivfpq_encode(
+            vectors, codebooks, book, vec_col=vec_col, id_col=id_col
+        )
+    elif "cell" in codes_df.columns:
+        # the stored inverted-list layout (ivfpq_encode output)
+        coded = codes_df
+    else:
+        # compatibility: codes stored without cells — pay one join of
+        # two UDF outputs. Store cells with the codes instead
+        # (ivfpq_encode): the stat-less join-back picks sort-merge and
+        # its skinny output AQE-coalesces to a few partitions, the
+        # window-shuffle trap CLAUDE.md documents.
+        cells = assign_cells_np(
+            vectors.select(id_col, vec_col), book, vec_col, 1, "__vc"
+        ).select(id_col, F.element_at(F.col("__vc"), 1).alias("cell"))
+        coded = codes_df.join(cells, id_col)
+    # scan ONLY rows in some query's probed cell: the IN-list prunes
+    # at the scan (or right after the fused encode), so the kernel
+    # never sees the (C - probed)/C fraction of the corpus
+    all_probed = sorted({int(c) for arr in probe_arrs for c in arr})
+    coded = coded.where(F.col("cell").isin(all_probed))
+
+    m = codebooks.shape[0]
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             cell_arr = pdf["cell"].to_numpy()
             codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
-            # rows' reconstructed sims vs every query, gathered once
-            sims = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            if len(ids) == 0:
+                yield pd.DataFrame(
+                    {"query_id": [], id_col: [], "score": []}
+                )
+                continue
+            # reconstructed norms once per row (shared across queries)
             rn2 = np.zeros(len(ids), dtype=np.float64)
             for s in range(m):
-                cs = codes[:, s]
-                sims += qtab[:, s, :][:, cs]
-                rn2 += ntab[s, cs]
+                rn2 += ntab[s, codes[:, s]]
             rn = np.sqrt(rn2)
             rn[rn == 0.0] = 1.0
-            sims /= rn[None, :]
             out_q, out_id, out_sim = [], [], []
+            n_keep_target = k if rerank_shortlist is None else rerank_shortlist
             for qi in range(len(qids)):
-                mask = np.fromiter(
-                    (c in probe_sets[qi] for c in cell_arr),
-                    dtype=bool,
-                    count=len(ids),
-                )
-                idx = np.nonzero(mask)[0]
+                idx = np.nonzero(np.isin(cell_arr, probe_arrs[qi]))[0]
                 if idx.size == 0:
                     continue
-                col = sims[qi][idx]
-                n_keep = min(k if rerank_shortlist is None
-                             else rerank_shortlist, idx.size)
-                cand = np.argpartition(-col, n_keep - 1)[:n_keep]
-                for i in cand:
+                # ADC gather over ONLY the probed rows — same per-
+                # element adds as pq_adc_topk's full-matrix kernel, so
+                # nprobe = C stays bit-identical to the full scan
+                acc = np.zeros(idx.size, dtype=np.float64)
+                sub = codes[idx]
+                for s in range(m):
+                    acc += qtab[qi, s, sub[:, s]]
+                col = acc / rn[idx]
+                for i in _keep_topk_with_ties(
+                    col, min(n_keep_target, idx.size)
+                ):
                     out_q.append(qids[qi])
                     out_id.append(ids[idx[i]])
                     out_sim.append(col[i])

@@ -1524,3 +1524,69 @@ def test_ivfpq_degenerates_to_full_adc_and_prunes(vectors, spark):
         assert r["sim"] == pytest.approx(
             bf[(r["query_id"], r["vec_id"])], abs=1e-9
         )
+
+
+def test_ivfpq_encode_fused_matches_separate_paths(vectors, spark):
+    """The fused (id, cell, codes) encoder must agree exactly with the
+    separate pq_encode + assign_cells_np passes, and ivfpq_topk must
+    return the same rows whether it gets the stored fused layout, no
+    codes at all (fuses internally), or the legacy join fallback."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        assign_cells_np,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_encode,
+        train_pq,
+    )
+
+    books = train_pq(vectors, m=16, ksub=16, n_iters=8)
+    cent = vectors.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    book = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+        for r in cent.collect()
+    )
+    fused = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in ivfpq_encode(vectors, books, book).collect()
+    }
+    codes = pq_encode(vectors, books)
+    sep_codes = {
+        r["vec_id"]: tuple(r["codes"]) for r in codes.collect()
+    }
+    sep_cells = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_np(
+            vectors.select("vec_id", "embedding"), book, "embedding", 1, "__vc"
+        ).select(
+            "vec_id", F.element_at(F.col("__vc"), 1).alias("cell")
+        ).collect()
+    }
+    assert fused == {
+        i: (sep_cells[i], sep_codes[i]) for i in sep_codes
+    }
+
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in vectors.where(F.col("vec_id") < 5).collect()
+    ]
+
+    def rows(df):
+        return {
+            (r["query_id"], r["vec_id"]): round(r["score"], 12)
+            for r in df.collect()
+        }
+
+    via_fused_df = rows(
+        ivfpq_topk(vectors, queries, books, 8, nprobe=3, k=5,
+                   codes_df=ivfpq_encode(vectors, books, book))
+    )
+    via_internal = rows(
+        ivfpq_topk(vectors, queries, books, 8, nprobe=3, k=5)
+    )
+    via_join = rows(
+        ivfpq_topk(vectors, queries, books, 8, nprobe=3, k=5, codes_df=codes)
+    )
+    assert via_fused_df == via_internal == via_join
