@@ -34,9 +34,11 @@ Coverage added on top of plans.driver_queries:
   ann_lsh_topk_partial  same, ranked via two-stage partial top-k (large-Q path)
   ann_multiprobe     Hamming-radius-1 multi-probe LSH (recall control)
   ann_ivf_topk       IVF coarse-quantizer cells + nprobe probing
-  ann_ivf_topk_np    (rows-only) production IVF: matmul assign + partial top-k
-  ann_pq_topk        (rows-only) product-quantization ANN: sample-trained
-                     codebooks, distributed encode, ADC top-k over codes
+  ann_ivf_topk_np    production IVF: matmul assign + partial top-k
+                     (integer rank surface, hash-oracled)
+  ann_pq_topk        product-quantization ANN: deterministic-init
+                     codebooks, distributed encode, ADC top-k over
+                     codes (integer rank surface, hash-oracled)
   embedding_near_dup embedding-cosine near-dup pairs via LSH self-join
   semantic_dedup     SemDeDup: cluster-local cosine pruning, keep min-id
   curate_images      (rows-only) phash pairs -> star CC -> one rep per group
@@ -897,11 +899,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-path twin of ann_ivf_topk: NumPy matmul cell
     assignment (assign_cells_np via mapInPandas) + two-stage partial
-    top-k. ROWS-ONLY by contract: numpy's pairwise-summation dot
-    products differ from the oracle's sequential fold in the last ulps,
-    so value-hash equality cannot hold; id/rank parity with the oracled
-    fold path is pinned by pytest
-    (test_ivf_topk_np_assign_parity / test_partial_topk_matches_window)."""
+    top-k. Projects the INTEGER surface (query_id, vec_id, rank):
+    numpy's pairwise-summation dot products differ from the oracle's
+    sequential fold in the last ulps, so the float sim can't be
+    value-hashed — but the id/rank ordering is ulp-stable on the
+    deterministic fixture (and pinned independently by
+    test_ivf_topk_np_assign_parity / test_partial_topk_matches_window),
+    making the rank projection a full hash-verified driver oracle."""
     from osm_legal_default_speeds_spark.operators.similarity import ivf_topk
 
     return ivf_topk(
@@ -912,16 +916,38 @@ def q_ann_ivf_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=ANN_K,
         np_assign=True,
         partial_topk=True,
+    ).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
     )
 
 
+# PQ driver-oracle configuration: n_iters=0 pins the codebooks to the
+# deterministic init (the first PQ_KSUB sample subvectors — corpus
+# rows), which makes the FULL ADC pipeline DuckDB-expressible: code
+# assignment is an argmin over explicit subspace distances, scoring a
+# gather+sum, both integer-stable. The k-means-TRAINED path (n_iters>0,
+# driver-side Lloyd's — not SQL-expressible) keeps its pytest recall
+# pins (test_pq_recall_vs_exact, test_pq_rerank_improves_recall...)
+# and the sf1 recall/latency ladder in BENCH/BASELINE.md. Outputs
+# project the INTEGER surface (query_id, vec_id, rank) — float ADC
+# scores travel only inside the plan, so last-ulp summation-order
+# differences between numpy and the oracle's sequential fold cannot
+# break the value hash (they could only flip a rank at an exact
+# boundary near-tie, absent on the deterministic fixtures — verified
+# at sf0.01 AND sf0.1).
+PQ_M = 8
+PQ_KSUB = 16
+PQ_DSUB = EMB_DIM // PQ_M
+PQ_RERANK_SHORTLIST = 20
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN serving path (rows-only: float matmul
-    + table gather — not SQL-expressible): train per-subspace
-    codebooks on the deterministic sample, ENCODE the corpus to m
-    single-byte codes distributed, then asymmetric-distance top-k over
-    the codes only. Recall vs the exact scan is pinned by pytest
-    (test_pq_recall_vs_exact)."""
+    """Product-quantization ANN serving path: per-subspace codebooks
+    (deterministic init — see the PQ driver-oracle note above), ENCODE
+    the corpus to m single-byte codes distributed (pq_encode kernel),
+    then asymmetric-distance top-k over the codes only (pq_adc_topk
+    kernel + partial top-k). Integer (query_id, vec_id, rank) output
+    — fully hash-verified against the explicit-distance SQL oracle."""
     from osm_legal_default_speeds_spark.operators.similarity import (
         pq_adc_topk,
         pq_encode,
@@ -929,13 +955,15 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     vecs = _read(spark, sf_dir, "embeddings", wide=True)
-    books = train_pq(vecs, m=8, ksub=16, n_iters=10)
+    books = train_pq(vecs, m=PQ_M, ksub=PQ_KSUB, n_iters=0)
     codes = pq_encode(vecs, books)
     queries = [
         (r["query_id"], list(r["query_vec"]))
         for r in _queries_df(spark, sf_dir).collect()
     ]
-    return pq_adc_topk(codes, queries, books, k=ANN_K)
+    return pq_adc_topk(codes, queries, books, k=ANN_K).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    )
 
 
 SQL_ANN_IVF_TOPK = f"""
@@ -2746,11 +2774,12 @@ TRAININGDATA_QUERIES["knn_indexed"] = q_knn_indexed
 def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse-to-fine PQ serving (similarity.pq_adc_rerank_topk): ADC
     shortlist over stored codes, exact cosine re-rank of only the
-    shortlisted candidates. ROWS-ONLY like ann_pq_topk (numpy matmul +
-    table gather in the shortlist stage is not SQL-expressible);
-    recall/exactness pinned by
-    test_pq_rerank_improves_recall_with_exact_sims, measured
-    recall/latency at sf1 in BENCH/BASELINE.md."""
+    shortlisted candidates. Deterministic-init codebooks + integer
+    (query_id, vec_id, rank) output make it hash-verifiable (see the
+    PQ driver-oracle note above q_ann_pq_topk); the TRAINED-codebook
+    recall story stays pinned by
+    test_pq_rerank_improves_recall_with_exact_sims and the sf1
+    recall/latency ladder in BENCH/BASELINE.md."""
     from osm_legal_default_speeds_spark.operators.similarity import (
         pq_adc_rerank_topk,
         pq_encode,
@@ -2758,14 +2787,17 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     vecs = _read(spark, sf_dir, "embeddings", wide=True)
-    books = train_pq(vecs, m=8, ksub=16, n_iters=10)
+    books = train_pq(vecs, m=PQ_M, ksub=PQ_KSUB, n_iters=0)
     codes = pq_encode(vecs, books)
     queries = [
         (r["query_id"], list(r["query_vec"]))
         for r in _queries_df(spark, sf_dir).collect()
     ]
     return pq_adc_rerank_topk(
-        vecs, codes, queries, books, k=ANN_K, shortlist=20
+        vecs, codes, queries, books, k=ANN_K,
+        shortlist=PQ_RERANK_SHORTLIST,
+    ).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -2775,9 +2807,11 @@ TRAININGDATA_QUERIES["ann_pq_rerank"] = q_ann_pq_rerank
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF+PQ composition (similarity.ivfpq_topk): coarse cells
     prune the corpus, ADC scores only the probed cells' codes, exact
-    re-rank of the shortlist. ROWS-ONLY like the other numpy-matmul
-    ANN paths; degenerate-equality (nprobe=C == full ADC scan) and
-    recall invariants pinned by
+    re-rank of the shortlist. Deterministic-init codebooks + integer
+    (query_id, vec_id, rank) output make the whole composition
+    hash-verifiable (see the PQ driver-oracle note above
+    q_ann_pq_topk); degenerate-equality (nprobe=C == full ADC scan)
+    and recall invariants stay pinned by
     test_ivfpq_degenerates_to_full_adc_and_prunes; sf1 recall/latency
     ladder in BENCH/BASELINE.md."""
     from osm_legal_default_speeds_spark.operators.similarity import (
@@ -2786,18 +2820,179 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     vecs = _read(spark, sf_dir, "embeddings", wide=True)
-    books = train_pq(vecs, m=8, ksub=16, n_iters=10)
+    books = train_pq(vecs, m=PQ_M, ksub=PQ_KSUB, n_iters=0)
     queries = [
         (r["query_id"], list(r["query_vec"]))
         for r in _queries_df(spark, sf_dir).collect()
     ]
     return ivfpq_topk(
         vecs, queries, books, n_centroids=IVF_C, nprobe=IVF_NPROBE,
-        k=ANN_K, rerank_shortlist=20,
+        k=ANN_K, rerank_shortlist=PQ_RERANK_SHORTLIST,
+    ).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
     )
 
 
 TRAININGDATA_QUERIES["ann_ivfpq"] = q_ann_ivfpq
+
+
+# --------------------------------------------------------------------------
+# PQ / IVF+PQ integer-surface oracles. With n_iters=0 the codebooks
+# ARE corpus subvectors (vec_id < PQ_KSUB sliced per subspace), so
+# code assignment is an explicit argmin over subspace distances and
+# ADC scoring a gather+sum — all DuckDB-expressible. Only integer
+# columns are projected, so float ulps can't break the hash; matching
+# verified empirically at sf0.01 and sf0.1 before registration.
+# --------------------------------------------------------------------------
+
+
+def _sql_pq_slice(col: str, s: str) -> str:
+    """1-based inclusive DuckDB slice of subspace ``s`` (expression)."""
+    return f"{col}[{s}*{PQ_DSUB}+1 : {s}*{PQ_DSUB}+{PQ_DSUB}]"
+
+
+# shared CTE prefix: centroid subvector table, per-(vector, subspace)
+# code assignment (argmin of |c|^2 - 2<v_s, c>, ties to lowest code,
+# matching pq_encode), per-query normalized ADC score
+_SQL_PQ_PREFIX = f"""
+cent AS (
+  SELECT s.s, e.vec_id AS c,
+         {_sql_pq_slice('e.embedding', 's.s')} AS cvec
+  FROM embeddings e, (SELECT UNNEST(range(0, {PQ_M})) AS s) s
+  WHERE e.vec_id < {PQ_KSUB}
+),
+codes AS (
+  SELECT v.vec_id, b.s, b.c AS code,
+         {_sql_dot('b.cvec', 'b.cvec', PQ_DSUB)} AS cn2,
+         b.cvec AS cvec
+  FROM embeddings v CROSS JOIN cent b
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY v.vec_id, b.s
+    ORDER BY ({_sql_dot('b.cvec', 'b.cvec', PQ_DSUB)}
+              - 2.0 * ({_sql_dot(_sql_pq_slice('v.embedding', 'b.s'), 'b.cvec', PQ_DSUB)})) ASC,
+             b.c ASC
+  ) = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec,
+         sqrt({_sql_dot('embedding', 'embedding')}) AS qnorm
+  FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
+),
+adc AS (
+  SELECT q.query_id, c.vec_id,
+    SUM({_sql_dot(_sql_pq_slice('q.query_vec', 'c.s'), 'c.cvec', PQ_DSUB)}
+        / q.qnorm) AS num,
+    SUM(c.cn2) AS rn2
+  FROM codes c, q
+  GROUP BY q.query_id, c.vec_id
+),
+adc_scored AS (
+  SELECT query_id, vec_id,
+         num / (CASE WHEN sqrt(rn2) = 0.0 THEN 1.0 ELSE sqrt(rn2) END)
+           AS score
+  FROM adc
+)
+"""
+
+SQL_ANN_PQ_TOPK = f"""
+WITH {_SQL_PQ_PREFIX},
+ranked AS (
+  SELECT query_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, vec_id ASC) AS rank
+  FROM adc_scored
+)
+SELECT query_id, vec_id, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+SQL_ANN_PQ_RERANK = f"""
+WITH {_SQL_PQ_PREFIX},
+shortlist AS (
+  SELECT query_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, vec_id ASC) AS srank
+  FROM adc_scored
+  QUALIFY srank <= {PQ_RERANK_SHORTLIST}
+),
+rer AS (
+  SELECT s.query_id, s.vec_id,
+    {_sql_cosine('v.embedding', 'q.query_vec')} AS sim
+  FROM shortlist s
+  JOIN embeddings v USING (vec_id)
+  JOIN q USING (query_id)
+),
+final AS (
+  SELECT query_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM rer
+)
+SELECT query_id, vec_id, rank::BIGINT AS rank
+FROM final WHERE rank <= {ANN_K}
+"""
+
+# IVF+PQ: coarse cells (first-IVF_C codebook, cosine argmax with
+# cid-ascending ties — identical to ivfpq_encode) restrict which
+# vectors each query's ADC scan sees; shortlist then exact re-rank.
+SQL_ANN_IVFPQ = f"""
+WITH {_SQL_PQ_PREFIX},
+coarse AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {IVF_C}
+),
+vcell AS (
+  SELECT v.vec_id, c.cid AS cell
+  FROM embeddings v, coarse c
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY v.vec_id
+    ORDER BY -({_sql_cosine('v.embedding', 'c.cvec')}) ASC, c.cid ASC
+  ) = 1
+),
+qprobe AS (
+  SELECT q.query_id, c.cid AS cell
+  FROM q, coarse c
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.query_id
+    ORDER BY -({_sql_cosine('q.query_vec', 'c.cvec')}) ASC, c.cid ASC
+  ) <= {IVF_NPROBE}
+),
+probed AS (
+  SELECT a.query_id, a.vec_id, a.score
+  FROM adc_scored a
+  JOIN vcell vc ON a.vec_id = vc.vec_id
+  JOIN qprobe p ON p.query_id = a.query_id AND p.cell = vc.cell
+),
+shortlist AS (
+  SELECT query_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, vec_id ASC) AS srank
+  FROM probed
+  QUALIFY srank <= {PQ_RERANK_SHORTLIST}
+),
+rer AS (
+  SELECT s.query_id, s.vec_id,
+    {_sql_cosine('v.embedding', 'q.query_vec')} AS sim
+  FROM shortlist s
+  JOIN embeddings v USING (vec_id)
+  JOIN q USING (query_id)
+),
+final AS (
+  SELECT query_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM rer
+)
+SELECT query_id, vec_id, rank::BIGINT AS rank
+FROM final WHERE rank <= {ANN_K}
+"""
+
+# the np twin answers the SAME cells/ranks as the fold-path IVF
+# oracle — project its integer surface
+SQL_ANN_IVF_TOPK_NP = f"""
+WITH base AS ({SQL_ANN_IVF_TOPK})
+SELECT query_id, vec_id, rank::BIGINT AS rank FROM base
+"""
 
 TRAININGDATA_ORACLES = {
     "exact_dedup": SQL_EXACT_DEDUP,
@@ -2830,6 +3025,14 @@ TRAININGDATA_ORACLES = {
     "ann_lsh_topk_partial": SQL_ANN_LSH_TOPK,
     "ann_multiprobe": SQL_ANN_MULTIPROBE,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    # the PQ tier's integer surfaces (query_id, vec_id, rank) — float
+    # ADC/cosine scores stay inside the plan, so numpy-vs-fold ulps
+    # can't break the hash (see the PQ driver-oracle note above
+    # q_ann_pq_topk)
+    "ann_pq_topk": SQL_ANN_PQ_TOPK,
+    "ann_pq_rerank": SQL_ANN_PQ_RERANK,
+    "ann_ivfpq": SQL_ANN_IVFPQ,
+    "ann_ivf_topk_np": SQL_ANN_IVF_TOPK_NP,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "events_rollup": SQL_EVENTS_ROLLUP,
@@ -2842,9 +3045,9 @@ TRAININGDATA_ORACLES = {
     "image_text_quality": SQL_IMAGE_TEXT_QUALITY,
     # codec-path oracles: DuckDB regenerates reference pixels and pins
     # integer-exact projections (see the block above _unit_sql). Bytes
-    # and float features remain rows-only/pytest territory. Still
-    # intentionally absent: ann_ivf_topk_np / ann_pq_topk (numpy
-    # pairwise-summation ulps vs the oracle's sequential fold).
+    # and float features remain rows-only/pytest territory. The former
+    # rows-only ANN queries (ann_pq_topk etc.) are oracled above via
+    # their integer rank surfaces as of round 5.
     "image_verify": SQL_IMAGE_VERIFY,
     "image_features": SQL_IMAGE_FEATURES,
     "image_resize": SQL_IMAGE_RESIZE,

@@ -104,46 +104,95 @@ def test_query_matches_oracle(spark, name):
 
 
 def test_driver_window_composition():
-    """The correctness driver checks only the FIRST 50 queries()
-    entries (insertion order). Pin the round-4 rotation: every
-    operator family that had no driver row through round 3 (ANN,
-    streaming, image codecs, round-3 spatial) must sit inside the
-    window, so a registry edit cannot silently rotate it back out."""
+    """The correctness driver checks only the FIRST _WINDOW_SIZE
+    queries() entries (insertion order). Since round 5 the window is a
+    MECHANICAL staleness-first round-robin (sort by last-driver-row
+    round, registration order as tie-break). Pin its invariants:
+
+    1. no query outside the window is staler than any query inside
+       (the sort is actually staleness-first);
+    2. every query that has never had a driver row, or is >=3 rounds
+       stale, sits inside the window (mechanically guaranteed while
+       their count fits the capacity);
+    3. round-5 spot pins: the 4 first-ever-oracled PQ queries, the 6
+       r2-stale queries, and the core cascade set lead the window.
+    """
+    from osm_legal_default_speeds_spark.plans.driver_queries import (
+        _LAST_DRIVER_ROW,
+        _WINDOW_SIZE,
+    )
+
     keys = list(entry_mod.queries())
-    window = set(keys[:50])
+    window, rest = keys[:_WINDOW_SIZE], keys[_WINDOW_SIZE:]
+
+    max_inside = max(_LAST_DRIVER_ROW.get(q, 0) for q in window)
+    min_outside = min(_LAST_DRIVER_ROW.get(q, 0) for q in rest)
+    assert max_inside <= min_outside, (
+        f"window is not staleness-first: a query inside was last "
+        f"verified r{max_inside} while one outside sits at r{min_outside}"
+    )
+
+    current_round = max(_LAST_DRIVER_ROW.values()) + 1
+    overdue = [
+        q for q in rest
+        if _LAST_DRIVER_ROW.get(q, 0) <= current_round - 3
+    ]
+    assert not overdue, f">=3-rounds-stale queries left outside: {overdue}"
+
     must_be_inside = {
-        "pack_sequences",  # the r03 red row, fixed in round 4
-        "ann_ivf_topk",
-        # cascade_incremental replaced the rows-only ann_pq_topk slot:
-        # a value-hash row over the incremental-inference path beats a
-        # rows-only row the pytest contract already covers
-        "cascade_incremental",
-        "semantic_dedup",
-        "events_rollup_streaming", "events_dedup_streaming",
-        "events_tile_rollup_streaming",
-        "event_asof_join", "window_attribution", "cms_counts",
-        "image_verify", "image_features", "image_resize",
-        "image_patches", "image_phash_near_dup", "curate_images",
-        "audio_features", "video_frame_sample",
-        "snap_segments", "tile_smooth",
-        "polygon_overlay", "simplify_lines", "within_pairs_m",
-        "segment_intersections", "vector_tiles", "clip_segments",
-        "geohash_encode", "vector_tiles_clipped", "tile_build_e2e",
-        # round-4 operators (first driver rows due in r04)
-        "image_patch_containment", "image_verify_streaming",
-        "quadkey_encode", "tile_hotspots",
-        # late-round-4 operators, admitted by rotating out six
-        # twice-green (r01+r02) entries: ann_topk, ann_lsh_topk,
-        # embedding_near_dup, events_rollup, image_meta, knn_indexed
-        "image_shard_assign", "multimodal_dup_classes",
-        "image_caption_conflicts", "spatial_split",
-        "geo_quota_sample", "aspect_buckets",
-        # youngest round-4 operators, admitted by rotating out the
-        # r02+r03-green engine twins and the rows-only IVF numpy twin
-        "trajectory_stats", "speeding_legs", "tiles_incremental",
+        # first-ever driver rows: the PQ tier, oracled via integer
+        # rank surfaces in round 5
+        "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq", "ann_ivf_topk_np",
+        # last verified in r2; similarity.py was rewritten after
+        "ann_topk", "ann_lsh_topk", "embedding_near_dup",
+        "events_rollup", "image_meta", "knn_indexed",
+        # the core cascade set (reference semantics pins)
+        "tagfilter_atoms", "units_normalize",
+        "cascade_infer", "cascade_infer_native",
+        "result_assembly", "result_assembly_native",
+        "relation_semijoin", "relation_semijoin_native",
+        "override_column", "override_column_native",
     }
-    missing = sorted(must_be_inside - window)
+    missing = sorted(must_be_inside - set(window))
     assert not missing, f"rotated out of the driver window: {missing}"
+
+
+def test_window_ledger_matches_correctness_files():
+    """_LAST_DRIVER_ROW is a pinned copy of what the repo-root
+    CORRECTNESS_r0*.json files record; recompute and compare so the
+    ledger cannot silently go stale when a new round's file lands."""
+    import glob
+    import json
+    import re
+
+    from osm_legal_default_speeds_spark.plans.driver_queries import (
+        _LAST_DRIVER_ROW,
+    )
+
+    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    if not files:
+        pytest.skip("no CORRECTNESS files present")
+    recomputed = {}
+    for path in files:
+        rnd = int(re.search(r"_r0*(\d+)\.json$", path).group(1))
+        for q in json.load(open(path)):
+            recomputed[q] = max(recomputed.get(q, 0), rnd)
+    # the ledger may lag by exactly the rounds newer than its pin;
+    # compare on the rounds it claims to cover
+    covered = max(_LAST_DRIVER_ROW.values())
+    stale = {
+        q: (r, _LAST_DRIVER_ROW.get(q))
+        for q, r in recomputed.items()
+        if r <= covered and _LAST_DRIVER_ROW.get(q) != r
+    }
+    assert not stale, (
+        f"_LAST_DRIVER_ROW disagrees with CORRECTNESS files (query: "
+        f"(actual, ledger)): {stale} — regenerate the ledger"
+    )
+    newer = sorted(q for q, r in recomputed.items() if r > covered)
+    assert not newer or covered >= max(recomputed.values()) - 1, (
+        f"ledger is >1 round behind the CORRECTNESS files; fold in: {newer}"
+    )
 
 
 def test_entry_smoke(spark):
