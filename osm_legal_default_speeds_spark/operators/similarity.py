@@ -842,6 +842,13 @@ def pq_adc_topk(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
+            if len(ids) == 0:
+                # same empty-batch guard as the ivfpq_topk kernel:
+                # codes[:, s] on a 0-row batch would raise IndexError
+                yield pd.DataFrame(
+                    {"query_id": [], id_col: [], "score": []}
+                )
+                continue
             codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
             sims = np.zeros((len(qids), len(ids)), dtype=np.float64)
             rn2 = np.zeros(len(ids), dtype=np.float64)
@@ -1171,13 +1178,14 @@ def ivfpq_topk(
 
 def semantic_dedup(
     vectors: DataFrame,
-    n_centroids: int,
+    n_centroids: int | str = "auto",
     min_cosine: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
     np_assign: bool = False,
     np_pairs: bool = False,
+    target_cell_rows: int = 1024,
 ) -> DataFrame:
     """Keep one representative of every cluster-local near-duplicate
     group: (vec_id, cell) for surviving rows.
@@ -1199,14 +1207,30 @@ def semantic_dedup(
     BENCH/BASELINE.md): total cost is O(n*C*d) assignment plus
     O(n^2/C*d) in-cell pairs, so ``n_centroids`` must GROW with the
     corpus to keep cells bounded — a fixed C reads as a quadratic
-    decade slope. Past ~10k rows/cell the in-cell work is
-    matmul-shaped and ``np_assign``/``np_pairs`` win decisively
-    (20k vecs: 23 s interpreted at C=32 vs 3.4 s numpy at C=320);
-    below that the interpreted Column path is faster (0.96 s vs
-    ~2 s at 2k vecs) because Arrow transfer dominates."""
+    decade slope. That guidance is now the DEFAULT:
+    ``n_centroids="auto"`` sizes the codebook as
+    ``ceil(n / target_cell_rows)`` from one count of the input, which
+    keeps expected cell population constant across corpus growth and
+    the decade slope output-proportional. Pass an explicit int to pin
+    the codebook (the driver-oracle query does, so its SQL twin can
+    enumerate the same first-C centroids). Past ~10k rows/cell the
+    in-cell work is matmul-shaped and ``np_assign``/``np_pairs`` win
+    decisively (20k vecs: 23 s interpreted at C=32 vs 3.4 s numpy at
+    C=320); below that the interpreted Column path is faster (0.96 s
+    vs ~2 s at 2k vecs) because Arrow transfer dominates."""
     v_in = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
+    if n_centroids == "auto":
+        if centroids is not None:
+            n_centroids = 0  # unused: the codebook is caller-supplied
+        else:
+            n = v_in.count()
+            n_centroids = max(1, -(-n // target_cell_rows))
+    elif not isinstance(n_centroids, int):
+        raise ValueError(
+            f"n_centroids must be an int or 'auto', got {n_centroids!r}"
+        )
     if centroids is None:
         centroids = v_in.where(F.col("vid") < n_centroids).select(
             F.col("vid").alias("centroid_id"),

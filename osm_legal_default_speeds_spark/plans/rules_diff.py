@@ -166,6 +166,7 @@ def infer_upserts(
     country_col: str = "country_code",
     engine: str = "native",
     project=None,
+    seq_col: str | None = None,
     **infer_kwargs,
 ) -> DataFrame:
     """Infer the changeset's upserted rows — the shared 'fresh side' of
@@ -176,23 +177,36 @@ def infer_upserts(
     At-most-one result row per ``id_col`` is guaranteed: a changeset
     carrying several upserts for the same road (two edits of one
     object in one diff window, or multiple diff files coalesced into
-    one micro-batch) resolves to ONE row, chosen by the greatest
-    xxhash64 of the row's JSON — deterministic and order-independent
-    (parquet/micro-batch row order is not). Feeds SHOULD pre-resolve
-    same-id edits (OSM applies last-edit-wins, which needs a version
-    column this schema doesn't carry); the hash rule only makes an
-    unresolved feed deterministic instead of silently duplicating the
-    key in the stored table."""
+    one micro-batch) resolves to ONE row. With ``seq_col`` named and
+    present (an OSM object version / diff sequence number), resolution
+    is LAST-WINS on that column — edit recency, the semantics a
+    coalesced multi-file batch actually wants — with null sequence
+    numbers losing to any real one. Without it (or as the tie-break
+    among equal sequence numbers), the greatest xxhash64 of the row's
+    JSON decides: deterministic and order-independent
+    (parquet/micro-batch row order is not), but unrelated to recency —
+    so feeds without a sequence column SHOULD pre-resolve same-id
+    edits; the hash rule only makes an unresolved feed deterministic
+    instead of silently duplicating the key in the stored table.
+    ``seq_col`` is dropped before inference (it is feed lineage, not a
+    road attribute)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(id_col).orderBy(
-        F.xxhash64(F.to_json(F.struct(*upserted_roads.columns))).desc()
-    )
+    row_hash = F.xxhash64(
+        F.to_json(F.struct(*upserted_roads.columns))
+    ).desc()
+    if seq_col is not None and seq_col in upserted_roads.columns:
+        order = [F.col(seq_col).desc_nulls_last(), row_hash]
+    else:
+        order = [row_hash]
+    w = Window.partitionBy(id_col).orderBy(*order)
     deduped = (
         upserted_roads.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if seq_col is not None and seq_col in deduped.columns:
+        deduped = deduped.drop(seq_col)
     if engine == "native":
         from osm_legal_default_speeds_spark.plans.native_cascade import (
             infer_speed_limits_native as _infer,
@@ -217,6 +231,7 @@ def apply_road_changeset(
     engine: str = "native",
     project=None,
     broadcast_ids: bool = True,
+    seq_col: str | None = None,
     **infer_kwargs,
 ) -> DataFrame:
     """Apply a ROAD changeset to a stored inference-result table under
@@ -254,6 +269,6 @@ def apply_road_changeset(
     keep = old_results.join(touched, id_col, "left_anti")
     fresh = infer_upserts(
         upserted_roads, ruleset, id_col=id_col, country_col=country_col,
-        engine=engine, project=project, **infer_kwargs,
+        engine=engine, project=project, seq_col=seq_col, **infer_kwargs,
     )
     return keep.unionByName(fresh.select(*old_results.columns))

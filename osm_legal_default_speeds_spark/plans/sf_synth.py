@@ -80,6 +80,21 @@ def _embeddings_copy(e: DataFrame, i: int, dim: int) -> DataFrame:
     )
 
 
+def _marker_line(copies: int, src_dir: str) -> str:
+    """Completeness-marker content: the request (copies, src) plus a
+    fingerprint of the replicated source files (size + mtime), so a
+    regenerated fixture invalidates stale synth output."""
+    parts = []
+    for table in sorted(REPLICATED):
+        path = os.path.join(src_dir, f"{table}.parquet")
+        try:
+            st = os.stat(path)
+            parts.append(f"{table}:{st.st_size}:{int(st.st_mtime)}")
+        except OSError:
+            parts.append(f"{table}:missing")
+    return f"copies={copies} src={src_dir} fp={','.join(parts)}"
+
+
 def synthesize_sf(
     spark: SparkSession,
     src_dir: str,
@@ -93,10 +108,17 @@ def synthesize_sf(
     ``.../sf1``) so bench.run_sf_scaling can parse it."""
     marker = os.path.join(out_dir, "_SYNTH_COMPLETE")
     if os.path.exists(marker):
-        if not force:
+        # reuse ONLY when the marker records the same request: a
+        # leftover /tmp directory built from an older fixture
+        # generation or a different copy count must rebuild, not
+        # silently feed a scaling exponent
+        with open(marker) as fh:
+            recorded = fh.read().strip()
+        if recorded == _marker_line(copies, src_dir) and not force:
             return out_dir
-        # drop the stale marker FIRST: a crash mid-force must not
-        # leave a completeness claim over partially rewritten tables
+        # drop the stale/mismatched marker FIRST: a crash mid-rebuild
+        # must not leave a completeness claim over partially
+        # rewritten tables
         os.remove(marker)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -144,5 +166,5 @@ def synthesize_sf(
             os.symlink(os.path.join(src_dir, name), dst)
 
     with open(marker, "w") as fh:
-        fh.write(f"copies={copies} src={src_dir}\n")
+        fh.write(_marker_line(copies, src_dir) + "\n")
     return out_dir

@@ -29,20 +29,109 @@ lineage.
 Exactly-once across crashes: a replayed batch id is detected
 (``CURRENT >= batch_id``) and skipped; a version is never half-visible
 because the pointer rename is atomic and happens last. SINGLE WRITER
-by contract — there is no cross-process commit lock; the dense-version
-guard rejects stale ids from a lagging writer, and readers only follow
-committed pointers either way.
+by contract — the commit fence (``_writer_lock``) makes a second
+concurrent writer fail loudly instead of interleaving, the
+dense-version guard rejects stale ids from a lagging writer, and
+readers only follow committed pointers either way.
+
+STORE PATH CONTRACT: ``store_dir`` must be a POSIX path on a
+filesystem shared between the driver and whatever reads the store —
+local disk in local mode, NFS/shared mount under cluster submission.
+The parquet tables inside go through Spark's Hadoop IO, but the
+pointer/manifest/lock files use driver-local ``os`` IO for their
+atomic-rename semantics (Hadoop FS rename is not atomic on object
+stores, which is exactly where a pointer file must not be
+half-visible). A URI-schemed path (``hdfs://``, ``s3a://`` …) would
+silently split the store — parquet in the distributed FS, pointers on
+the driver's disk — so writers refuse it up front
+(:func:`_require_posix_store`). Object-store deployments should
+mount-translate (s3fs/fuse, EFS/Filestore) or keep stores on HDFS-NFS
+gateways.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
 import shutil
+import socket
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+_LOCK_NAME = ".writer.lock"
+
+
+def _require_posix_store(store_dir: str) -> None:
+    """Writers refuse URI-schemed store paths up front (see the STORE
+    PATH CONTRACT in the module docstring): parquet would land in the
+    distributed FS while pointers/locks landed on the driver's local
+    disk — a silently split store."""
+    if _URI_SCHEME.match(store_dir):
+        raise ValueError(
+            f"store_dir {store_dir!r} carries a URI scheme: the "
+            "store's pointer/manifest/lock files use driver-local "
+            "POSIX IO for their atomic-rename semantics, so a "
+            "distributed-FS path would split the store (parquet "
+            "remote, pointers local). Point store_dir at a POSIX "
+            "mount shared between driver and readers instead."
+        )
+
+
+@contextlib.contextmanager
+def _writer_lock(store_dir: str, batch_id: int | str):
+    """Cross-process commit fence: O_CREAT|O_EXCL lock file held for
+    the commit's critical section, so a second concurrent writer fails
+    loudly instead of interleaving half-written versions. The lock
+    records holder identity for the error message; a holder that
+    crashed leaves the lock behind by design (auto-expiry would
+    reintroduce the race) — an operator verifies the pid is gone and
+    calls :func:`break_writer_lock`."""
+    path = os.path.join(store_dir, _LOCK_NAME)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            with open(path) as fh:
+                holder = fh.read().strip() or "<empty>"
+        except OSError:
+            holder = "<unreadable>"
+        raise ValueError(
+            f"another writer holds the commit lock on {store_dir} "
+            f"({holder}): the store is single-writer by contract; if "
+            f"the holder crashed, verify its pid is gone and call "
+            f"break_writer_lock()"
+        ) from None
+    try:
+        os.write(
+            fd,
+            (
+                f"pid={os.getpid()} host={socket.gethostname()} "
+                f"batch={batch_id} t={int(time.time())}"
+            ).encode(),
+        )
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
+def break_writer_lock(store_dir: str) -> bool:
+    """Operator escape hatch: remove a lock left by a crashed writer
+    (verify the recorded pid first). Returns True if a lock was
+    removed."""
+    path = os.path.join(store_dir, _LOCK_NAME)
+    try:
+        os.remove(path)
+        return True
+    except FileNotFoundError:
+        return False
 
 
 def _read_pointer(store_dir: str, name: str) -> int | None:
@@ -115,6 +204,17 @@ def read_state_at(
         if version >= 0 and not os.path.isdir(
             os.path.join(store_dir, "v0")
         ):
+            if b is None:
+                # never-compacted store missing its v0: commits are
+                # dense from 0 and expiry never runs below a base, so
+                # this is corruption / external modification, not a
+                # reclaimed chain
+                raise ValueError(
+                    f"store at {store_dir} has committed versions but "
+                    f"no v0 directory and no base snapshot: the store "
+                    f"has been modified externally or is corrupted; "
+                    f"re-ingest into a fresh store directory"
+                )
             raise ValueError(
                 f"version {version} predates the latest base snapshot "
                 f"({b}) and its delta chain has been expired — only "
@@ -176,16 +276,18 @@ def compact_store(
     re-compacting with no commit since the last compaction is a no-op
     (it must be — writing base-{v} FROM base-{v} would be a
     self-overwrite, which Spark rejects)."""
+    _require_posix_store(store_dir)
     v = current_version(store_dir)
     if v is None:
         return None
     if base_version(store_dir) == v:
         return v  # already compacted at CURRENT; nothing to fold
-    out = read_state_at(spark, store_dir, v, key)
-    out.write.mode("overwrite").parquet(
-        os.path.join(store_dir, f"base-{v}")
-    )
-    _write_pointer(store_dir, "BASE", v)
+    with _writer_lock(store_dir, f"compact@{v}"):
+        out = read_state_at(spark, store_dir, v, key)
+        out.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"base-{v}")
+        )
+        _write_pointer(store_dir, "BASE", v)
     return v
 
 
@@ -247,40 +349,48 @@ def commit_delta(
     O(|changeset|) rows; ``compact_every`` bounds the reconstruction
     chain every reader (including the next commit's own input fold)
     pays."""
+    _require_posix_store(store_dir)
     os.makedirs(store_dir, exist_ok=True)
     if not validate_batch_id(store_dir, batch_id):
         return False
-    t0 = time.monotonic()
-    vdir = os.path.join(store_dir, f"v{batch_id}")
-    # delta first (it may read the old chain), then the dirty set;
-    # the version becomes visible only via the pointer
-    fresh.write.mode("overwrite").parquet(os.path.join(vdir, "delta"))
-    touched.select(key).write.mode("overwrite").parquet(
-        os.path.join(vdir, "dirty")
-    )
-    # lineage manifest BEFORE the pointer (a version is visible only
-    # with its manifest): row counts come from the parquet footers of
-    # the files just written (metadata read, no data scan), sizes from
-    # the local dir — the audit trail a maintenance operator reads
-    # without reconstructing anything
-    delta_rows = spark.read.parquet(os.path.join(vdir, "delta")).count()
-    dirty_rows = spark.read.parquet(os.path.join(vdir, "dirty")).count()
-    manifest = {
-        "version": batch_id,
-        "key": key,
-        "delta_rows": delta_rows,
-        "dirty_keys": dirty_rows,
-        "tombstoned_keys": dirty_rows - delta_rows
-        if dirty_rows >= delta_rows else None,
-        "delta_bytes": _dir_bytes(os.path.join(vdir, "delta")),
-        "dirty_bytes": _dir_bytes(os.path.join(vdir, "dirty")),
-        "commit_wall_s": round(time.monotonic() - t0, 3),
-    }
-    tmp = os.path.join(vdir, ".manifest.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(vdir, "manifest.json"))
-    _write_pointer(store_dir, "CURRENT", batch_id)
+    with _writer_lock(store_dir, batch_id):
+        # re-validate UNDER the fence: two writers may both have
+        # passed the cheap pre-check before either acquired the lock
+        if not validate_batch_id(store_dir, batch_id):
+            return False
+        t0 = time.monotonic()
+        vdir = os.path.join(store_dir, f"v{batch_id}")
+        # delta first (it may read the old chain), then the dirty set;
+        # the version becomes visible only via the pointer
+        fresh.write.mode("overwrite").parquet(os.path.join(vdir, "delta"))
+        touched.select(key).write.mode("overwrite").parquet(
+            os.path.join(vdir, "dirty")
+        )
+        # lineage manifest BEFORE the pointer (a version is visible
+        # only with its manifest): row counts come from the parquet
+        # footers of the files just written (metadata read, no data
+        # scan), sizes from the local dir — the audit trail a
+        # maintenance operator reads without reconstructing anything
+        delta_rows = spark.read.parquet(os.path.join(vdir, "delta")).count()
+        dirty_rows = spark.read.parquet(os.path.join(vdir, "dirty")).count()
+        manifest = {
+            "version": batch_id,
+            "key": key,
+            "delta_rows": delta_rows,
+            "dirty_keys": dirty_rows,
+            "tombstoned_keys": dirty_rows - delta_rows
+            if dirty_rows >= delta_rows else None,
+            "delta_bytes": _dir_bytes(os.path.join(vdir, "delta")),
+            "dirty_bytes": _dir_bytes(os.path.join(vdir, "dirty")),
+            "commit_wall_s": round(time.monotonic() - t0, 3),
+        }
+        tmp = os.path.join(vdir, ".manifest.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(vdir, "manifest.json"))
+        _write_pointer(store_dir, "CURRENT", batch_id)
+    # auto-compaction re-acquires the fence itself (outside the
+    # commit's critical section — the version is already visible)
     if compact_every and (batch_id + 1) % compact_every == 0:
         compact_store(spark, store_dir, key)
     return True
@@ -334,7 +444,16 @@ def diff_versions(
         )
         parts.append(dirty.join(kept, [key, "__v"], "left_outer"))
     if not parts:
-        raise ValueError("empty version range: v_from == v_to")
+        # v_from == v_to: an empty range is a valid question with an
+        # empty answer, not an error. Take the key's type from the
+        # newest version's dirty table (the newest version is never
+        # expired) so the schema matches the non-empty case.
+        dirty0 = spark.read.parquet(
+            os.path.join(store_dir, f"v{committed}", "dirty")
+        )
+        return dirty0.select(
+            key, F.lit("upserted").alias("change")
+        ).limit(0)
     allv = parts[0]
     for p in parts[1:]:
         allv = allv.unionByName(p)

@@ -18,7 +18,11 @@ time via the broadcast dirty-id anti-join, never as a corpus rewrite.
 Changeset rows carry ``(road_id, country_code, tags, op)`` with op in
 ('remove', 'upsert'); a re-tagged or moved road ships only its new row
 under 'upsert' (its result row is superseded in place — same key).
-'remove' rows need only the id; other columns may be null.
+'remove' rows need only the id; other columns may be null. Feeds that
+know edit recency should add a ``seq`` column
+(ROAD_CHANGESET_SCHEMA_SEQ): same-id ops inside one batch then resolve
+last-wins on it instead of the order-free fallback rules (see
+commit_road_batch).
 """
 
 from __future__ import annotations
@@ -39,6 +43,14 @@ ROAD_CHANGESET_SCHEMA = (
     "road_id long, country_code string, tags map<string,string>, "
     "op string"
 )
+# feeds that can carry edit recency (OSM object version / diff
+# sequence number) should: same-id collisions inside one coalesced
+# micro-batch or multi-file daily batch then resolve LAST-WINS on
+# ``seq`` — including upsert-then-remove, which the sequence-less
+# schema can only resolve to upsert (ops are unordered within a
+# batch). Files missing the column read as null seq and fall back to
+# the deterministic hash rule.
+ROAD_CHANGESET_SCHEMA_SEQ = ROAD_CHANGESET_SCHEMA + ", seq long"
 _KEY = "road_id"
 
 
@@ -98,6 +110,7 @@ def commit_road_batch(
     engine: str = "native",
     country_col: str = "country_code",
     compact_every: int | None = 16,
+    seq_col: str = "seq",
     **infer_kwargs,
 ) -> bool:
     """Apply one road-changeset batch to the result store as version
@@ -113,16 +126,40 @@ def commit_road_batch(
     engine selection, same deterministic resolution of duplicate
     same-id upserts within one micro-batch (multiple diff files
     coalesced by maxFilesPerTrigger, or one diff editing an object
-    twice) — without it the store would serve duplicate key rows."""
+    twice) — without it the store would serve duplicate key rows.
+
+    Op ordering: when the batch schema carries ``seq_col``
+    (ROAD_CHANGESET_SCHEMA_SEQ), each id's ops resolve LAST-WINS on it
+    — a road upserted then removed within one coalesced batch stays
+    removed, and an earlier upsert never shadows a later one. Without
+    the column, ops within a batch are unordered by contract: any
+    upsert wins over a remove for the same id (both still tombstone
+    the old row) and duplicate upserts fall to the hash rule."""
+    from pyspark.sql import Window
+
     from osm_legal_default_speeds_spark.plans.rules_diff import (
         infer_upserts,
     )
 
     os.makedirs(store_dir, exist_ok=True)
-    upserted = batch.where(F.col("op") == "upsert").drop("op")
+    if seq_col in batch.columns:
+        # per-id winner across ops by edit recency; hash of the full
+        # row breaks equal/null sequence numbers deterministically
+        w = Window.partitionBy(_KEY).orderBy(
+            F.col(seq_col).desc_nulls_last(),
+            F.xxhash64(F.to_json(F.struct(*batch.columns))).desc(),
+        )
+        winners = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upserted = winners.where(F.col("op") == "upsert").drop("op")
+    else:
+        upserted = batch.where(F.col("op") == "upsert").drop("op")
     fresh = infer_upserts(
         upserted, ruleset, id_col=_KEY, country_col=country_col,
-        engine=engine, project=project, **infer_kwargs,
+        engine=engine, project=project, seq_col=seq_col, **infer_kwargs,
     )
     touched = batch.select(_KEY).distinct()
     return commit_delta(

@@ -21,6 +21,7 @@ from osm_legal_default_speeds_spark.plans.rules_model import (
 )
 from osm_legal_default_speeds_spark.streaming.inference_maintenance import (
     ROAD_CHANGESET_SCHEMA,
+    ROAD_CHANGESET_SCHEMA_SEQ,
     commit_road_batch,
     compact_results_store,
     expire_result_versions,
@@ -293,3 +294,118 @@ def test_version_manifest_and_diff(spark, tmp_path):
     assert untouched and not (set(d) & untouched)
     with pytest.raises(ValueError, match="committed"):
         diff_versions(spark, store, 0, 9, "road_id")
+
+
+def test_seq_column_resolves_ops_last_wins(spark, tmp_path):
+    """With a seq column (ROAD_CHANGESET_SCHEMA_SEQ), same-id ops in
+    one batch resolve by edit recency: upsert-then-remove stays
+    removed, remove-then-upsert resurrects, and the newest of several
+    upserts wins — regardless of row order in the batch."""
+    rows = [
+        # road 1: upserted at seq 1, removed at seq 2 -> absent
+        (1, "ZA", {"highway": "motorway"}, "upsert", 1),
+        (1, None, None, "remove", 2),
+        # road 2: removed at seq 1, re-upserted at seq 3 -> present
+        (2, None, None, "remove", 1),
+        (2, "DE", {"highway": "motorway"}, "upsert", 3),
+        # road 3: two upserts, the later one (residential+lit) wins
+        (3, "ZA", {"highway": "motorway"}, "upsert", 1),
+        (3, "ZA", {"highway": "residential", "lit": "yes"}, "upsert", 2),
+        # road 4: null seq loses to any real seq
+        (4, "ZA", {"highway": "motorway"}, "upsert", None),
+        (4, None, None, "remove", 1),
+    ]
+    for tag, ordered in (("fwd", rows), ("rev", rows[::-1])):
+        store = str(tmp_path / f"seq_store_{tag}")
+        batch = spark.createDataFrame(ordered, ROAD_CHANGESET_SCHEMA_SEQ)
+        assert commit_road_batch(
+            spark, store, batch, 0, _ruleset(), project=_flat,
+        )
+        got = _res_map(read_current_results(spark, store))
+        assert sorted(got) == [2, 3], tag
+        assert got[3][3] == "60", tag  # urban maxspeed from the re-tag
+
+
+def test_seqless_schema_keeps_legacy_resolution(spark, tmp_path):
+    """Without a seq column the documented order-free contract holds:
+    an upsert beats a remove for the same id (both tombstone the old
+    row) and duplicate upserts fall to the deterministic hash rule."""
+    store = str(tmp_path / "legacy_store")
+    batch = spark.createDataFrame(
+        [
+            (1, "ZA", {"highway": "motorway"}, "upsert"),
+            (1, None, None, "remove"),
+        ],
+        ROAD_CHANGESET_SCHEMA,
+    )
+    commit_road_batch(spark, store, batch, 0, _ruleset(), project=_flat)
+    rows = read_current_results(spark, store).collect()
+    assert [r["road_id"] for r in rows] == [1]
+
+
+def test_commit_fence_rejects_racing_writer(spark, tmp_path):
+    """The single-writer contract is mechanical: while one writer holds
+    the commit fence, a second commit/compaction fails loudly (naming
+    the holder) instead of interleaving; the fence is released after a
+    clean commit and breakable by an operator after a crash."""
+    from osm_legal_default_speeds_spark.streaming.delta_store import (
+        _writer_lock,
+        break_writer_lock,
+        commit_delta,
+        compact_store,
+    )
+
+    store = str(tmp_path / "fence_store")
+    batch = spark.createDataFrame(
+        [(1, "ZA", {"highway": "motorway"}, "upsert")],
+        ROAD_CHANGESET_SCHEMA,
+    )
+    assert commit_road_batch(
+        spark, store, batch, 0, _ruleset(), project=_flat,
+    )  # fence acquired and released around the commit
+
+    # writer A holds the fence; writer B's commit AND compaction fail
+    with _writer_lock(store, "writer-A"):
+        with pytest.raises(ValueError, match="commit lock.*writer-A"):
+            commit_road_batch(
+                spark, store, batch, 1, _ruleset(), project=_flat,
+            )
+        with pytest.raises(ValueError, match="commit lock"):
+            compact_store(spark, store, "road_id")
+    # fence released: the next commit proceeds
+    assert commit_road_batch(
+        spark, store, batch, 1, _ruleset(), project=_flat,
+    )
+
+    # crashed-writer recovery: a leftover lock blocks until broken
+    lock_path = os.path.join(store, ".writer.lock")
+    with open(lock_path, "w") as fh:
+        fh.write("pid=999999 host=gone batch=2 t=0")
+    with pytest.raises(ValueError, match="break_writer_lock"):
+        commit_road_batch(
+            spark, store, batch, 2, _ruleset(), project=_flat,
+        )
+    assert break_writer_lock(store)
+    assert not break_writer_lock(store)  # idempotent
+    assert commit_road_batch(
+        spark, store, batch, 2, _ruleset(), project=_flat,
+    )
+
+
+def test_uri_schemed_store_path_refused(spark, tmp_path):
+    """A URI-schemed store path would split the store (parquet via
+    Hadoop IO, pointers via driver-local POSIX IO) — writers refuse it
+    up front (STORE PATH CONTRACT in delta_store's docstring)."""
+    from osm_legal_default_speeds_spark.streaming.delta_store import (
+        commit_delta,
+        compact_store,
+    )
+
+    fresh = spark.createDataFrame([(1, "x")], "road_id long, v string")
+    with pytest.raises(ValueError, match="URI scheme"):
+        commit_delta(
+            spark, "s3a://bucket/store", fresh,
+            fresh.select("road_id"), 0, "road_id",
+        )
+    with pytest.raises(ValueError, match="URI scheme"):
+        compact_store(spark, "hdfs://nn/store", "road_id")

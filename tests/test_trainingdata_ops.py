@@ -1590,3 +1590,34 @@ def test_ivfpq_encode_fused_matches_separate_paths(vectors, spark):
         ivfpq_topk(vectors, queries, books, 8, nprobe=3, k=5, codes_df=codes)
     )
     assert via_fused_df == via_internal == via_join
+
+
+def test_semantic_dedup_auto_centroids(spark):
+    """n_centroids='auto' (the default) sizes the codebook as
+    ceil(n / target_cell_rows) — the measured scale guidance made
+    mechanical so a fixed C can't silently go quadratic as the corpus
+    grows. Equivalent to passing the computed int explicitly."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    vecs = _semdedup_fixture(spark)  # 43 rows
+    auto = sorted(
+        (r.vid, r.cell)
+        for r in semantic_dedup(
+            vecs, "auto", 0.999, target_cell_rows=10
+        ).collect()
+    )
+    explicit = sorted(
+        (r.vid, r.cell)
+        for r in semantic_dedup(vecs, 5, 0.999).collect()  # ceil(43/10)
+    )
+    assert auto == explicit
+    # default signature runs end-to-end (auto is the default)
+    kept = {r.vid for r in semantic_dedup(vecs, min_cosine=0.999).collect()}
+    assert {100, 101, 102}.isdisjoint(kept) and {5, 17} <= kept
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="auto"):
+        semantic_dedup(vecs, "many")
