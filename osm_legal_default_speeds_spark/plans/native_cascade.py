@@ -630,14 +630,23 @@ def infer_speed_limits_native(
         bundle["tms"].alias("__nc_tms"),
     )
 
-    # dim cache keyed by the LIVE session object (weak-keyed: a stopped
-    # session is dropped and CPython id reuse can't resurrect a
-    # DataFrame bound to a dead JVM session)
-    dims = bundle["dims"]
-    dim = dims.get(spark)
+    # dim cache stored ON the session object, weak-keyed by a
+    # per-bundle token. A module-level session->dim map would leak: the
+    # dim DataFrame strongly references its session, so a value->key
+    # cycle defeats weak keying and pins every session forever. Stored
+    # session-side, the whole cycle (session -> cache -> dim ->
+    # session) is garbage once the session's last external reference
+    # drops, and a bundle evicted from the LRU releases its token,
+    # dropping its dims from all live sessions.
+    dims = spark.__dict__.get("_nc_dim_cache")
+    if dims is None:
+        dims = _weakref.WeakKeyDictionary()
+        spark.__dict__["_nc_dim_cache"] = dims
+    token = bundle["dim_token"]
+    dim = dims.get(token)
     if dim is None:
         dim = spark.createDataFrame(bundle["dim_rows"], bundle["dim_schema"])
-        dims[spark] = dim
+        dims[token] = dim
     out = out.join(
         F.broadcast(dim),
         F.col("__nc_eff") == F.col("__nc_cc"),
@@ -677,6 +686,14 @@ def infer_speed_limits_native(
 
     keep = orig_cols + [result_col]
     return out.select(*keep)
+
+
+class _DimToken:
+    """Weakref-able identity token tying a bundle's cached per-session
+    dim DataFrames to the bundle's lifetime (bare ``object()`` does not
+    support weak references)."""
+
+    __slots__ = ("__weakref__",)
 
 
 _BUNDLE_CACHE: dict = {}
@@ -924,7 +941,7 @@ def _get_bundle(
         "tms": F.element_at(t, F.lit("maxspeed")),
         "dim_rows": dim_rows,
         "dim_schema": dim_schema,
-        "dims": _weakref.WeakKeyDictionary(),
+        "dim_token": _DimToken(),
         "pos_e": pos_e,
         "pos_f": pos_f,
         "pos_m": pos_m,

@@ -108,7 +108,27 @@ COUNTRY_ALPHA2: dict[str, str] = {
     "Republic of the Congo": "CG", "DR Congo": "CD",
     "The Gambia": "GM", "The Bahamas": "BS", "Holy See": "VA",
     "Republic of Moldova": "MD", "Great Britain": "GB",
-    "Türkiye": "TR",
+    "Türkiye": "TR", "Turkey": "TR",
+    # the remaining ISO 3166-1 entries (uninhabited territories and
+    # codes the wiki page does not currently use) — completing the
+    # table so a novel wiki row resolves instead of warning
+    "Antarctica": "AQ", "Åland Islands": "AX", "Aland Islands": "AX",
+    "Bonaire, Sint Eustatius and Saba": "BQ",
+    "Caribbean Netherlands": "BQ", "Bouvet Island": "BV",
+    "Micronesia": "FM", "Federated States of Micronesia": "FM",
+    "Micronesia, Federated States of": "FM",
+    "South Georgia and the South Sandwich Islands": "GS",
+    "Heard Island and McDonald Islands": "HM",
+    "Pitcairn": "PN", "Pitcairn Islands": "PN",
+    "Palestine": "PS", "State of Palestine": "PS",
+    "Palestine, State of": "PS",
+    "Svalbard and Jan Mayen": "SJ",
+    "French Southern Territories": "TF",
+    "United States Minor Outlying Islands": "UM",
+    # congo disambiguation the wiki could plausibly use
+    "Democratic Republic of the Congo": "CD",
+    "Congo, Democratic Republic of the": "CD",
+    "Congo-Kinshasa": "CD", "Congo-Brazzaville": "CG",
 }
 
 _US_STATES = {

@@ -194,3 +194,91 @@ def test_native_cascade_plan_is_map_only(spark):
     assert "EvalPython" not in plan  # no Arrow/Batch Python nodes
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dim_cache_is_per_session_and_unpinned(spark):
+    """The compiled bundle's broadcast-dim DataFrame cache lives ON the
+    session object (weak-keyed by a per-bundle token): the same session
+    reuses its dim, a different session (same-JVM newSession here; a
+    full restart in production) builds its OWN dim instead of reusing a
+    DataFrame bound to a dead/foreign session, and this module adds NO
+    global reference that would pin a dropped session. (A module-level
+    session->dim map cannot do this: the dim DataFrame strongly
+    references its session, so the value->key cycle defeats weak keying
+    and pins every session forever — the design this test replaced.)"""
+    import gc
+    import weakref
+
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        _get_bundle,
+        _rule_cap_depth,
+    )
+
+    ruleset = compile_ruleset(*za_defs())
+    # the SAME bundle cache entry the inference calls below use: keyed
+    # on (ruleset, country/relations/overrides cols, cap depth)
+    bundle = _get_bundle(
+        ruleset, "country_code", "relations_tags", "overrides",
+        _rule_cap_depth(ruleset),
+    )
+    token = bundle["dim_token"]
+
+    rows = [
+        Row(
+            road_id="r0",
+            country_code="ZA",
+            tags={"highway": "residential"},
+            relations_tags=None,
+            overrides=None,
+        )
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    infer_speed_limits_native(
+        df, ruleset, relations_col="relations_tags",
+        overrides_col="overrides",
+    ).collect()
+    dims = spark.__dict__.get("_nc_dim_cache")
+    assert dims is not None and token in dims
+    dim_a = dims[token]
+
+    # same session, second run: the dim DataFrame is REUSED
+    infer_speed_limits_native(
+        df, ruleset, relations_col="relations_tags",
+        overrides_col="overrides",
+    ).collect()
+    assert dims[token] is dim_a
+
+    # a NEW session object (same JVM) must get its own entry — a dim
+    # created under another session must never be served to it
+    s2 = spark.newSession()
+    df2 = s2.createDataFrame(rows, INPUT_SCHEMA)
+    infer_speed_limits_native(
+        df2, ruleset, relations_col="relations_tags",
+        overrides_col="overrides",
+    ).collect()
+    dims2 = s2.__dict__.get("_nc_dim_cache")
+    assert dims2 is not None and dims2 is not dims
+    assert dims2[token] is not dim_a
+    assert dims[token] is dim_a  # the main session's dim is untouched
+
+    # no module-level pin: once PySpark's OWN last-session pins move on
+    # (SparkSession._activeSession, set by createDataFrame, and the
+    # RDD.toDF monkey-patch closure, both of which hold the most recent
+    # session by design), dropping the last external reference to s2
+    # collects the session AND its cached dim — proving the cache adds
+    # no reference of its own
+    s2_ref = weakref.ref(s2)
+    dim2_ref = weakref.ref(dims2[token])
+    del df2, dims2, s2
+    _ = spark.newSession()  # steal the RDD.toDF monkey-patch pin
+    # reset SparkSession._activeSession back to the main session
+    spark.createDataFrame(rows, INPUT_SCHEMA).collect()
+    gc.collect()
+    assert s2_ref() is None, (
+        "a dropped session survived — the dim cache (or another module "
+        "global) is pinning sessions"
+    )
+    assert dim2_ref() is None, "a dropped session's dim DataFrame survived"
+
+    # the main session's cache is unaffected by s2's collection
+    assert spark.__dict__["_nc_dim_cache"][token] is dim_a

@@ -312,3 +312,35 @@ def test_fetch_and_etl_from_canned_api_response(tmp_path):
     # the nbsp-polluted country cell still resolves ('Germany ' -> DE)
     assert "DE" in ds["speedLimitsByCountryCode"]
     assert ds["roadTypesByName"]["urban"]["filter"] == "lit=yes"
+
+
+def test_iso3166_table_covers_all_alpha2_codes():
+    """The name table must reach every ISO 3166-1 alpha-2 code, so a
+    future wiki row naming ANY country resolves instead of warning
+    (the reference resolves via pycountry, which is complete —
+    parser/parsers/parse_utils.py:149-169). The full-dataset
+    differential separately pins that resolution stays 242/242 exact
+    on the names the page actually uses."""
+    from osm_legal_default_speeds_spark.sources.iso3166 import (
+        COUNTRY_ALPHA2,
+    )
+
+    all_alpha2 = set(
+        "AD AE AF AG AI AL AM AO AQ AR AS AT AU AW AX AZ BA BB BD BE "
+        "BF BG BH BI BJ BL BM BN BO BQ BR BS BT BV BW BY BZ CA CC CD "
+        "CF CG CH CI CK CL CM CN CO CR CU CV CW CX CY CZ DE DJ DK DM "
+        "DO DZ EC EE EG EH ER ES ET FI FJ FK FM FO FR GA GB GD GE GF "
+        "GG GH GI GL GM GN GP GQ GR GS GT GU GW GY HK HM HN HR HT HU "
+        "ID IE IL IM IN IO IQ IR IS IT JE JM JO JP KE KG KH KI KM KN "
+        "KP KR KW KY KZ LA LB LC LI LK LR LS LT LU LV LY MA MC MD ME "
+        "MF MG MH MK ML MM MN MO MP MQ MR MS MT MU MV MW MX MY MZ NA "
+        "NC NE NF NG NI NL NO NP NR NU NZ OM PA PE PF PG PH PK PL PM "
+        "PN PR PS PT PW PY QA RE RO RS RU RW SA SB SC SD SE SG SH SI "
+        "SJ SK SL SM SN SO SR SS ST SV SX SY SZ TC TD TF TG TH TJ TK "
+        "TL TM TN TO TR TT TV TW TZ UA UG UM US UY UZ VA VC VE VG VI "
+        "VN VU WF WS YE YT ZA ZM ZW".split()
+    )
+    assert len(all_alpha2) == 249
+    have = set(COUNTRY_ALPHA2.values())
+    assert not (all_alpha2 - have), f"missing: {sorted(all_alpha2 - have)}"
+    assert not (have - all_alpha2), f"bogus: {sorted(have - all_alpha2)}"
