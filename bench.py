@@ -709,7 +709,9 @@ SF_SCALING_QUERIES = (
 )
 
 
-def run_sf_scaling(sf_dirs: list[str]) -> None:
+def run_sf_scaling(
+    sf_dirs: list[str], queries: tuple[str, ...] = SF_SCALING_QUERIES
+) -> None:
     """Rows-scaling datapoints: min-of-3 wall per query per sf, plus
     the log-log slope between the two largest scale factors."""
     import math
@@ -730,9 +732,7 @@ def run_sf_scaling(sf_dirs: list[str]) -> None:
         _warm_pool(spark)
         for sf_dir in sf_dirs:
             sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-            timings, rows, _runs = bench_named(
-                spark, sf_dir, SF_SCALING_QUERIES
-            )
+            timings, rows, _runs = bench_named(spark, sf_dir, queries)
             per_sf[sf] = {"timings": timings, "rows": rows}
     finally:
         spark.stop()
@@ -745,13 +745,13 @@ def run_sf_scaling(sf_dirs: list[str]) -> None:
             / math.log(ratio),
             2,
         )
-        for q in SF_SCALING_QUERIES
+        for q in queries
         if q in per_sf[a]["timings"] and q in per_sf[b]["timings"]
     }
     if not exponents:
         raise SystemExit(
-            "no SF_SCALING_QUERIES resolved against the registry — "
-            f"stale query list? ({sorted(SF_SCALING_QUERIES)})"
+            "no scaling queries resolved against the registry — "
+            f"stale query list? ({sorted(queries)})"
         )
     print(
         json.dumps(
@@ -900,6 +900,40 @@ def main() -> None:
         finally:
             spark.stop()
         return run_sf_scaling([os.path.join(root, "sf0.01"), src, sf1])
+    if "--sf-scaling-xl2" in sys.argv:
+        # two decades past the largest driver fixture, for the two
+        # steepest sf1 exponents only (rasterize_segments 0.71,
+        # snap_segments 0.60 at the 0.1->1 decade): confirm they
+        # asymptote toward output-proportional (~1.0) rather than bend
+        # super-linear once the fixed costs are fully amortized. sf10
+        # is a 100x salted replication of sf0.1 (same salting scheme
+        # as sf1; copy 0 is the identity so sf10 strictly contains it).
+        from osm_legal_default_speeds_spark.plans.sf_synth import (
+            synthesize_sf,
+        )
+
+        abs_dir = os.path.abspath(sf_dir.rstrip("/"))
+        root = os.path.dirname(abs_dir)
+        src = os.path.join(root, "sf0.1")
+        if not os.path.isdir(src):
+            raise SystemExit(
+                f"--sf-scaling-xl2 needs an sf0.1 sibling of "
+                f"SPARK_GRAFT_SF_DIR; missing under {root}"
+            )
+        out_root = os.environ.get(
+            "SPARK_GRAFT_SYNTH_DIR", "/tmp/sparkgraft-xl"
+        )
+        spark = make_spark("sf-synth")
+        try:
+            sf1 = synthesize_sf(spark, src, os.path.join(out_root, "sf1"))
+            sf10 = synthesize_sf(
+                spark, src, os.path.join(out_root, "sf10"), copies=100
+            )
+        finally:
+            spark.stop()
+        return run_sf_scaling(
+            [sf1, sf10], queries=("rasterize_segments", "snap_segments")
+        )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = make_spark()
     try:

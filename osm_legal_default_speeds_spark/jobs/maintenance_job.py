@@ -17,6 +17,12 @@ Either side may be omitted to maintain just one table. Each store is a
 ``streaming/delta_store.py`` store: O(|changeset|) commits, time
 travel, base-snapshot compaction every ``--compact-every`` commits,
 exactly-once replay from the checkpoint across job restarts/kills.
+STORE PATH CONTRACT: the ``--tile-store`` / ``--results-store`` paths
+must be POSIX mounts shared between the driver and readers (local disk
+in local mode, NFS under cluster submission) — the store's pointer/
+manifest/lock files use driver-local atomic-rename IO, and the writer
+refuses URI-schemed paths up front (see delta_store's
+``_require_posix_store``).
 GC/memory notes: see pipeline_job (must go on the submit command)."""
 
 from __future__ import annotations
