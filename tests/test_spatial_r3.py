@@ -145,6 +145,87 @@ def test_snap_plan_has_no_cross_product(spark, snap_fixture):
     assert "ShuffledHashJoin" in plan
 
 
+def test_snap_two_pass_is_bit_identical_to_single_pass(spark, snap_fixture):
+    """The density-adaptive fine-first pass must return EXACTLY the
+    single-pass rows (same argmin, same tie-break, same doubles): the
+    fine pass only accepts a per-point minimum strictly under the fine
+    cell side, where the 1-ring lemma certifies it is the global
+    argmin; everything else falls back to the contract-res pass. Force
+    a fine level two decades under the contract res so both passes
+    genuinely run (some points resolve fine, some fall back)."""
+    pts, segs, pdf, sdf = snap_fixture
+    radius = 1.2
+
+    def key(rows):
+        return sorted(
+            (r["id"], r["seg_id"], r["snap_lon"], r["snap_lat"], r["dist"])
+            for r in rows
+        )
+
+    single = key(
+        snap_to_segments(pdf, sdf, radius, point_id="id", fine_res=None)
+        .collect()
+    )
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_res,
+    )
+
+    res = within_distance_res(radius)
+    forced = key(
+        snap_to_segments(
+            pdf, sdf, radius, point_id="id", fine_res=res + 2
+        ).collect()
+    )
+    auto = key(
+        snap_to_segments(pdf, sdf, radius, point_id="id").collect()
+    )
+    assert forced == single
+    assert auto == single
+    # the forced fine level must split the work across both passes on
+    # this fixture (otherwise the test proves nothing): some points
+    # certify under the fine side, some don't
+    fine_side = 180.0 / (1 << (res + 2))
+    n_fine = sum(1 for row in single if row[4] < fine_side)
+    assert 0 < n_fine < len(single)
+
+
+def test_snap_fine_res_coarser_than_contract_raises(spark, snap_fixture):
+    _, _, pdf, sdf = snap_fixture
+    with pytest.raises(ValueError, match="coarser"):
+        snap_to_segments(pdf, sdf, 1.2, point_id="id", fine_res=1)
+
+
+def test_snap_auto_picks_fine_pass_on_dense_input(spark):
+    """A dense corpus (many points per occupied cell, well-populated
+    cells) must steer the auto heuristic to a genuine fine pass, and
+    the result must still match the brute-force oracle exactly."""
+    radius = 1.0
+    # 2000 points and 600 short segments packed into a 20x20-degree
+    # box: ~50+ segments per res-7 cell
+    pts = _scatter(2000, seed=5, lo_lon=-10.0, hi_lon=10.0,
+                   lo_lat=-10.0, hi_lat=10.0)
+    segs = []
+    for i, lon, lat in _scatter(600, seed=6, lo_lon=-10.0, hi_lon=10.0,
+                                lo_lat=-10.0, hi_lat=10.0):
+        segs.append((i, lon, lat, lon + 0.3, lat + 0.2))
+    pdf = spark.createDataFrame(pts, "id long, lon double, lat double")
+    sdf = spark.createDataFrame(
+        segs, "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double"
+    )
+    got = {
+        r["id"]: (r["seg_id"], r["dist"])
+        for r in snap_to_segments(pdf, sdf, radius, point_id="id").collect()
+    }
+    for p in pts[:400]:
+        best = _brute_best(p, segs, radius)
+        if best is None:
+            assert p[0] not in got
+        else:
+            d2, sid = best
+            assert got[p[0]][0] == sid
+            assert got[p[0]][1] == pytest.approx(math.sqrt(d2), abs=1e-12)
+
+
 # --------------------------------------------------------------------------
 # tile_smooth
 # --------------------------------------------------------------------------
