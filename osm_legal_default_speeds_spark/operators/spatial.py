@@ -1554,6 +1554,10 @@ def snap_to_segments(
         fine_res = min(res + k, 20)
     elif fine_res is None:
         fine_res = res
+    elif not isinstance(fine_res, int):
+        raise ValueError(
+            f"fine_res must be an int, None, or 'auto', got {fine_res!r}"
+        )
     elif fine_res < res:
         raise ValueError(
             f"fine_res {fine_res} is coarser than the contract res "
