@@ -901,13 +901,21 @@ def main() -> None:
             spark.stop()
         return run_sf_scaling([os.path.join(root, "sf0.01"), src, sf1])
     if "--sf-scaling-xl2" in sys.argv:
-        # two decades past the largest driver fixture, for the two
-        # steepest sf1 exponents only (rasterize_segments 0.71,
-        # snap_segments 0.60 at the 0.1->1 decade): confirm they
-        # asymptote toward output-proportional (~1.0) rather than bend
-        # super-linear once the fixed costs are fully amortized. sf10
-        # is a 100x salted replication of sf0.1 (same salting scheme
-        # as sf1; copy 0 is the identity so sf10 strictly contains it).
+        # two decades past the largest driver fixture: confirm every
+        # ladder query asymptotes toward output-proportional (~1.0)
+        # rather than bending super-linear once fixed costs amortize.
+        # This mode caught snap_segments at exponent 1.74 in round 5
+        # (radius-bucketed candidates grow with density while the
+        # argmin output doesn't) — fixed by the fine-first pass; the
+        # full sweep now reads 0.74-0.85 (BENCH/BASELINE.md).
+        # semantic_dedup is excluded: its registry query pins
+        # n_centroids=32 for the DuckDB oracle, which is quadratic by
+        # construction at growing corpus (the auto-config decade slope
+        # of 0.26 is measured separately). sf10 is a 100x salted
+        # replication of sf0.1 (same salting scheme as sf1; copy 0 is
+        # the identity so sf10 strictly contains it). Needs
+        # SPARK_GRAFT_DRIVER_MEM=16g: snap's SortAggregate partials
+        # across 32 threads overran the default 8g at sf10.
         from osm_legal_default_speeds_spark.plans.sf_synth import (
             synthesize_sf,
         )
@@ -932,7 +940,10 @@ def main() -> None:
         finally:
             spark.stop()
         return run_sf_scaling(
-            [sf1, sf10], queries=("rasterize_segments", "snap_segments")
+            [sf1, sf10],
+            queries=tuple(
+                q for q in SF_SCALING_QUERIES if q != "semantic_dedup"
+            ),
         )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = make_spark()
