@@ -1621,3 +1621,169 @@ def test_semantic_dedup_auto_centroids(spark):
 
     with _pytest.raises(ValueError, match="auto"):
         semantic_dedup(vecs, "many")
+
+
+# --------------------------------------------------------------------------
+# two-level (tree) coarse-quantizer assignment — assign_cells_np(tree_probe=)
+# --------------------------------------------------------------------------
+
+def test_assign_cells_np_tree_probe_all_groups_equals_flat(vectors):
+    """Probing every L1 group degenerates EXACTLY to the flat scan:
+    same candidate universe, same (sim desc, cid asc) rank — bit-equal
+    output cells. This pins that the tree path adds probing as its
+    ONLY approximation."""
+    import math as _math
+
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        assign_cells_np,
+    )
+
+    cent = vectors.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    book = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+        for r in cent.collect()
+    )
+    v = vectors.select("vec_id", "embedding")
+    flat = {
+        r["vec_id"]: r["cells"]
+        for r in assign_cells_np(v, book, "embedding", 3, "cells").collect()
+    }
+    all_groups = int(_math.ceil(_math.sqrt(len(book))))
+    tree = {
+        r["vec_id"]: r["cells"]
+        for r in assign_cells_np(
+            v, book, "embedding", 3, "cells", tree_probe=all_groups
+        ).collect()
+    }
+    assert flat == tree
+    # and the n=1 case, which takes the separate VECTORIZED kernel
+    flat1 = {
+        r["vec_id"]: r["cells"]
+        for r in assign_cells_np(v, book, "embedding", 1, "cells").collect()
+    }
+    tree1 = {
+        r["vec_id"]: r["cells"]
+        for r in assign_cells_np(
+            v, book, "embedding", 1, "cells", tree_probe=all_groups
+        ).collect()
+    }
+    assert flat1 == tree1
+
+
+def test_assign_cells_np_tree_probe_agreement_on_clustered_data(spark):
+    """The probing guarantee is a CLUSTERED-data property (the L1
+    level is only informative when centroids have structure — on
+    isotropic random vectors probing p of g groups can do no better
+    than ~p/g, which is not what production embedding corpora look
+    like). Build 4 well-separated clusters with 4 centroids each
+    (L1 = first 4 book entries = one per cluster by construction):
+    tree_probe=1 must (a) emit only valid centroid ids, (b) agree
+    with the flat scan's top-1 cell for >= 95% of rows, (c) never
+    return more cells than asked."""
+    import random as _random
+
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        assign_cells_np,
+    )
+
+    rng = _random.Random(11)
+    dim = 8
+    anchors = []
+    for a in range(4):
+        v = [0.0] * dim
+        v[2 * a] = 1.0
+        v[2 * a + 1] = 0.3
+        anchors.append(v)
+
+    def jitter(base, scale):
+        return [x + rng.uniform(-scale, scale) for x in base]
+
+    # book ids 0-3: one centroid per cluster (the L1 prefix), ids
+    # 4-15: three more per cluster
+    book = [(a, jitter(anchors[a], 0.02)) for a in range(4)]
+    nid = 4
+    for a in range(4):
+        for _ in range(3):
+            book.append((nid, jitter(anchors[a], 0.08)))
+            nid += 1
+    rows = [
+        (i, jitter(anchors[i % 4], 0.1)) for i in range(400)
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    valid = {c[0] for c in book}
+    flat = {
+        r["vec_id"]: r["cells"][0]
+        for r in assign_cells_np(v, book, "embedding", 1, "cells").collect()
+    }
+    tree_rows = assign_cells_np(
+        v, book, "embedding", 1, "cells", tree_probe=1
+    ).collect()
+    assert all(len(r["cells"]) == 1 for r in tree_rows)
+    assert all(r["cells"][0] in valid for r in tree_rows)
+    agree = sum(1 for r in tree_rows if r["cells"][0] == flat[r["vec_id"]])
+    assert agree / len(tree_rows) >= 0.95, f"{agree}/{len(tree_rows)}"
+
+
+def test_assign_cells_np_tree_probe_rejects_nonpositive(vectors):
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        assign_cells_np,
+    )
+
+    with pytest.raises(ValueError, match="tree_probe"):
+        assign_cells_np(
+            vectors.select("vec_id", "embedding"),
+            [(0, [1.0] * 8)],
+            "embedding",
+            1,
+            "cells",
+            tree_probe=0,
+        )
+
+
+def test_semantic_dedup_tree_assign_keeps_planted_dup_recall(spark):
+    """Tree-probed assignment may place a row in a different cell than
+    the exact argmax, but near-identical vectors score identically
+    against every centroid, so a planted copy always lands WITH its
+    source — the dedup contract survives the approximation."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    vecs = _semdedup_fixture(spark)
+    kept = {
+        r.vid
+        for r in semantic_dedup(
+            vecs, 4, 0.999, np_assign=True, np_pairs=True, tree_probe=1
+        ).collect()
+    }
+    assert {100, 101, 102}.isdisjoint(kept)
+    assert {5, 17} <= kept
+    assert len(kept) == 40
+
+
+def test_ivf_topk_tree_assign_self_hit_and_recall(vectors):
+    """ivf_topk with tree-probed corpus assignment still finds each
+    query's self row (identical vectors assign to identical cells) and
+    keeps recall close to the exact-assignment path."""
+    from osm_legal_default_speeds_spark.operators.similarity import ivf_topk
+
+    queries = vectors.limit(4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    kw = dict(n_centroids=9, nprobe=3, k=5, np_assign=True)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(vectors, queries, **kw).collect()
+    }
+    tree = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(vectors, queries, tree_probe=2, **kw).collect()
+    }
+    qids = {q for q, _ in exact}
+    for q in qids:
+        assert (q, q) in tree  # self-hit survives
+    assert len(tree & exact) / len(exact) >= 0.6
