@@ -35,7 +35,9 @@ plus the training-data set from plans.trainingdata_queries:
   exact_dedup minhash_near_dup simhash_near_dup ngram_jaccard
   text_quality ann_topk ann_lsh_topk embedding_near_dup events_rollup
   events_rollup_streaming image_verify image_features image_resize
-  image_phash_near_dup (image_* are rows-only: real codecs)
+  image_phash_near_dup (image_* run real codecs; oracled via
+                     integer-exact projections over SQL-regenerated
+                     reference pixels since r4)
 """
 
 from __future__ import annotations

@@ -41,7 +41,8 @@ Coverage added on top of plans.driver_queries:
                      codes (integer rank surface, hash-oracled)
   embedding_near_dup embedding-cosine near-dup pairs via LSH self-join
   semantic_dedup     SemDeDup: cluster-local cosine pruning, keep min-id
-  curate_images      (rows-only) phash pairs -> star CC -> one rep per group
+  curate_images      phash pairs -> star CC -> one rep per group
+                     (integer-projection oracle since r4)
   events_rollup      6-hour bucketed per-type event aggregation
   events_dedup_streaming  watermarked streaming ingestion dedup
                      (planted duplicates collapse to the base table)
@@ -52,10 +53,13 @@ Coverage added on top of plans.driver_queries:
   cms_counts         count-min sketch token-frequency estimates vs exact
   image_text_quality caption-side text features on the image table
                      (oracled A+B composition)
-  image_patches      (rows-only) ViT-style patch lattice + per-patch phash
-  image_verify       (rows-only) codec decode + PSNR/caption invariant
-  audio_features     (rows-only) PCM decode + RMS/ZCR/Goertzel features
-  video_frame_sample (rows-only) every-k frame decimation -> image rows
+  image_patches      ViT-style patch lattice + per-patch phash
+  image_verify       codec decode + PSNR/caption invariant
+  audio_features     PCM decode + RMS/ZCR/Goertzel features
+  video_frame_sample every-k frame decimation -> image rows
+                     (the codec queries are oracled via integer-exact
+                     projections over SQL-regenerated reference pixels
+                     since r4 — see the codec-path oracle block below)
 
 Oracle-portability notes (why every step is engine-exact):
 
@@ -1209,7 +1213,8 @@ FROM events
 
 
 # --------------------------------------------------------------------------
-# image_verify — rows-only (codec decode is not SQL-expressible)
+# image_verify — oracled via integer-exact projections over
+# SQL-regenerated reference pixels (see the codec-path oracle block)
 # --------------------------------------------------------------------------
 
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
