@@ -273,7 +273,9 @@ def assign_cells_np(
     quadratic at 10^9 rows. APPROXIMATE by construction (the true
     nearest centroid can live under a non-probed L1 parent — same
     recall trade as IVF probing itself); ``tree_probe >= ceil(sqrt(C))``
-    probes every group and is pinned EXACTLY equal to the flat scan.
+    probes every group — the same candidate universe and tie-break as
+    the flat scan, pinned equal up to last-ulp BLAS ties (per-group
+    sub-matmuls may reduce in a different order than one full GEMM).
     The n=1 corpus-assignment case runs a fully vectorized kernel
     (rows grouped per probed L1 parent, one sub-matmul per group, a
     running (sim desc, cid asc) argmax — no per-row Python). Measured

@@ -1365,6 +1365,11 @@ def point_segment_snap(
     return qx, qy, ddx * ddx + ddy * ddy
 
 
+# At most one live fine-pass cache per session (see the eviction note
+# inside snap_to_segments).
+_SNAP_FINE_CACHE: list = []
+
+
 def snap_to_segments(
     points: DataFrame,
     segments: DataFrame,
@@ -1571,6 +1576,21 @@ def snap_to_segments(
         accept2 = min(fine_side, radius) ** 2
         resolved = _argmin(points, fine_res, accept2)
         resolved.persist()  # consumed by the union AND the anti-join
+        # Bound the cache's lifetime: a lazy plan gives no point to
+        # unpersist after "the action" (the caller owns that), so keep
+        # at most ONE live fine-pass cache per session — each new
+        # two-pass snap evicts the previous call's entry. A caller that
+        # executes snap plan A after building snap plan B merely
+        # recomputes A's fine pass (correctness unchanged); without
+        # this, every invocation leaked a MEMORY_AND_DISK entry for
+        # the session's lifetime (bench loops, test suites, services).
+        prev = _SNAP_FINE_CACHE.pop() if _SNAP_FINE_CACHE else None
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+        _SNAP_FINE_CACHE.append(resolved)
         rest = points.join(
             resolved.select(F.col("__pid").alias(point_id)),
             point_id,

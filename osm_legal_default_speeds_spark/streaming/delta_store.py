@@ -81,30 +81,64 @@ def _require_posix_store(store_dir: str) -> None:
         )
 
 
+def _holder_is_stale(holder: str) -> bool:
+    """True iff the recorded holder is a process on THIS host that no
+    longer exists — the one case a restarted job can prove the lock is
+    an orphan without a human. A different host, an unparsable record,
+    or a live pid all read as held (kill(pid, 0) with EPERM means
+    alive-but-foreign, also held)."""
+    m = re.search(r"pid=(\d+) host=(\S+)", holder)
+    if not m or m.group(2) != socket.gethostname():
+        return False
+    try:
+        os.kill(int(m.group(1)), 0)
+        return False
+    except ProcessLookupError:
+        return True
+    except OSError:
+        return False
+
+
 @contextlib.contextmanager
 def _writer_lock(store_dir: str, batch_id: int | str):
     """Cross-process commit fence: O_CREAT|O_EXCL lock file held for
     the commit's critical section, so a second concurrent writer fails
     loudly instead of interleaving half-written versions. The lock
-    records holder identity for the error message; a holder that
-    crashed leaves the lock behind by design (auto-expiry would
-    reintroduce the race) — an operator verifies the pid is gone and
-    calls :func:`break_writer_lock`."""
+    records holder identity (pid/host); a lock whose recorded pid is
+    provably dead ON THIS HOST is reclaimed automatically (atomic
+    rename-aside, so two racing restarts cannot both reclaim it) —
+    that keeps the job-level exactly-once-replay-across-kills contract
+    hands-off for the single-host driver topology. A lock from another
+    host cannot be liveness-checked and stays held by design
+    (auto-expiry would reintroduce the race) — an operator verifies
+    the pid is gone and calls :func:`break_writer_lock`."""
     path = os.path.join(store_dir, _LOCK_NAME)
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+    for attempt in (0, 1):
         try:
-            with open(path) as fh:
-                holder = fh.read().strip() or "<empty>"
-        except OSError:
-            holder = "<unreadable>"
-        raise ValueError(
-            f"another writer holds the commit lock on {store_dir} "
-            f"({holder}): the store is single-writer by contract; if "
-            f"the holder crashed, verify its pid is gone and call "
-            f"break_writer_lock()"
-        ) from None
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(path) as fh:
+                    holder = fh.read().strip() or "<empty>"
+            except OSError:
+                holder = "<unreadable>"
+            if attempt == 0 and _holder_is_stale(holder):
+                # Reclaim by renaming aside: rename is atomic, so of N
+                # racing restarts exactly one succeeds and proceeds to
+                # the O_EXCL retry; the others lose the rename (ENOENT)
+                # and retry O_EXCL against the winner's fresh lock.
+                try:
+                    os.rename(path, f"{path}.stale.{os.getpid()}")
+                except OSError:
+                    pass
+                continue
+            raise ValueError(
+                f"another writer holds the commit lock on {store_dir} "
+                f"({holder}): the store is single-writer by contract; "
+                f"if the holder crashed on another host, verify its "
+                f"pid is gone and call break_writer_lock()"
+            ) from None
     try:
         os.write(
             fd,
@@ -446,11 +480,26 @@ def diff_versions(
     if not parts:
         # v_from == v_to: an empty range is a valid question with an
         # empty answer, not an error. Take the key's type from the
-        # newest version's dirty table (the newest version is never
-        # expired) so the schema matches the non-empty case.
-        dirty0 = spark.read.parquet(
-            os.path.join(store_dir, f"v{committed}", "dirty")
-        )
+        # newest RETAINED version's dirty table — the newest version
+        # CAN be expired (compact_store sets BASE == CURRENT and
+        # expire_versions then reclaims every v-dir at or below BASE),
+        # so probe downward and fall back to the base snapshot.
+        src = None
+        for v in range(committed, -1, -1):
+            d = os.path.join(store_dir, f"v{v}", "dirty")
+            if os.path.isdir(d):
+                src = d
+                break
+        if src is None:
+            b = base_version(store_dir)
+            if b is None:
+                raise ValueError(
+                    f"{store_dir} has no retained version dirs and no "
+                    f"base snapshot — store corrupted or externally "
+                    f"modified"
+                )
+            src = os.path.join(store_dir, f"base-{b}")
+        dirty0 = spark.read.parquet(src)
         return dirty0.select(
             key, F.lit("upserted").alias("change")
         ).limit(0)

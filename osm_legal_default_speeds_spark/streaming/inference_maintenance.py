@@ -32,6 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from osm_legal_default_speeds_spark.streaming.delta_store import (
+    _require_posix_store,
     commit_delta,
     compact_store,
     current_version,
@@ -131,7 +132,12 @@ def commit_road_batch(
     Op ordering: when the batch schema carries ``seq_col``
     (ROAD_CHANGESET_SCHEMA_SEQ), each id's ops resolve LAST-WINS on it
     — a road upserted then removed within one coalesced batch stays
-    removed, and an earlier upsert never shadows a later one. Without
+    removed, and an earlier upsert never shadows a later one. EQUAL
+    sequence numbers across different ops (a feed stamping seq at file
+    granularity) fall back to the same rule as the sequence-less
+    contract — the upsert wins — so opting into the column never
+    downgrades a documented guarantee to a hash coin-flip; only
+    duplicate same-op rows at equal seq fall to the hash rule. Without
     the column, ops within a batch are unordered by contract: any
     upsert wins over a remove for the same id (both still tombstone
     the old row) and duplicate upserts fall to the hash rule."""
@@ -141,12 +147,15 @@ def commit_road_batch(
         infer_upserts,
     )
 
+    _require_posix_store(store_dir)
     os.makedirs(store_dir, exist_ok=True)
     if seq_col in batch.columns:
-        # per-id winner across ops by edit recency; hash of the full
-        # row breaks equal/null sequence numbers deterministically
+        # per-id winner across ops by edit recency; equal/null seq
+        # resolves upsert-over-remove (the sequence-less rule), then
+        # hash of the full row breaks duplicate same-op rows
         w = Window.partitionBy(_KEY).orderBy(
             F.col(seq_col).desc_nulls_last(),
+            (F.col("op") == "upsert").cast("int").desc(),
             F.xxhash64(F.to_json(F.struct(*batch.columns))).desc(),
         )
         winners = (

@@ -169,7 +169,8 @@ def test_window_ledger_matches_correctness_files():
         _LAST_DRIVER_ROW,
     )
 
-    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
     if not files:
         pytest.skip("no CORRECTNESS files present")
     recomputed = {}

@@ -392,6 +392,103 @@ def test_commit_fence_rejects_racing_writer(spark, tmp_path):
     )
 
 
+def test_equal_seq_across_ops_upsert_wins(spark, tmp_path):
+    """Equal (non-null) sequence numbers across DIFFERENT ops — a feed
+    stamping seq at file granularity — fall back to the sequence-less
+    rule (upsert wins), never the hash coin-flip: opting into the seq
+    column must not downgrade a documented guarantee."""
+    rows = [
+        (1, "ZA", {"highway": "motorway"}, "upsert", 5),
+        (1, None, None, "remove", 5),
+        # equal-seq duplicate UPSERTS still fall to the hash rule, but
+        # both candidates are upserts so the road is present either way
+        (2, "ZA", {"highway": "motorway"}, "upsert", 7),
+        (2, "DE", {"highway": "motorway"}, "upsert", 7),
+    ]
+    for tag, ordered in (("fwd", rows), ("rev", rows[::-1])):
+        store = str(tmp_path / f"eqseq_store_{tag}")
+        batch = spark.createDataFrame(ordered, ROAD_CHANGESET_SCHEMA_SEQ)
+        assert commit_road_batch(
+            spark, store, batch, 0, _ruleset(), project=_flat,
+        )
+        got = _res_map(read_current_results(spark, store))
+        assert sorted(got) == [1, 2], tag
+        assert got[1][1] == "motorway", tag
+
+
+def test_stale_same_host_lock_reclaimed(spark, tmp_path):
+    """A lock whose recorded pid is provably dead ON THIS HOST is an
+    orphan a restarted job can reclaim without a human — the case a
+    driver kill mid-commit leaves behind. A foreign-host lock stays
+    held (test_commit_fence_rejects_racing_writer pins that side)."""
+    import socket
+    import subprocess
+
+    store = str(tmp_path / "stale_lock_store")
+    batch = spark.createDataFrame(
+        [(1, "ZA", {"highway": "motorway"}, "upsert")],
+        ROAD_CHANGESET_SCHEMA,
+    )
+    assert commit_road_batch(
+        spark, store, batch, 0, _ruleset(), project=_flat,
+    )
+    p = subprocess.Popen(["true"])
+    p.wait()  # reaped -> the pid is provably dead
+    lock_path = os.path.join(store, ".writer.lock")
+    with open(lock_path, "w") as fh:
+        fh.write(f"pid={p.pid} host={socket.gethostname()} batch=1 t=0")
+    # hands-off recovery: the next commit reclaims and proceeds
+    assert commit_road_batch(
+        spark, store, batch, 1, _ruleset(), project=_flat,
+    )
+    assert not os.path.exists(lock_path)  # released after the commit
+
+
+def test_diff_versions_empty_range_survives_expiry(spark, tmp_path):
+    """diff_versions(v, v) must return the empty (key, change) frame
+    even after compact_store + expire_versions reclaimed EVERY v-dir
+    (BASE == CURRENT): the empty-range schema probe cannot assume the
+    newest version dir is retained."""
+    from osm_legal_default_speeds_spark.streaming.delta_store import (
+        diff_versions,
+    )
+
+    store = str(tmp_path / "expired_diff_store")
+    batch = spark.createDataFrame(
+        [(1, "ZA", {"highway": "motorway"}, "upsert")],
+        ROAD_CHANGESET_SCHEMA,
+    )
+    assert commit_road_batch(
+        spark, store, batch, 0, _ruleset(), project=_flat,
+    )
+    assert compact_results_store(spark, store) == 0
+    assert expire_result_versions(store)  # v0 reclaimed
+    assert not os.path.isdir(os.path.join(store, "v0"))
+    d = diff_versions(spark, store, 0, 0, "road_id")
+    assert d.columns == ["road_id", "change"]
+    assert d.count() == 0
+
+
+def test_commit_road_batch_refuses_uri_path_before_work(
+    spark, tmp_path, monkeypatch
+):
+    """The STORE PATH CONTRACT's up-front refusal applies at this
+    writer's entry point too: a URI-schemed path must fail BEFORE
+    os.makedirs plants a literal local 's3a:' tree and before the
+    inference runs."""
+    monkeypatch.chdir(tmp_path)
+    batch = spark.createDataFrame(
+        [(1, "ZA", {"highway": "motorway"}, "upsert")],
+        ROAD_CHANGESET_SCHEMA,
+    )
+    with pytest.raises(ValueError, match="URI scheme"):
+        commit_road_batch(
+            spark, "s3a://bucket/store", batch, 0, _ruleset(),
+            project=_flat,
+        )
+    assert os.listdir(tmp_path) == []  # no stray local directory tree
+
+
 def test_uri_schemed_store_path_refused(spark, tmp_path):
     """A URI-schemed store path would split the store (parquet via
     Hadoop IO, pointers via driver-local POSIX IO) — writers refuse it
