@@ -48,6 +48,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _default_centroids(
+    vectors: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """The deterministic first-``n_centroids``-by-id codebook shared by
+    every entry point that defaults its centroids (ivf_topk,
+    ivfpq_topk, semantic_dedup). The pushed-down ``id < n_centroids``
+    filter is the cheap path, but it silently under-fills — or returns
+    an EMPTY codebook — when ids don't start at 0 (sharded/offset ids
+    are real; this module itself creates +10000-offset dup ids), which
+    crashed the np kernels and made the Column path dedup/return
+    nothing. Fall back to orderBy.limit (TakeOrdered, a per-partition
+    partial top-k — no global sort) exactly like train_codebook's init
+    does when the filter under-fills."""
+    fast = vectors.where(F.col(id_col) < n_centroids)
+    if fast.count() < n_centroids:
+        fast = vectors.orderBy(id_col).limit(n_centroids)
+    return fast.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("centroid_vec"),
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -289,6 +311,16 @@ def assign_cells_np(
 
     Map-side only — mapInPandas, no shuffle, no join."""
     cids = np.asarray([c[0] for c in codebook], dtype=np.int64)
+    if cids.size and (
+        cids.max() > np.iinfo(np.int32).max
+        or cids.min() < np.iinfo(np.int32).min
+    ):
+        # the output schema stores cells as array<int>; a silent
+        # pandas->Arrow wrap would alias rows into wrong cells
+        raise ValueError(
+            "centroid ids must fit int32 (cells are stored as "
+            "array<int>); re-index the codebook to dense small ids"
+        )
     cm = np.asarray([c[1] for c in codebook], dtype=np.float64)  # (C, d)
     cnorm = np.linalg.norm(cm, axis=1, keepdims=True)
     cnorm[cnorm == 0.0] = 1.0
@@ -658,10 +690,15 @@ def ivf_topk(
     cuts it to ~sqrt(C) x (1 + tree_probe). Query-side probe lists
     stay flat/exact (queries are few). Approximate like any coarse
     probing; np_assign only."""
+    if tree_probe is not None and not np_assign:
+        raise ValueError(
+            "tree_probe requires np_assign=True (the Column fold path "
+            "has no two-level assignment — it would silently run the "
+            "flat O(n*C*d) scan the caller asked to avoid)"
+        )
     if centroids is None:
-        centroids = vectors.where(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
+        centroids = _default_centroids(
+            vectors, n_centroids, id_col, vec_col
         )
     if np_assign:
         book = [
@@ -743,14 +780,26 @@ def brute_force_topk_np(
 
     ``queries``: list of (query_id, vector) pairs, small enough to
     broadcast in the closure (the classic ANN-serving shape).
-    """
+    Zero-norm queries take the same 1e-300 clamp as the PQ kernels'
+    shared ``_adc_tables`` (raw-dot scores instead of NaN poisoning the
+    whole column); the fold twin emits NULL sims for that degenerate
+    input — a documented twin divergence."""
     qids = [q[0] for q in queries]
     qm = np.asarray([q[1] for q in queries], dtype=np.float64)  # (Q, d)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = qm / np.maximum(
+        np.linalg.norm(qm, axis=1, keepdims=True), 1e-300
+    )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
+            if len(ids) == 0:
+                # empty Arrow batch: axis-1 ops on a (0,)-shaped mat
+                # would raise (same guard as every sibling kernel)
+                yield pd.DataFrame(
+                    {"query_id": [], id_col: [], "sim": []}
+                )
+                continue
             mat = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
@@ -792,10 +841,16 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join: rows in
-    the same hyperplane bucket with cosine >= min_cosine."""
+    the same hyperplane bucket with cosine >= min_cosine. Each row's
+    norm is staged as a column BEFORE the self-join so the O(pairs)
+    term pays ONE interpreted dot fold per pair instead of three
+    (cosine() would refold both sides' norms for every pair the row
+    appears in); dot(a,b)/(na*nb) is the identical float expression,
+    so the output is bit-identical to the inlined form."""
     v = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     # shuffle-hash self-join on the bucket: identical Exchange
@@ -810,7 +865,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+            (
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= min_cosine)
     )
@@ -901,6 +959,9 @@ def pq_encode(
             mat = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
+            if mat.ndim == 1:  # empty batch: 2-D slicing would raise
+                yield pd.DataFrame({id_col: [], "codes": []})
+                continue
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for s in range(m):
                 Xs = mat[:, s * dsub : (s + 1) * dsub]
@@ -1108,6 +1169,16 @@ def ivfpq_encode(
     books = codebooks.copy()
     cnorm2 = (books * books).sum(axis=2)
     cids = np.asarray([c[0] for c in coarse_book], dtype=np.int64)
+    if cids.size and (
+        cids.max() > np.iinfo(np.int32).max
+        or cids.min() < np.iinfo(np.int32).min
+    ):
+        # cell is stored as int (int32); silent truncation would alias
+        # cells — same guard as assign_cells_np
+        raise ValueError(
+            "coarse centroid ids must fit int32 (cell column is int); "
+            "re-index the codebook to dense small ids"
+        )
     cm = np.asarray([c[1] for c in coarse_book], dtype=np.float64)
     cnm = np.linalg.norm(cm, axis=1, keepdims=True)
     cnm[cnm == 0.0] = 1.0
@@ -1189,9 +1260,8 @@ def ivfpq_topk(
     :func:`ivf_topk`); pass a trained k-means codebook in
     production."""
     if centroids is None:
-        centroids = vectors.where(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
+        centroids = _default_centroids(
+            vectors, n_centroids, id_col, vec_col
         )
     book = [
         (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
@@ -1377,20 +1447,25 @@ def semantic_dedup(
         raise ValueError(
             f"n_centroids must be an int or 'auto', got {n_centroids!r}"
         )
-    if centroids is None:
-        centroids = v_in.where(F.col("vid") < n_centroids).select(
-            F.col("vid").alias("centroid_id"),
-            F.col("vec").alias("centroid_vec"),
+    if tree_probe is not None and not np_assign:
+        raise ValueError(
+            "tree_probe requires np_assign=True (the Column fold path "
+            "has no two-level assignment)"
         )
+    if centroids is None:
+        centroids = _default_centroids(v_in, n_centroids, "vid", "vec")
     # Normalize the (tiny) codebook once, then assign by plain DOT:
     # same argmax as cosine (|vec| is constant across centroids,
     # |cnvec| = 1) at a third of the interpreted-fold cost per
-    # (row, centroid) — no norm recomputation inside the scoring loop.
-    cn = centroids.select(
+    # (row, centroid). The norm is staged as its OWN column so the
+    # interpreted transform pays it once per centroid, not once per
+    # ELEMENT (no HOF CSE — the same trap the row side below stages
+    # nrm for); same arithmetic per element, bit-identical output.
+    cn = centroids.withColumn("__cnrm", norm(F.col("centroid_vec"))).select(
         "centroid_id",
         F.transform(
             F.col("centroid_vec"),
-            lambda x: x.cast("double") / norm(F.col("centroid_vec")),
+            lambda x: x.cast("double") / F.col("__cnrm"),
         ).alias("centroid_vec"),
     )
     if np_assign:
@@ -1398,6 +1473,12 @@ def semantic_dedup(
             (r["centroid_id"], list(r["centroid_vec"]))
             for r in cn.collect()
         ]
+        # sort by centroid id: collect() order is partition order, and
+        # assign_cells_np's tree_probe L1 level is the codebook PREFIX
+        # — an unsorted book would make the probed assignment depend
+        # on the run's partitioning (the flat path lexsorts on cid and
+        # is order-proof either way)
+        codebook.sort(key=lambda c: c[0])
         assigned = assign_cells_np(
             v_in, codebook, "vec", 1, "cells", tree_probe=tree_probe
         )

@@ -1623,6 +1623,118 @@ def test_semantic_dedup_auto_centroids(spark):
         semantic_dedup(vecs, "many")
 
 
+def test_default_codebook_offset_ids_fallback(spark):
+    """A corpus whose ids do NOT start at 0 (sharded/offset ids) must
+    still get a full default codebook: the pushed-down id<n filter
+    under-fills to EMPTY on such ids, which crashed the np kernels and
+    made the Column path silently dedup nothing — the fallback selects
+    the n smallest ids instead. Results must equal the same corpus
+    with dense ids (the codebook is the same VECTORS either way)."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        ivf_topk,
+        semantic_dedup,
+    )
+
+    vecs = _semdedup_fixture(spark)
+    offset = vecs.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    kept_dense = {r.vid for r in semantic_dedup(vecs, 5, 0.999).collect()}
+    kept_off = {
+        r.vid - 1_000_000
+        for r in semantic_dedup(offset, 5, 0.999, np_assign=True).collect()
+    }
+    assert kept_off == kept_dense
+    # Column path too (silent-nothing mode before the fix)
+    kept_col = {
+        r.vid - 1_000_000
+        for r in semantic_dedup(
+            offset, 5, 0.999, np_assign=False, np_pairs=False
+        ).collect()
+    }
+    assert kept_col == kept_dense
+    # ivf_topk over offset ids still finds each query's self-hit
+    ev = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ev_off = ev.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    qs = ev_off.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_topk(ev_off, qs, n_centroids=8, nprobe=8, k=3).collect()
+    assert out, "empty result — the default codebook under-filled"
+    best = {
+        r["query_id"]: r["vec_id"]
+        for r in out
+        if r["rank"] == 1
+    }
+    assert all(q == v for q, v in best.items())
+
+
+def test_tree_probe_requires_np_assign(spark):
+    """tree_probe is a semantics-changing knob that only the numpy
+    assignment implements — silently ignoring it on the Column path
+    would run the flat O(n*C*d) scan the caller asked to avoid."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        ivf_topk,
+        semantic_dedup,
+    )
+
+    vecs = _semdedup_fixture(spark)
+    with pytest.raises(ValueError, match="np_assign"):
+        semantic_dedup(vecs, 5, np_assign=False, tree_probe=2)
+    ev = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = ev.limit(1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with pytest.raises(ValueError, match="np_assign"):
+        ivf_topk(ev, qs, n_centroids=8, np_assign=False, tree_probe=2)
+
+
+def test_assign_cells_np_rejects_int32_overflow_ids(vectors):
+    """The np kernels store cells as int32; centroid ids past 2^31-1
+    must raise instead of silently wrapping in the pandas->Arrow cast
+    (rows would alias into wrong cells with no error)."""
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        assign_cells_np,
+    )
+
+    book = [
+        (2**31 + 7, [1.0] * 64),
+        (1, [0.5] * 64),
+    ]
+    v = vectors.select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="int32"):
+        assign_cells_np(v, book, "embedding", 1, "cells")
+
+
+def test_np_kernels_survive_empty_input(spark, vectors):
+    """Zero-row inputs (empty partitions / filtered-out scans) must
+    yield empty results, not IndexError/AxisError, in every mapInPandas
+    kernel — pq_encode and brute_force_topk_np were the two missing
+    the sibling guard."""
+    import numpy as np
+
+    from osm_legal_default_speeds_spark.operators.similarity import (
+        brute_force_topk_np,
+        pq_encode,
+        train_pq,
+    )
+
+    empty = vectors.select("vec_id", "embedding").where(F.lit(False))
+    books = train_pq(vectors, m=2, ksub=4, sample_ids=16)
+    assert pq_encode(empty, books).count() == 0
+    q = [(0, [1.0] * 64)]
+    assert brute_force_topk_np(empty, q, k=3).count() == 0
+    # zero-norm query: clamped like _adc_tables, emits k rows (raw-dot
+    # scores) instead of a NaN-poisoned empty result
+    zq = [(0, [0.0] * 64)]
+    out = brute_force_topk_np(vectors, zq, k=3).collect()
+    assert len(out) == 3 and all(not np.isnan(r["sim"]) for r in out)
+
+
 # --------------------------------------------------------------------------
 # two-level (tree) coarse-quantizer assignment — assign_cells_np(tree_probe=)
 # --------------------------------------------------------------------------
