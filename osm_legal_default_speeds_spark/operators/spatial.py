@@ -41,6 +41,7 @@ Design notes (scale-first):
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -1366,8 +1367,12 @@ def point_segment_snap(
 
 
 # At most one live fine-pass cache per session (see the eviction note
-# inside snap_to_segments).
+# inside snap_to_segments). The lock makes the evict-then-persist
+# sequence atomic across driver threads (concurrent job submission is
+# a normal Spark pattern); the single slot still means concurrent
+# two-pass snaps evict each other's cache — correct, just uncached.
 _SNAP_FINE_CACHE: list = []
+_SNAP_CACHE_LOCK = threading.Lock()
 
 
 def snap_to_segments(
@@ -1436,9 +1441,10 @@ def snap_to_segments(
     fraction. ``fine_res="auto"`` picks the fine level from two cheap
     statistics: k ~ log8(4 * points / occupied-cells) balances the
     build-side explode (grows 2^k for long segments) against the
-    candidate volume (shrinks 4^k), floored by log4(4.5 * segments
-    per occupied cell) so fine cells stay populated enough to
-    certify; k = 0 degenerates to the exact single-pass plan (sparse
+    candidate volume (shrinks 4^k), CAPPED by log4(4.5 * segments
+    per occupied cell) — the population term upper-bounds k so fine
+    cells stay populated enough to certify (k = min of the two terms);
+    k = 0 degenerates to the exact single-pass plan (sparse
     data pays only the two stats jobs). ``fine_res=None`` forces the
     single pass. Results are bit-identical either way (same scoring
     arithmetic, same min-struct tie-break) — the DuckDB oracle and
@@ -1530,26 +1536,20 @@ def snap_to_segments(
     if fine_res == "auto":
         import math
 
+        # NOTE: the auto path is EAGER — two small stats jobs run at
+        # plan-build time (a points count and a segment-cover agg),
+        # and the two-pass plan reads `points` twice (fine probe +
+        # anti-join) and `segments` twice (both build sides) at action
+        # time. Callers whose inputs are expensive to recompute (e.g.
+        # a mapInPandas codec source) should persist them first.
         n_points = points.count()
-        nx0, ny0 = grid_nx(res), grid_ny(res)
-
-        def _gx0(c: str) -> Column:
-            return (F.col(c) + 180.0) / 360.0 * nx0
-
-        def _gy0(c: str) -> Column:
-            return (F.col(c) + 90.0) / 180.0 * ny0
-
-        cover = segments.select(
-            F.explode(
-                segment_cells(
-                    _gx0(lon0), _gy0(lat0), _gx0(lon1), _gy0(lat1),
-                    nx0, ny0,
-                )
-            ).alias("__c")
+        cover = rasterize_segments(
+            segments, res, id_col=seg_id,
+            lon0=lon0, lat0=lat0, lon1=lon1, lat1=lat1,
         )
         st = cover.agg(
             F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct("__c").alias("d"),
+            F.approx_count_distinct("cell").alias("d"),
         ).head()
         occ = max(int(st["d"]), 1)
         rho = st["n"] / occ  # segments per occupied contract cell
@@ -1568,6 +1568,12 @@ def snap_to_segments(
             f"fine_res {fine_res} is coarser than the contract res "
             f"{res}; the fine-pass certificate needs a smaller cell"
         )
+    elif fine_res > 20:
+        raise ValueError(
+            f"fine_res {fine_res} exceeds the module's res cap of 20 "
+            f"(grid math loses cell-boundary precision past the "
+            f"double mantissa; the auto path clamps there too)"
+        )
 
     if fine_res <= res:
         best = _argmin(points, res, radius * radius)
@@ -1575,7 +1581,6 @@ def snap_to_segments(
         fine_side = 180.0 / (1 << fine_res)
         accept2 = min(fine_side, radius) ** 2
         resolved = _argmin(points, fine_res, accept2)
-        resolved.persist()  # consumed by the union AND the anti-join
         # Bound the cache's lifetime: a lazy plan gives no point to
         # unpersist after "the action" (the caller owns that), so keep
         # at most ONE live fine-pass cache per session — each new
@@ -1584,16 +1589,29 @@ def snap_to_segments(
         # recomputes A's fine pass (correctness unchanged); without
         # this, every invocation leaked a MEMORY_AND_DISK entry for
         # the session's lifetime (bench loops, test suites, services).
-        prev = _SNAP_FINE_CACHE.pop() if _SNAP_FINE_CACHE else None
-        if prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass
-        _SNAP_FINE_CACHE.append(resolved)
+        # Evict BEFORE persisting: when the new plan is sameResult as
+        # the previous one (identical repeated calls), persist() is a
+        # CacheManager no-op against the existing entry and an
+        # evict-after would uncache the plan entirely — silently
+        # re-introducing the fine-pass double compute.
+        with _SNAP_CACHE_LOCK:
+            prev = _SNAP_FINE_CACHE.pop() if _SNAP_FINE_CACHE else None
+            if prev is not None:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass
+            resolved.persist()  # consumed by the union AND the anti-join
+            _SNAP_FINE_CACHE.append(resolved)
+        # NULL-safe anti-join: plain left_anti never matches NULL keys,
+        # so a resolved NULL-id group would be re-emitted by the coarse
+        # pass and the two-pass output would diverge from the
+        # single-pass plan (which folds all NULL ids into ONE groupBy
+        # group — the certification lemma covers the merged group's
+        # min just the same).
         rest = points.join(
-            resolved.select(F.col("__pid").alias(point_id)),
-            point_id,
+            resolved.select(F.col("__pid").alias("__rpid")),
+            F.col(point_id).eqNullSafe(F.col("__rpid")),
             "left_anti",
         )
         best = resolved.unionByName(

@@ -193,6 +193,87 @@ def test_snap_fine_res_coarser_than_contract_raises(spark, snap_fixture):
     _, _, pdf, sdf = snap_fixture
     with pytest.raises(ValueError, match="coarser"):
         snap_to_segments(pdf, sdf, 1.2, point_id="id", fine_res=1)
+    # the explicit path honors the same res cap the auto path clamps to
+    with pytest.raises(ValueError, match="cap"):
+        snap_to_segments(pdf, sdf, 1.2, point_id="id", fine_res=40)
+
+
+def test_snap_repeated_identical_calls_keep_the_cache(spark, snap_fixture):
+    """Two identical two-pass snap calls produce sameResult fine-pass
+    plans, so the second persist() is a CacheManager no-op against the
+    first entry — the eviction must therefore run BEFORE the persist,
+    or the second call silently uncaches the plan and the fine join
+    runs twice per action (the exact double-compute the cache
+    prevents). Pins: results stay bit-identical AND the live cache
+    slot is still materialized-cacheable after the repeat."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        _SNAP_FINE_CACHE,
+        within_distance_res,
+    )
+
+    _, _, pdf, sdf = snap_fixture
+    radius = 1.2
+    res = within_distance_res(radius)
+
+    def run():
+        return sorted(
+            (r["id"], r["seg_id"], r["dist"])
+            for r in snap_to_segments(
+                pdf, sdf, radius, point_id="id", fine_res=res + 2
+            ).collect()
+        )
+
+    first = run()
+    second = run()
+    assert first == second
+    # exactly one live slot, and it reports a real storage level (an
+    # evict-after-persist would have left the plan uncached)
+    assert len(_SNAP_FINE_CACHE) == 1
+    lvl = _SNAP_FINE_CACHE[0].storageLevel
+    assert lvl.useMemory or lvl.useDisk
+
+
+def test_snap_null_point_ids_match_single_pass(spark):
+    """NULL point ids fold into ONE groupBy group in the single-pass
+    plan; the two-pass plan must not re-emit that group from the
+    coarse pass (a plain left_anti never matches NULL keys). The
+    certification lemma covers the merged group's min, so the outputs
+    are bit-identical."""
+    rows = [
+        (None, 10.02, 10.5),   # certifiable: right on a segment
+        (None, 14.0, 14.2),    # no segment anywhere near
+        (1, 10.5, 10.52),
+    ]
+    pdf = spark.createDataFrame(rows, "id long, lon double, lat double")
+    sdf = spark.createDataFrame(
+        [(3, 10.0, 10.5, 11.0, 10.5)],
+        "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double",
+    )
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_res,
+    )
+
+    res = within_distance_res(1.0)
+
+    def key(out):
+        return sorted(
+            (
+                -(10**18) if r["id"] is None else r["id"],  # None sorts
+                r["seg_id"], r["snap_lon"], r["snap_lat"], r["dist"],
+            )
+            for r in out
+        )
+
+    single = key(
+        snap_to_segments(pdf, sdf, 1.0, point_id="id", fine_res=None)
+        .collect()
+    )
+    two = key(
+        snap_to_segments(pdf, sdf, 1.0, point_id="id", fine_res=res + 3)
+        .collect()
+    )
+    assert two == single
+    assert sum(1 for r in single if r[0] == -(10**18)) == 1  # one group
 
 
 def test_snap_auto_picks_fine_pass_on_dense_input(spark):
