@@ -135,9 +135,14 @@ def curate_corpus(
     Order matters at scale: exact dedup first shrinks the corpus with
     a digest-keyed shuffle that carries 16 bytes + id per row; the LSH
     stage then shingles only survivors; the quality filter is map-side
-    over staged token arrays."""
+    over a staged token array — and computes ONLY the two features the
+    filter consumes (the full with_text_features set would pay the
+    16 interpreted simhash folds, the word-hash stagings, and the BPE
+    regex scan per row just to discard them)."""
     from osm_legal_default_speeds_spark.operators.textops import (
-        with_text_features,
+        lang_id_from_tokens,
+        quality_score_from_tokens,
+        tokens,
     )
 
     kept = drop_exact_dups(df, text_col, id_col)
@@ -152,12 +157,24 @@ def curate_corpus(
         portable=portable,
     )
     if min_quality is not None or lang is not None:
-        feats = with_text_features(kept, text_col, lang=lang or "en")
+        # identical expressions to with_text_features' quality /
+        # lang_pred columns (value-for-value the same filter), staged
+        # over one token array and combined into ONE predicate so the
+        # array is shared
+        t = F.col("__tokens")
+        cond = None
         if min_quality is not None:
-            feats = feats.where(F.col("quality") >= F.lit(min_quality))
+            cond = quality_score_from_tokens(t, lang or "en") >= F.lit(
+                min_quality
+            )
         if lang is not None:
-            feats = feats.where(F.col("lang_pred") == F.lit(lang))
-        kept = feats.select(*df.columns)
+            lc = lang_id_from_tokens(t) == F.lit(lang)
+            cond = lc if cond is None else (cond & lc)
+        kept = (
+            kept.withColumn("__tokens", tokens(F.col(text_col)))
+            .where(cond)
+            .select(*df.columns)
+        )
     return kept
 
 
@@ -291,6 +308,21 @@ def minhash_dedup_pairs(
     signature -> band -> equi-join on (band, key) -> estimated Jaccard
     filter. Returns (id_a, id_b, est_jaccard), id_a < id_b, deduped
     across bands. ``pre_partitions``: see :func:`widen_narrow_scan`."""
+    if not 1 <= num_bands <= num_hashes:
+        # num_bands > num_hashes makes rows_per_band 0 and EVERY band
+        # key md5('') for every doc — the band equi-join degenerates to
+        # an all-pairs cross product with no error, a job-killer at
+        # corpus scale
+        raise ValueError(
+            f"need 1 <= num_bands <= num_hashes, got num_bands="
+            f"{num_bands}, num_hashes={num_hashes}"
+        )
+    if num_hashes % num_bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by num_bands "
+            f"({num_bands}); the remainder hashes would be silently "
+            f"ignored by the banding"
+        )
     rows_per_band = num_hashes // num_bands
     base = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, portable, pre_partitions
@@ -546,6 +578,27 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs on a precomputed simhash column via bit-band LSH
     (pigeonhole: hamming < num_bands => >= 1 exact band match)."""
+    if not 1 <= num_bands <= bits:
+        # num_bands > bits gives band_bits=0/mask=0, so every doc's key
+        # is 0 in every band — an all-pairs cross product with no error
+        raise ValueError(
+            f"need 1 <= num_bands <= bits, got num_bands={num_bands}, "
+            f"bits={bits}"
+        )
+    if bits % num_bands:
+        raise ValueError(
+            f"bits ({bits}) must be divisible by num_bands "
+            f"({num_bands}); the high remainder bits would be "
+            f"silently excluded from every band"
+        )
+    if max_hamming >= num_bands:
+        # pigeonhole needs hamming < num_bands for a guaranteed band
+        # match; beyond that true pairs silently leak through
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < num_bands "
+            f"({num_bands}): the pigeonhole recall guarantee only "
+            f"covers pairs whose differing bits cannot fill every band"
+        )
     band_bits = bits // num_bands
     mask = (1 << band_bits) - 1
     bands = F.array(

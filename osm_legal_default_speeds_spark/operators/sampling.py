@@ -50,7 +50,12 @@ def _salted_unit(col, salt: str):
 def hash_sample(
     df: DataFrame, key_col: str, fraction: float, salt: str = "s0"
 ) -> DataFrame:
-    """Deterministic Bernoulli(fraction) sample keyed on ``key_col``."""
+    """Deterministic Bernoulli(fraction) sample keyed on ``key_col``.
+    Rows with a NULL key are ALWAYS dropped (even at fraction=1.0):
+    the salted hash of a null key is null and the comparison reads
+    false — identical in the DuckDB twin, so the behavior is part of
+    the cross-engine contract. Pre-coalesce the key if null-key rows
+    must participate."""
     return df.where(_salted_unit(F.col(key_col), salt) < F.lit(fraction))
 
 
@@ -61,8 +66,13 @@ def stratified_sample(
     n: int,
     salt: str = "s0",
 ) -> DataFrame:
-    """Exactly min(n, group size) rows per group: the n smallest salted
-    unit hashes of ``key_col`` win. Two-stage partial top-k — stage 1
+    """Exactly min(n, group size) rows per group — group size counted
+    over NON-NULL keys: a null key hashes to null (sorts first in the
+    winner struct) yet can never match the semi-join, so without the
+    exclusion below it would silently consume a winner slot and the
+    group would return n-1 rows. Null-key rows are never sampled,
+    matching hash_sample's null contract. The n smallest salted unit
+    hashes of ``key_col`` win. Two-stage partial top-k — stage 1
     slices n per (partition, group), so no reducer ever sorts a
     group's full membership in one task (the collect_list partial
     buffers themselves are not truncated before the exchange; see
@@ -72,7 +82,8 @@ def stratified_sample(
     base = df.withColumn("__u", u)
     entry = F.struct(F.col("__u"), F.col(key_col).alias("__k"))
     partial = (
-        base.groupBy(F.spark_partition_id().alias("__pid"), group_col)
+        base.where(F.col(key_col).isNotNull())
+        .groupBy(F.spark_partition_id().alias("__pid"), group_col)
         .agg(F.slice(F.array_sort(F.collect_list(entry)), 1, n).alias("__t"))
         .select(group_col, F.explode("__t").alias("__e"))
     )
@@ -107,7 +118,8 @@ def weighted_mixture(
     """Per-group Bernoulli rates: keep a row iff its salted unit hash <
     its group's weight. Weights ship as a literal CASE (a broadcast
     join for a big weights table has the same plan shape); groups
-    without a weight are dropped."""
+    without a weight are dropped, and so are rows with a NULL key
+    (null hash compares false — same contract as hash_sample)."""
     w = F.lit(None).cast("double")
     expr = None
     for g, frac in sorted(weights.items()):
@@ -202,6 +214,15 @@ def pack_sequences(
     sort order — no global sort, no driver state). Returns the input
     plus (shard, seq_no).
     """
+    # normalize a column-NAME string to a Column up front: F.sum would
+    # tolerate the name, but the `cum - token_count_col` arithmetic
+    # below would treat it as a string LITERAL (NumberFormatException
+    # under ANSI, all-null seq_no silently without)
+    tc = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    )
     u = _salted_unit(F.col(key_col), salt)
     # shard from an independent salt so shard and order decorrelate;
     # same single hash definition (unit in [0,1) scaled and floored,
@@ -215,6 +236,6 @@ def pack_sequences(
         .orderBy("__u", key_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = F.sum(token_count_col).over(w)
-    seq = F.floor((cum - token_count_col) / F.lit(max_tokens)).cast("long")
+    cum = F.sum(tc).over(w)
+    seq = F.floor((cum - tc) / F.lit(max_tokens)).cast("long")
     return base.withColumn("seq_no", seq).drop("__u")

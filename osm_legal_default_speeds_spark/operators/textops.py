@@ -251,8 +251,13 @@ def with_text_features_python(
             )}
             for i, text in enumerate(texts):
                 if text is None:
-                    # match the Column path: null text -> all-null
-                    # feature row (the cols arrays are None-initialized)
+                    # match the Column path on null text: the numeric
+                    # ratio/hash columns are null, but lang_pred falls
+                    # through the CASE to its 'und' otherwise-branch
+                    # and every simhash bit term's otherwise(0)
+                    # contributes 0 — so those two are NOT null
+                    cols["lang_pred"][i] = "und"
+                    cols["simhash"][i] = 0
                     continue
                 low = text.lower()
                 t = low.split(" ")

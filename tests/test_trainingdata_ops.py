@@ -387,9 +387,11 @@ def test_multiprobe_lifts_recall_over_single_probe(vectors):
 
 
 def test_text_features_null_text_both_paths(spark):
-    """Null text rows: the Column path emits null features; the Python
-    differential twin must do the same instead of crashing (it calls
-    .lower() on the value)."""
+    """Null text rows must be bit-for-bit identical across the twins,
+    EVERY column: the numeric ratio/hash columns are null, but the
+    Column path's lang_pred falls through its CASE to 'und' and each
+    simhash bit term's otherwise(0) contributes 0 — the Python twin
+    must reproduce exactly that, not an all-null row."""
     from osm_legal_default_speeds_spark.operators.textops import (
         with_text_features,
         with_text_features_python,
@@ -406,7 +408,10 @@ def test_text_features_null_text_both_paths(spark):
     assert set(a) == set(b) == {1, 2}
     assert a[2]["n_tokens"] is None and b[2]["n_tokens"] is None
     assert a[2]["fingerprint"] is None and b[2]["fingerprint"] is None
+    assert a[2]["lang_pred"] == b[2]["lang_pred"] == "und"
+    assert a[2]["simhash"] == b[2]["simhash"] == 0
     assert a[1] == b[1]
+    assert a[2] == b[2]  # the full null row, column for column
 
 
 def test_ivf_topk_self_and_recall(vectors):
@@ -1930,3 +1935,105 @@ def test_ivf_topk_tree_assign_self_hit_and_recall(vectors):
     for q in qids:
         assert (q, q) in tree  # self-hit survives
     assert len(tree & exact) / len(exact) >= 0.6
+
+
+# --------------------------------------------------------------------------
+# Banding parameter guards + sampling null-key contracts
+# --------------------------------------------------------------------------
+
+def test_lsh_banding_rejects_degenerate_params(spark):
+    """num_bands > num_hashes/bits makes every band key constant
+    (md5('') / mask 0), silently degenerating the band equi-join into
+    an all-pairs cross product — a job-killer at corpus scale. Both
+    LSH entry points must refuse, as must a non-divisible banding
+    (silently ignored trailing hashes/bits) and a max_hamming that
+    voids the simhash pigeonhole guarantee."""
+    from osm_legal_default_speeds_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="num_bands"):
+        minhash_dedup_pairs(docs, num_hashes=16, num_bands=32)
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_dedup_pairs(docs, num_hashes=16, num_bands=5)
+    sh = spark.createDataFrame(
+        [(1, 7), (2, 5)], "doc_id long, simhash long"
+    )
+    with pytest.raises(ValueError, match="num_bands"):
+        simhash_near_dup_pairs(sh, bits=16, num_bands=32)
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_near_dup_pairs(sh, bits=16, num_bands=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(sh, bits=16, num_bands=4, max_hamming=4)
+
+
+def test_stratified_sample_null_key_does_not_waste_a_slot(spark):
+    """A null key hashes to null (sorts FIRST in the winner struct) yet
+    can never match the semi-join — before the fix it consumed a
+    winner slot and the group returned n-1 rows. Null-key rows are
+    excluded up front: exactly min(n, non-null group size) rows."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("g", None), ("g", "a"), ("g", "b"), ("g", "c")],
+        "grp string, k string",
+    )
+    out = stratified_sample(df, "grp", "k", 2).collect()
+    assert len(out) == 2
+    assert all(r["k"] is not None for r in out)
+
+
+def test_pack_sequences_accepts_column_name_string(spark):
+    """token_count_col as a column-NAME string must behave like
+    F.col(name): the window arithmetic previously treated the bare
+    string as a literal (NumberFormatException under ANSI, all-null
+    seq_no without)."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i}", 100) for i in range(20)], "text string, n_tok int"
+    )
+    by_name = sorted(
+        (r["text"], r["shard"], r["seq_no"])
+        for r in pack_sequences(df, "text", "n_tok", 512, n_shards=4)
+        .collect()
+    )
+    by_col = sorted(
+        (r["text"], r["shard"], r["seq_no"])
+        for r in pack_sequences(
+            df, "text", F.col("n_tok"), 512, n_shards=4
+        ).collect()
+    )
+    assert by_name == by_col
+    assert all(s is not None for _, _, s in by_name)
+
+
+def test_hash_sample_null_key_drop_is_pinned(spark):
+    """The documented cross-engine contract: a null key hashes to null
+    and is dropped at ANY fraction, including 1.0 (identical in the
+    DuckDB twin, where the null comparison is also not-true)."""
+    import duckdb
+
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        hash_sample,
+        sample_sql_unit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "id long, k string"
+    )
+    got = sorted(r["id"] for r in hash_sample(df, "k", 1.0).collect())
+    assert got == [1, 3]
+    oracle = duckdb.sql(
+        f"SELECT id FROM (VALUES (1, 'x'), (2, NULL), (3, 'y')) t(id, k) "
+        f"WHERE {sample_sql_unit('k')} < 1.0 ORDER BY id"
+    ).fetchall()
+    assert [r[0] for r in oracle] == [1, 3]
