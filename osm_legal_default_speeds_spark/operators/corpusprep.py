@@ -59,6 +59,14 @@ def chunk_documents(
     """
     if chunk_len <= 0 or stride <= 0:
         raise ValueError("chunk_len and stride must be positive")
+    if stride > chunk_len:
+        # gapped windows silently drop the tokens between chunks (and
+        # possibly a document's tail) from the training data — refuse
+        # rather than degrade, like the LSH banding guards
+        raise ValueError(
+            f"stride ({stride}) > chunk_len ({chunk_len}) would leave "
+            f"tokens covered by no chunk"
+        )
     t = F.split(F.col(text_col), " ", -1)
     n = F.size(t)
     starts = F.filter(
@@ -140,11 +148,15 @@ def clean_lines(
     Map-side only: one split + one array filter per row, no shuffle,
     no Python. The per-line predicate avoids regex entirely (terminal
     check is a last-character IN, word count a split length) so the
-    DuckDB twin is trivially identical. Lines are trimmed of
-    carriage returns only, not whitespace — C4 drops a line with
-    trailing spaces after the period, and so does this."""
-    nl = F.lit("\n")
-    lines = F.split(F.col(text_col), "\n", -1)
+    DuckDB twin is trivially identical. CRLF newlines are normalized
+    to LF before splitting (a literal replace — without it every line
+    of a CRLF document ends in \\r and fails the terminal-punctuation
+    check, dropping the whole corpus); lines are NOT trimmed of other
+    whitespace — C4 drops a line with trailing spaces after the
+    period, and so does this."""
+    lines = F.split(
+        F.replace(F.col(text_col), F.lit("\r\n"), F.lit("\n")), "\n", -1
+    )
 
     def keep(line):
         last = F.substring(line, -1, 1)
@@ -175,8 +187,13 @@ def dedup_lines(
     """Remove every line that occurs in >= ``min_docs`` DISTINCT
     documents (the CCNet/RefinedWeb boilerplate pass: navigation bars,
     cookie banners, license footers repeat across pages; prose does
-    not). Appends ``out_col`` with surviving lines re-joined in
-    original order, plus ``n_lines_dropped``.
+    not). EMPTY lines are never boilerplate: any multi-paragraph
+    corpus has blank separator lines in >= min_docs documents, and
+    treating them as common would strip every paragraph break
+    corpus-wide — the reference passes exclude empty/short lines from
+    the candidate set for exactly this reason. Appends ``out_col``
+    with surviving lines re-joined in original order, plus
+    ``n_lines_dropped``.
 
     Plan: ONE aggregation shuffle finds the boilerplate set — lines
     explode to md5 hashes (16-byte keys, never full line text, cross
@@ -198,6 +215,7 @@ def dedup_lines(
             F.col(id_col).alias("__id"),
             F.explode(lines).alias("__line"),
         )
+        .where(F.col("__line") != "")  # see docstring: blank != common
         .groupBy(F.md5(F.col("__line")).alias("__h"))
         .agg(F.count_distinct(F.col("__id")).alias("__n"))
         .where(F.col("__n") >= F.lit(min_docs))

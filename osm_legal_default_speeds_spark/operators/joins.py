@@ -37,9 +37,10 @@ Scale notes (100 TB):
   co-partitioned data. Shuffle volume: 2x left + 1x right, keyed rows
   only.
 
-Both operators convert timestamps to epoch MICROSECOND longs
-(``unix_micros`` / DuckDB ``epoch_us``) before comparing, so ordering
-and bucket arithmetic are integer-exact and engine-portable.
+Both operators REQUIRE timestamps already converted to epoch
+MICROSECOND longs (``unix_micros`` / DuckDB ``epoch_us``) by the
+caller, so ordering and bucket arithmetic are integer-exact and
+engine-portable — they do not convert anything themselves.
 """
 
 from __future__ import annotations
@@ -72,11 +73,26 @@ def asof_join(
     value (required — without it, equal-timestamp right rows would
     make the result nondeterministic). Ties between a left and right
     row at the SAME timestamp match (``>=``), like DuckDB ASOF.
+
+    NULL timestamps follow DuckDB ASOF: a comparison with NULL is
+    never true, so NULL-``right_ts`` rows can match nothing (they are
+    dropped up front — under Spark's NULLS-FIRST window sort they
+    would otherwise rank as "earliest prior" and match EVERY left
+    row), and NULL-``left_ts`` rows come back with NULL asof columns.
     """
     keys = _as_list(on)
     payload = payload or []
     if tie_break is None:
         raise ValueError("asof_join requires an explicit tie_break column")
+    reserved = {"__ts", "__side", "__p", "__m", f"{prefix}{right_ts}"}
+    clash = reserved.intersection(left.columns)
+    if clash:
+        # withColumn would silently overwrite them and the final
+        # select(*left.columns) would return the corrupted values
+        raise ValueError(
+            f"left columns {sorted(clash)} collide with asof_join's "
+            f"internal/output names; rename them or change prefix="
+        )
 
     # 1 shuffle: dedupe right per (key, ts) via max(struct(tie, ...)).
     # Struct comparison is lexicographic by field order, so tie_break
@@ -85,7 +101,8 @@ def asof_join(
         F.struct(F.col(tie_break), *[F.col(c) for c in payload])
     ).alias("__p")
     r = (
-        right.groupBy(*keys, F.col(right_ts).alias("__ts"))
+        right.where(F.col(right_ts).isNotNull())
+        .groupBy(*keys, F.col(right_ts).alias("__ts"))
         .agg(packed)
         .withColumn("__side", F.lit(0))
     )
@@ -136,6 +153,12 @@ def windowed_range_join(
     over right rows of the same key with
     ``left_ts - window_us <= right_ts < left_ts``.
 
+    ``left_keep`` MUST uniquely identify left rows (include a row id):
+    two left rows sharing every ``left_keep`` value land in ONE output
+    group whose aggregates pool BOTH rows' matched right rows — a
+    right row in both windows is counted twice, which is neither
+    per-left-row semantics nor a deduplicated union.
+
     INNER semantics: left rows with zero right rows in the window are
     absent from the output (re-attach with a left join + coalesce when
     zero-rows matter; keeping them inside would force a second
@@ -143,6 +166,12 @@ def windowed_range_join(
 
     Timestamps must already be epoch-microsecond longs.
     """
+    if window_us <= 0:
+        # floor(ts / 0) is NULL under non-ANSI Spark: both probe
+        # buckets go NULL, the equi-join matches nothing, and the
+        # operator returns an empty frame indistinguishable from
+        # "no events in window"
+        raise ValueError(f"window_us must be positive, got {window_us}")
     keys = _as_list(on)
     left_keep = list(left_keep) if left_keep is not None else left.columns
 

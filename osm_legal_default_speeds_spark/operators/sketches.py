@@ -106,6 +106,13 @@ def kmv_distinct(
     bar). ``partial``: 'arrow' (map-side truncation, production) or
     'column' (all-native twin) — identical results, see module
     docstring.
+
+    Caveat for FLOAT/DOUBLE group columns: the arrow path's pandas
+    conversion represents both SQL NULL and NaN group keys as float
+    NaN, so if a float group column can contain BOTH, the arrow
+    partials merge them into one group while Spark/DuckDB keep two —
+    use ``partial='column'`` for such keys. (NaN alone is fine: Spark
+    groupBy normalizes NaN to a single value too.)
     """
     groups = list(group_cols or [])
     u = unit_hash(F.col(col)).alias("__u")
@@ -191,8 +198,15 @@ def group_quantiles_disc(
     selection — no interpolation arithmetic — so the result is a real
     data value and bit-identical in any engine.
 
-    Output: group_col, n (group row count), q_<p> per requested p
-    (quantile column names use the percent with '.' -> '_').
+    NULL values are excluded up front: quantiles are defined over the
+    non-null values (NULLs would inflate n), and the engines sort them
+    oppositely (Spark windows are NULLS FIRST, DuckDB NULLS LAST), so
+    keeping them would shift the cumulative counts differently per
+    engine. A group with only NULL values emits no row.
+
+    Output: group_col, n (group NON-NULL row count), q_<p> per
+    requested p (quantile column names use the percent with
+    '.' -> '_').
 
     Scale shape (the point): a naive per-group sort is a full shuffle
     of the DATA; here the first aggregation collapses rows into a
@@ -206,8 +220,10 @@ def group_quantiles_disc(
     identically."""
     from pyspark.sql import Window
 
-    hist = df.groupBy(group_col, value_col).agg(
-        F.count(F.lit(1)).alias("__cnt")
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
     )
     w_cum = (
         Window.partitionBy(group_col)
@@ -234,7 +250,7 @@ def group_quantiles_sql(
     table_expr: str, group_col: str, value_col: str, ps: list[float]
 ) -> str:
     """DuckDB twin of ``group_quantiles_disc`` — same histogram,
-    cumulative window, and ceil(p*n) selection."""
+    cumulative window, ceil(p*n) selection, and NULL-value exclusion."""
     qcols = ",\n  ".join(
         f"MIN(CASE WHEN cum >= CEIL({float(p)!r} * n::DOUBLE) "
         f"THEN {value_col} END) AS q_{str(p).replace('.', '_')}"
@@ -243,7 +259,9 @@ def group_quantiles_sql(
     return f"""
 WITH hist AS (
   SELECT {group_col}, {value_col}, COUNT(*) AS cnt
-  FROM {table_expr} GROUP BY {group_col}, {value_col}
+  FROM {table_expr}
+  WHERE {value_col} IS NOT NULL  -- quantiles over non-null values
+  GROUP BY {group_col}, {value_col}
 ),
 cum AS (
   SELECT {group_col}, {value_col}, cnt,

@@ -2635,7 +2635,11 @@ def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CLEAN_LINES = f"""
 WITH aug AS ({SQL_DOCS_LINES_AUG}),
-ln AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug),
+-- CRLF -> LF literal replace, mirroring clean_lines
+ln AS (SELECT doc_id,
+         string_split(replace(text, chr(13) || chr(10), chr(10)), chr(10))
+           AS lines
+       FROM aug),
 k AS (
   SELECT doc_id, lines,
     list_filter(lines, l ->
@@ -2677,7 +2681,8 @@ WITH aug AS ({SQL_DOCS_LINES_AUG}),
 ln AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug),
 ex AS (SELECT doc_id, unnest(lines) AS line FROM ln),
 common AS (
-  SELECT md5(line) AS h FROM ex
+  -- empty lines are never boilerplate (mirrors dedup_lines)
+  SELECT md5(line) AS h FROM ex WHERE line <> ''
   GROUP BY line HAVING count(DISTINCT doc_id) >= {LINE_DEDUP_MIN_DOCS}
 ),
 cs AS (SELECT coalesce(list(h), []::VARCHAR[]) AS hs FROM common)

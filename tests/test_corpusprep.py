@@ -197,3 +197,41 @@ def test_dedup_lines_no_common_lines_is_identity(spark):
     got = {r.doc_id: r for r in dedup_lines(df, min_docs=2).collect()}
     assert got[1].clean_text == rows[0][1]
     assert got[2].clean_text == rows[1][1]
+
+
+def test_chunk_rejects_gapped_stride(spark):
+    # stride > chunk_len leaves tokens covered by no chunk — refused
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, 3, 5)
+
+
+def test_clean_lines_crlf_normalized(spark):
+    # CRLF documents: without the literal CRLF->LF replace every line
+    # would end in \r and fail the terminal-punctuation check
+    from osm_legal_default_speeds_spark.operators.corpusprep import clean_lines
+
+    doc = "good sentence number one.\r\nno punctuation line\r\ngood two more here!"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = clean_lines(df).collect()[0]
+    assert r.clean_text == "good sentence number one.\ngood two more here!"
+    assert (r.n_lines_kept, r.n_lines_dropped) == (2, 1)
+
+
+def test_dedup_lines_keeps_empty_lines(spark):
+    # blank paragraph separators appear in every multi-paragraph doc;
+    # they are never boilerplate and must survive
+    from osm_legal_default_speeds_spark.operators.corpusprep import dedup_lines
+
+    rows = [
+        (1, "first para one.\n\nsecond para one."),
+        (2, "first para two.\n\nsecond para two."),
+        (3, "first para three.\n\nsecond para three."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_lines(df, min_docs=3).collect()}
+    for i, (_, text) in enumerate(rows, start=1):
+        assert got[i].clean_text == text
+        assert got[i].n_lines_dropped == 0

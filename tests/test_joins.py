@@ -281,3 +281,54 @@ def test_within_join_plan_has_no_cross_product_or_sort_merge(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_asof_null_ts_never_matches(spark):
+    # DuckDB ASOF semantics: a comparison with NULL is never true, so
+    # a NULL-ts right row matches no left row (under Spark's
+    # NULLS-FIRST window sort it would otherwise rank "earliest prior"
+    # and match EVERY left row), and a NULL-ts left row comes back
+    # with NULL asof columns.
+    got = _asof(
+        spark,
+        [(1, 10, 100), (2, 10, None)],
+        [(10, None, 5, "ghost"), (10, 20, 1, "real")],
+    )
+    assert got[1] == (20, "real")  # ghost never shadows the real row
+    assert got[2] == (None, None)  # NULL left ts matches nothing
+
+
+def test_asof_rejects_internal_column_collision(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100, "x")], "lid long, k long, ts_us long, __ts string"
+    )
+    right = spark.createDataFrame(
+        [(10, 20, 1, "a")], "k long, ts_us long, rid long, v string"
+    )
+    with pytest.raises(ValueError, match="__ts"):
+        asof_join(
+            left, right, on="k", left_ts="ts_us", right_ts="ts_us",
+            payload=["v"], tie_break="rid",
+        )
+    # output-name collision (prefix + right_ts) is refused too
+    left2 = spark.createDataFrame(
+        [(1, 10, 100, 7)], "lid long, k long, ts_us long, asof_ts_us long"
+    )
+    with pytest.raises(ValueError, match="asof_ts_us"):
+        asof_join(
+            left2, right, on="k", left_ts="ts_us", right_ts="ts_us",
+            payload=["v"], tie_break="rid",
+        )
+
+
+def test_range_join_rejects_nonpositive_window(spark):
+    # floor(ts/0) is NULL under non-ANSI Spark -> silently empty result
+    left = spark.createDataFrame([(1, 10, 100)], "lid long, k long, ts_us long")
+    right = spark.createDataFrame([(10, 50)], "k long, r_ts long")
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="window_us"):
+            windowed_range_join(
+                left, right, on="k", left_ts="ts_us", right_ts="r_ts",
+                window_us=bad, aggs=[F.count(F.lit(1)).alias("n")],
+                left_keep=["lid"],
+            )

@@ -1157,6 +1157,28 @@ def test_group_quantiles_disc_exact(spark):
         assert got[g]["q_0_9"] == brute(vs, 0.9), g
 
 
+def test_group_quantiles_disc_ignores_nulls(spark):
+    """NULL values are excluded before the histogram: they must not
+    inflate n or shift the cumulative counts (Spark windows sort NULLS
+    FIRST, DuckDB NULLS LAST — keeping them would diverge the engines);
+    an all-NULL group emits no row."""
+    from osm_legal_default_speeds_spark.operators.sketches import (
+        group_quantiles_disc,
+    )
+
+    rows = [
+        ("g1", None), ("g1", None), ("g1", None), ("g1", 7),
+        ("g2", None), ("g2", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v int").repartition(3)
+    got = {
+        r["g"]: r for r in group_quantiles_disc(df, "g", "v", [0.5]).collect()
+    }
+    assert set(got) == {"g1"}  # the all-NULL group emits no row
+    assert got["g1"]["n"] == 1  # non-null count, not 4
+    assert got["g1"]["q_0_5"] == 7
+
+
 def test_repetition_stats_signals(spark):
     """Degenerate repetition maxes both signals; fully distinct text
     zeroes the n-gram ratio and minimizes top-token dominance."""
