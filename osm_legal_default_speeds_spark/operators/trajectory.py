@@ -197,6 +197,23 @@ def speeding_legs(
     fixture cannot produce (module docstring).
     """
     legs = trajectory_legs(pings, user_col, ts_col, lon_col, lat_col, id_col)
+    return flag_speeding(legs, boundaries, limits_kmh, index_res=index_res)
+
+
+def flag_speeding(
+    legs: DataFrame,
+    boundaries: list[RectBoundary],
+    limits_kmh: dict[str, int],
+    index_res: int = 6,
+) -> DataFrame:
+    """The jurisdiction-PIP + limit-lookup + strict-compare tail of
+    speeding detection, shared VERBATIM by the batch
+    (:func:`speeding_legs`) and streaming
+    (``streaming.trajectory_stream.streaming_speeding_legs``) paths —
+    the pipeline split that keeps streaming == batch bit-exact lives
+    in one place, so the compare/floor semantics cannot drift between
+    modes. ``legs`` is any trajectory_legs-shaped frame (lon1/lat1 end
+    point, speed_kmh)."""
     with_region = assign_jurisdiction(
         legs, boundaries, lon_col="lon1", lat_col="lat1", index_res=index_res
     )

@@ -416,12 +416,6 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.mapInPandas(rz, IMAGE_SCHEMA)
 
 
-def hamming64(a, b):
-    """Column expr: Hamming distance between two int64 phashes —
-    bit_count(xor) stays in whole-stage codegen."""
-    return F.bit_count(F.expr(f"{a} ^ {b}") if isinstance(a, str) else a.bitwiseXOR(b))
-
-
 def phash_near_dup_pairs(
     meta: DataFrame,
     max_hamming: int = 6,
@@ -610,7 +604,11 @@ def multimodal_dup_classes(
     pigeonhole guarantee, keeping the class split exact.
 
     Input must contain narrow ``image_id, phash, caption`` only (bytes
-    never enter a shuffle). Output: (id_a, id_b, dup_class)."""
+    never enter a shuffle). The projection is consumed by three passes
+    (band join, stop-caption count, bucket collect) — when it hangs off
+    an expensive codec node, persist/localCheckpoint ``meta`` first
+    (mapInPandas sources defeat plan-equality reuse, CLAUDE.md).
+    Output: (id_a, id_b, dup_class)."""
     n_bands = 64 // band_bits
     if max_hamming >= n_bands:
         raise ValueError(
@@ -633,10 +631,27 @@ def multimodal_dup_classes(
         .otherwise(F.lit("image_only"))
         .alias("dup_class"),
     )
-    buckets = (
+    # stop-caption keys are dropped BEFORE the collect, not after: a
+    # corpus-scale boilerplate caption would otherwise materialize its
+    # whole bucket in one collect_list aggregation buffer (executor
+    # OOM) before a post-hoc size filter could discard it. The count
+    # pass is map-side-combinable (O(distinct keys) per task, no big
+    # buffers) and the hot-key set is small by construction (each hot
+    # key owns > max_caption_bucket rows, so there are < n/cap of
+    # them; real boilerplate captions number in the thousands) — hence
+    # the explicit broadcast for the anti-join (UDF-shaped sources
+    # carry no stats, CLAUDE.md).
+    hot_caps = (
         hashed.groupBy("cap_h")
+        .count()
+        .where(F.col("count") > max_caption_bucket)
+        .select("cap_h")
+    )
+    buckets = (
+        hashed.join(F.broadcast(hot_caps), "cap_h", "left_anti")
+        .groupBy("cap_h")
         .agg(F.collect_list(F.struct("image_id", "phash")).alias("es"))
-        .where((F.size("es") >= 2) & (F.size("es") <= max_caption_bucket))
+        .where(F.size("es") >= 2)
     )
     pair_arr = F.flatten(
         F.transform(
@@ -762,15 +777,31 @@ def patch_phash_containment(
     non-discriminative ubiquitous patch (solid color at corpus scale)
     is a quadratic hot bucket: ``max_bucket`` drops buckets larger
     than the cap — the standard stop-gram rule; such patches carry no
-    dedup signal. Pass ``max_bucket=None`` for exact semantics."""
+    dedup signal. The cap is enforced BEFORE the collect (hot-key
+    pre-count + broadcast anti-join), so a corpus-scale bucket never
+    materializes in an aggregation buffer; the capped path eagerly
+    ``localCheckpoint``-s the narrow patch projection so the codec
+    decode still runs exactly ONCE across the count and collect
+    passes (a recompute would decode the corpus twice — the
+    mapInPandas source defeats plan-equality reuse, CLAUDE.md). Pass
+    ``max_bucket=None`` for exact semantics and a fully lazy plan."""
     meta = sample_patches(images, grid=grid, pw=pw, ph=ph).select(
         "image_id", "patch_id", "phash"
     )
+    if max_bucket is not None:
+        # ~28 bytes/patch row staged to executor MEMORY_AND_DISK: the
+        # price of decoding once while scanning twice
+        meta = meta.localCheckpoint()
+        hot = (
+            meta.groupBy("phash")
+            .count()
+            .where(F.col("count") > max_bucket)
+            .select("phash")
+        )
+        meta = meta.join(F.broadcast(hot), "phash", "left_anti")
     buckets = meta.groupBy("phash").agg(
         F.collect_list(F.struct("image_id", "patch_id")).alias("ps")
     )
-    if max_bucket is not None:
-        buckets = buckets.where(F.size("ps") <= max_bucket)
     pair_arr = F.flatten(
         F.transform(
             F.col("ps"),

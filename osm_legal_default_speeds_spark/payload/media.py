@@ -69,7 +69,12 @@ def decode_pcm16(data: bytes) -> np.ndarray:
 
 
 def goertzel_power(x: np.ndarray, freq: float, sr: int) -> float:
-    """Single-bin DFT power (Goertzel) — exact, library-free."""
+    """Single-bin DFT power (Goertzel recurrence) — the scalar
+    REFERENCE implementation. The hot path uses
+    :func:`dft_bin_powers` (same quantity, vectorized across a whole
+    batch of clips); a pytest pins their agreement. Per-sample Python
+    looping is why this stays out of the mapInPandas kernel
+    (CLAUDE.md: vectorize across rows)."""
     n = len(x)
     k = int(0.5 + n * freq / sr)
     w = 2.0 * math.pi * k / n
@@ -78,6 +83,24 @@ def goertzel_power(x: np.ndarray, freq: float, sr: int) -> float:
     for v in x:
         s0, s1 = v + coeff * s0 - s1, s0
     return s1 * s1 + s0 * s0 - coeff * s0 * s1
+
+
+def dft_bin_powers(
+    X: np.ndarray, freqs: list[float], sr: int
+) -> np.ndarray:
+    """Power at the DFT bin nearest each grid frequency, for every row
+    of ``X`` (a stack of equal-length clips) in one matmul pair —
+    mathematically identical to running the Goertzel recurrence per
+    clip per frequency (the recurrence evaluates the same single-bin
+    DFT), but (rows x samples) @ (samples x freqs) instead of
+    ~samples x freqs Python iterations per row. Returns (rows, freqs)."""
+    n = X.shape[1]
+    k = np.floor(0.5 + n * np.asarray(freqs, np.float64) / sr)
+    w = 2.0 * np.pi * k / n
+    ang = np.outer(np.arange(n, dtype=np.float64), w)  # (n, F)
+    c = X @ np.cos(ang)
+    s = X @ np.sin(ang)
+    return c * c + s * s
 
 
 def synth_audio_table(
@@ -115,18 +138,33 @@ AUDIO_FEATURES_SCHEMA = (
 
 def audio_features(audio: DataFrame) -> DataFrame:
     """Decode + DSP features per clip: RMS level, zero-crossing rate,
-    dominant frequency from a Goertzel scan over the known grid."""
+    dominant frequency from a single-bin DFT scan over the known grid
+    (:func:`dft_bin_powers` — the vectorized Goertzel). Rows are
+    grouped by (n_samples, sample_rate) inside each Arrow batch so the
+    DSP runs as one matmul per group, never per sample in Python
+    (CLAUDE.md: vectorize across rows in mapInPandas kernels)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        freq_grid = np.asarray(_FREQS, np.float64)
         for pdf in batches:
-            rms, zcr, dom, dur = [], [], [], []
-            for blob, sr in zip(pdf["bytes"], pdf["sample_rate"]):
-                x = decode_pcm16(blob) / 32768.0
-                rms.append(float(np.sqrt(np.mean(x * x))))
-                zcr.append(float(np.mean(np.abs(np.diff(np.signbit(x))))))
-                powers = [goertzel_power(x, f, sr) for f in _FREQS]
-                dom.append(_FREQS[int(np.argmax(powers))])
-                dur.append(len(x) / sr)
+            m = len(pdf)
+            rms = np.empty(m)
+            zcr = np.empty(m)
+            dom = np.empty(m)
+            dur = np.empty(m)
+            xs = [decode_pcm16(b) / 32768.0 for b in pdf["bytes"]]
+            lens = np.array([len(x) for x in xs], np.int64)
+            srs = pdf["sample_rate"].to_numpy()
+            for n, sr in {(int(a), int(b)) for a, b in zip(lens, srs)}:
+                idx = np.nonzero((lens == n) & (srs == sr))[0]
+                X = np.stack([xs[i] for i in idx])  # (rows, n)
+                rms[idx] = np.sqrt(np.mean(X * X, axis=1))
+                zcr[idx] = np.mean(
+                    np.abs(np.diff(np.signbit(X), axis=1)), axis=1
+                )
+                P = dft_bin_powers(X, _FREQS, sr)
+                dom[idx] = freq_grid[np.argmax(P, axis=1)]
+                dur[idx] = n / sr
             yield pd.DataFrame(
                 {
                     "audio_id": pdf["audio_id"],

@@ -52,6 +52,7 @@ gateways.
 from __future__ import annotations
 
 import contextlib
+import fcntl
 import json
 import os
 import re
@@ -99,19 +100,61 @@ def _holder_is_stale(holder: str) -> bool:
         return False
 
 
+def _reclaim_stale_lock(path: str, observed_holder: str) -> bool:
+    """Remove the commit lock iff it still records a provably-dead
+    same-host holder. Reclaim is serialized through a kernel-backed
+    ``flock`` on a side file — flock needs no staleness protocol of
+    its own (the kernel releases it when the holder dies), so N racing
+    restarts cannot each remove-and-recreate: only the flock winner
+    re-reads the lock UNDER the mutex, re-verifies the holder is still
+    dead, and removes it. A plain rename-aside reclaim has a TOCTOU
+    hole here (loser renames the winner's FRESH lock aside and both
+    enter the critical section). flock-over-NFS caveats don't apply:
+    :func:`_holder_is_stale` only ever proves death for same-host
+    pids, so every reclaimer shares this kernel. Returns True if the
+    caller should retry the O_EXCL acquire."""
+    rfd = os.open(f"{path}.reclaim", os.O_CREAT | os.O_WRONLY)
+    try:
+        try:
+            fcntl.flock(rfd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            # another restart is mid-reclaim; let it win and retry the
+            # normal acquire (we'll lose O_EXCL to it, which is correct)
+            return True
+        try:
+            with open(path) as fh:
+                current = fh.read().strip() or "<empty>"
+        except FileNotFoundError:
+            return True  # already reclaimed (or released) — just retry
+        except OSError:
+            return False
+        # the observed holder must STILL be on the file (not replaced
+        # by a live writer's fresh lock) and still provably dead
+        if current == observed_holder and _holder_is_stale(current):
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+            return True
+        return False
+    finally:
+        os.close(rfd)  # close releases the flock
+
+
 @contextlib.contextmanager
 def _writer_lock(store_dir: str, batch_id: int | str):
     """Cross-process commit fence: O_CREAT|O_EXCL lock file held for
     the commit's critical section, so a second concurrent writer fails
     loudly instead of interleaving half-written versions. The lock
     records holder identity (pid/host); a lock whose recorded pid is
-    provably dead ON THIS HOST is reclaimed automatically (atomic
-    rename-aside, so two racing restarts cannot both reclaim it) —
-    that keeps the job-level exactly-once-replay-across-kills contract
-    hands-off for the single-host driver topology. A lock from another
-    host cannot be liveness-checked and stays held by design
-    (auto-expiry would reintroduce the race) — an operator verifies
-    the pid is gone and calls :func:`break_writer_lock`."""
+    provably dead ON THIS HOST is reclaimed automatically (serialized
+    through a kernel flock side-mutex — see :func:`_reclaim_stale_lock`
+    — so two racing restarts cannot both reclaim it) — that keeps the
+    job-level exactly-once-replay-across-kills contract hands-off for
+    the single-host driver topology. A lock from another host cannot
+    be liveness-checked and stays held by design (auto-expiry would
+    reintroduce the race) — an operator verifies the pid is gone and
+    calls :func:`break_writer_lock`."""
     path = os.path.join(store_dir, _LOCK_NAME)
     for attempt in (0, 1):
         try:
@@ -123,15 +166,11 @@ def _writer_lock(store_dir: str, batch_id: int | str):
                     holder = fh.read().strip() or "<empty>"
             except OSError:
                 holder = "<unreadable>"
-            if attempt == 0 and _holder_is_stale(holder):
-                # Reclaim by renaming aside: rename is atomic, so of N
-                # racing restarts exactly one succeeds and proceeds to
-                # the O_EXCL retry; the others lose the rename (ENOENT)
-                # and retry O_EXCL against the winner's fresh lock.
-                try:
-                    os.rename(path, f"{path}.stale.{os.getpid()}")
-                except OSError:
-                    pass
+            if (
+                attempt == 0
+                and _holder_is_stale(holder)
+                and _reclaim_stale_lock(path, holder)
+            ):
                 continue
             raise ValueError(
                 f"another writer holds the commit lock on {store_dir} "
@@ -195,7 +234,14 @@ def _write_pointer(store_dir: str, name: str, value: int) -> None:
 # instead of a forced broadcast: a BULK version (initial corpus
 # import, re-import wave) has a corpus-sized dirty set, and the
 # explicit broadcast hint would bypass autoBroadcastJoinThreshold and
-# collect it to the driver. Sized near Spark's default threshold.
+# collect it to the driver. The budget is CUMULATIVE across one
+# reconstruction's whole fold chain (a chain of compact_every
+# just-under-cap dirty sets would otherwise force compact_every
+# broadcasts into one plan — multi-GB on the driver). 64 MB of snappy
+# parquet decompresses to a few hundred MB in memory — deliberately
+# above Spark's 10 MB autoBroadcastJoinThreshold default (dirty sets
+# are single skinny key columns and the anti-join is the fold's hot
+# path) but bounded per plan, not per step.
 BROADCAST_DIRTY_MAX_BYTES = 64 << 20
 
 
@@ -269,6 +315,7 @@ def read_state_at(
             os.path.join(store_dir, "v0", "delta")
         ).limit(0)
         lo = 0
+    budget = BROADCAST_DIRTY_MAX_BYTES  # cumulative across the chain
     for v in range(lo, version + 1):
         vdir = os.path.join(store_dir, f"v{v}")
         if not os.path.isdir(os.path.join(vdir, "dirty")):
@@ -283,8 +330,16 @@ def read_state_at(
                 f"externally; re-ingest into a fresh store directory"
             )
         dirty = spark.read.parquet(os.path.join(vdir, "dirty"))
-        if _dir_bytes(os.path.join(vdir, "dirty")) <= BROADCAST_DIRTY_MAX_BYTES:
+        sz = _dir_bytes(os.path.join(vdir, "dirty"))
+        if sz <= budget:
+            # forced broadcasts are budgeted across the WHOLE fold so
+            # a long chain of near-cap dirty sets cannot stack
+            # compact_every broadcasts into one driver-built plan;
+            # past the budget the anti-join falls back to Spark's own
+            # strategy choice (AQE can still pick broadcast from real
+            # runtime stats)
             dirty = F.broadcast(dirty)
+            budget -= sz
         delta = spark.read.parquet(os.path.join(vdir, "delta"))
         cur = cur.join(dirty, key, "left_anti").unionByName(delta)
     return cur

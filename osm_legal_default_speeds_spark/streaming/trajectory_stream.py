@@ -22,7 +22,7 @@ users): one (id, ts_us, lon, lat) tuple each.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from osm_legal_default_speeds_spark.operators.spatial import RectBoundary
 from osm_legal_default_speeds_spark.operators.trajectory import leg_metrics
@@ -110,15 +110,18 @@ def streaming_speeding_legs(
     limits_kmh: dict[str, int],
     sink_table: str = "stream_speeding",
     max_files_per_trigger: int = 2,
+    index_res: int = 6,
 ) -> DataFrame:
     """Continuous speeding detection: drain ``src_dir`` ping parquet
     with Trigger.AvailableNow, pair statefully, then apply the SAME
-    jurisdiction-PIP + literal-limit filter as the batch
-    ``speeding_legs`` (a stream-static broadcast join — supported and
-    stateless). Memory sink (test drain, as ``streaming_dedup``
+    jurisdiction-PIP + literal-limit tail as the batch path — literally
+    the shared :func:`operators.trajectory.flag_speeding` Column
+    pipeline (a stream-static broadcast join — supported and
+    stateless), so the compare/floor semantics cannot drift between
+    modes. Memory sink (test drain, as ``streaming_dedup``
     documents); returns the sink DataFrame."""
-    from osm_legal_default_speeds_spark.operators.spatial import (
-        assign_jurisdiction,
+    from osm_legal_default_speeds_spark.operators.trajectory import (
+        flag_speeding,
     )
 
     stream = (
@@ -127,28 +130,7 @@ def streaming_speeding_legs(
         .parquet(src_dir)
     )
     legs = streaming_trajectory_legs(stream)
-    with_region = assign_jurisdiction(
-        legs, boundaries, lon_col="lon1", lat_col="lat1"
-    )
-    lim_entries = []
-    for code, lim in sorted(limits_kmh.items()):
-        lim_entries.extend([F.lit(code), F.lit(int(lim))])
-    limit = F.element_at(F.create_map(*lim_entries), F.col("region_code"))
-    flagged = (
-        with_region.withColumn("limit_kmh", limit)
-        .where(
-            F.col("limit_kmh").isNotNull()
-            & (F.col("speed_kmh") > F.col("limit_kmh").cast("double"))
-        )
-        .select(
-            "user",
-            "id0",
-            "id1",
-            "region_code",
-            "limit_kmh",
-            F.floor(F.col("speed_kmh")).cast("long").alias("speed_kmh_floor"),
-        )
-    )
+    flagged = flag_speeding(legs, boundaries, limits_kmh, index_res=index_res)
     q = (
         flagged.writeStream.outputMode("append")
         .format("memory")

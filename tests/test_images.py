@@ -421,3 +421,42 @@ def test_drop_near_dup_images(spark):
     # payload integrity through the join
     v = decode_and_verify(kept)
     assert v.where(~F.col("pixels_ok")).count() == 0
+
+
+def test_patch_phash_containment_cap_prefilters_hot_buckets(spark):
+    """max_bucket is enforced BEFORE the collect (hot-key pre-count +
+    broadcast anti-join over a localCheckpoint-ed patch projection), so
+    a corpus-scale bucket never materializes in an aggregation buffer.
+    Pins: (a) a cap above every bucket's size reproduces the uncapped
+    result exactly; (b) a cap below the planted multiplicity drops all
+    pairs; (c) the capped plan carries the forced broadcast."""
+    from osm_legal_default_speeds_spark.payload.images import (
+        images_from_ids,
+        patch_phash_containment,
+    )
+
+    ids = spark.range(0, 24, 1, 3).select(F.col("id"))
+    images = images_from_ids(ids, dup_group=4)
+    uncapped = sorted(
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in patch_phash_containment(images, grid=2, min_shared=2).collect()
+    )
+    roomy = patch_phash_containment(
+        images, grid=2, min_shared=2, max_bucket=64
+    )
+    plan = roomy._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan, plan[:2000]
+    assert (
+        sorted(
+            (r["id_a"], r["id_b"], r["n_shared"]) for r in roomy.collect()
+        )
+        == uncapped
+    )
+    # every planted patch phash repeats 4x (dup_group) -> a cap of 3
+    # drops every bucket, hence every pair
+    assert (
+        patch_phash_containment(
+            images, grid=2, min_shared=2, max_bucket=3
+        ).count()
+        == 0
+    )

@@ -506,3 +506,98 @@ def test_uri_schemed_store_path_refused(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="URI scheme"):
         compact_store(spark, "hdfs://nn/store", "road_id")
+
+
+def test_reclaim_refuses_replaced_lock(tmp_path):
+    """The TOCTOU the old rename-aside reclaim had: restart B observed
+    a dead holder, but by the time B acts, restart A has already
+    reclaimed and written its own LIVE lock. B's reclaim must leave
+    A's lock untouched and report not-reclaimed (B then fails the
+    acquire loudly) — otherwise two writers enter the commit critical
+    section together."""
+    import socket
+    import subprocess
+
+    from osm_legal_default_speeds_spark.streaming.delta_store import (
+        _reclaim_stale_lock,
+    )
+
+    path = str(tmp_path / ".writer.lock")
+    p = subprocess.Popen(["true"])
+    p.wait()  # reaped -> provably dead
+    host = socket.gethostname()
+    stale = f"pid={p.pid} host={host} batch=1 t=0"
+    live = f"pid={os.getpid()} host={host} batch=2 t=1"  # A's fresh lock
+    with open(path, "w") as fh:
+        fh.write(live)
+    assert _reclaim_stale_lock(path, stale) is False
+    with open(path) as fh:
+        assert fh.read() == live  # A's live lock untouched
+
+    # the genuinely-stale case still reclaims...
+    with open(path, "w") as fh:
+        fh.write(stale)
+    assert _reclaim_stale_lock(path, stale) is True
+    assert not os.path.exists(path)
+    # ...and an already-removed lock just means "retry the acquire"
+    assert _reclaim_stale_lock(path, stale) is True
+
+
+def test_reclaim_defers_to_concurrent_reclaimer(tmp_path):
+    """While another restart holds the reclaim flock, a reclaimer must
+    NOT remove the lock itself — it defers (returns True to retry the
+    normal acquire and lose it to the mutex holder). flock conflicts
+    across separate open() fds even within one process, so the test
+    can hold the mutex directly."""
+    import fcntl
+    import socket
+    import subprocess
+
+    from osm_legal_default_speeds_spark.streaming.delta_store import (
+        _reclaim_stale_lock,
+    )
+
+    path = str(tmp_path / ".writer.lock")
+    p = subprocess.Popen(["true"])
+    p.wait()
+    stale = f"pid={p.pid} host={socket.gethostname()} batch=1 t=0"
+    with open(path, "w") as fh:
+        fh.write(stale)
+    rfd = os.open(f"{path}.reclaim", os.O_CREAT | os.O_WRONLY)
+    try:
+        fcntl.flock(rfd, fcntl.LOCK_EX)
+        assert _reclaim_stale_lock(path, stale) is True  # deferred
+        assert os.path.exists(path)  # mutex holder owns the removal
+    finally:
+        os.close(rfd)
+
+
+def test_fold_broadcast_budget_is_cumulative(spark, tmp_path, monkeypatch):
+    """The forced-broadcast budget spans the WHOLE fold chain, not one
+    step: with a budget sized to the first dirty set only, a 3-version
+    reconstruction forces exactly one broadcast anti-join — a chain of
+    near-cap dirty sets can no longer stack compact_every forced
+    broadcasts into a single driver-built plan."""
+    from osm_legal_default_speeds_spark.streaming import delta_store
+
+    store = str(tmp_path / "budget_store")
+    for v in range(3):
+        batch = spark.createDataFrame(
+            [(i, CC[i % 2], _tags(i, v), "upsert") for i in range(40)],
+            ROAD_CHANGESET_SCHEMA,
+        )
+        commit_road_batch(spark, store, batch, v, _ruleset(), project=_flat)
+    first_dirty = delta_store._dir_bytes(
+        os.path.join(store, "v0", "dirty")
+    )
+    monkeypatch.setattr(
+        delta_store, "BROADCAST_DIRTY_MAX_BYTES", first_dirty
+    )
+    folded = read_current_results(spark, store)
+    # count FORCED hints in the logical plan: Spark remains free to
+    # pick broadcast from real stats for the unhinted steps (it does,
+    # for these tiny dirty sets — that path respects
+    # autoBroadcastJoinThreshold, which is the point of the budget)
+    plan = folded._jdf.queryExecution().analyzed().toString()
+    assert plan.count("ResolvedHint") == 1, plan[:3000]
+    assert len(folded.collect()) == 40  # fold still correct

@@ -83,3 +83,33 @@ def test_sampled_frames_compose_with_image_operators(video):
     assert len(feats) > 0
     for r in feats:
         assert r["w"] > 0 and r["h"] > 0
+
+
+def test_dft_bin_powers_matches_goertzel_reference():
+    """The vectorized kernel path (dft_bin_powers, one matmul pair per
+    equal-length group) computes the same single-bin DFT power as the
+    scalar Goertzel recurrence it replaced in the hot path — the
+    recurrence is the reference, the matmul is the implementation."""
+    import numpy as np
+
+    from osm_legal_default_speeds_spark.payload.media import (
+        _FREQS,
+        SAMPLE_RATE,
+        audio_samples,
+        dft_bin_powers,
+        goertzel_power,
+    )
+
+    for n in (1600, 2000, 2800):
+        X = np.stack(
+            [audio_samples(i, n).astype(np.float64) / 32768.0 for i in range(4)]
+        )
+        got = dft_bin_powers(X, _FREQS, SAMPLE_RATE)
+        want = np.array(
+            [
+                [goertzel_power(X[r], f, SAMPLE_RATE) for f in _FREQS]
+                for r in range(4)
+            ]
+        )
+        # identical math, different summation order -> relative tol
+        assert np.allclose(got, want, rtol=1e-9, atol=1e-6), (n, got, want)
