@@ -37,6 +37,9 @@ def build_pyfiles_zip(dest_path: str, package_root: str | None = None) -> str:
             os.path.dirname(os.path.abspath(__file__))
         )
     pkg_name = os.path.basename(package_root)
+    # guard BEFORE writing: a mis-pointed root would otherwise leave a
+    # plausible-looking zip on disk that imports nothing on the cluster
+    assert pkg_name == "osm_legal_default_speeds_spark", package_root
     parent = os.path.dirname(package_root)
     with zipfile.ZipFile(dest_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, dirs, files in sorted(os.walk(package_root)):
@@ -45,7 +48,6 @@ def build_pyfiles_zip(dest_path: str, package_root: str | None = None) -> str:
                 if fn.endswith(".py"):
                     full = os.path.join(root, fn)
                     zf.write(full, os.path.relpath(full, parent))
-    assert pkg_name == "osm_legal_default_speeds_spark"
     return dest_path
 
 

@@ -355,16 +355,26 @@ class Cell:
 class _TableHTMLParser(HTMLParser):
     """Minimal table extractor: tables -> rows -> cells. Content under
     'uninteresting' tags (sup, img — footnote markers etc.,
-    parse_utils.py:50-51) is dropped."""
+    parse_utils.py:50-51) is dropped.
+
+    Open tables form a STACK so a table nested inside a ``<td>`` (the
+    real wiki page carries infobox/legend tables outside the two
+    content tables) parses as its own entry without corrupting the
+    host: the host's earlier AND later rows survive, and the nested
+    cell text stays out of the host cell. ``tables`` order is document
+    order of the ``<table>`` START tags — host before its nested
+    tables — matching the reference's ``soup.find_all('table')``
+    ordering (parse_utils.py) that the tables[0]/tables[1] layout
+    contract indexes into."""
 
     UNINTERESTING = {"sup", "img", "script", "style"}
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.tables: list[list[list[Cell]]] = []
-        self._rows: list[list[Cell]] | None = None
-        self._row: list[Cell] | None = None
-        self._cell: Cell | None = None
+        # innermost open table last: {rows, row, cell}; rows aliases
+        # the entry already reserved in self.tables (document order)
+        self._stack: list[dict] = []
         self._skip_depth = 0
 
     def handle_starttag(self, tag, attrs):
@@ -373,33 +383,45 @@ class _TableHTMLParser(HTMLParser):
             self._skip_depth += 1
             return
         if tag == "table":
-            self._rows = []
-        elif tag == "tr" and self._rows is not None:
-            self._row = []
-        elif tag in ("td", "th") and self._row is not None:
-            self._cell = Cell(tag, a)
-            self._row.append(self._cell)
-        elif tag == "br" and self._cell is not None:
-            self._cell.chunks.append(" ")
+            self.tables.append([])
+            self._stack.append(
+                {"rows": self.tables[-1], "row": None, "cell": None}
+            )
+            return
+        if not self._stack:
+            return
+        t = self._stack[-1]
+        if tag == "tr":
+            t["row"] = []
+            t["cell"] = None
+        elif tag in ("td", "th") and t["row"] is not None:
+            t["cell"] = Cell(tag, a)
+            t["row"].append(t["cell"])
+        elif tag == "br" and t["cell"] is not None:
+            t["cell"].chunks.append(" ")
 
     def handle_endtag(self, tag):
         if tag in self.UNINTERESTING:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
-        if tag == "table" and self._rows is not None:
-            self.tables.append(self._rows)
-            self._rows = None
+        if not self._stack:
+            return
+        t = self._stack[-1]
+        if tag == "table":
+            self._stack.pop()
         elif tag == "tr":
-            if self._rows is not None and self._row is not None:
-                self._rows.append(self._row)
-            self._row = None
-            self._cell = None
+            if t["row"] is not None:
+                t["rows"].append(t["row"])
+            t["row"] = None
+            t["cell"] = None
         elif tag in ("td", "th"):
-            self._cell = None
+            t["cell"] = None
 
     def handle_data(self, data):
-        if self._cell is not None and self._skip_depth == 0:
-            self._cell.chunks.append(data)
+        if self._stack and self._skip_depth == 0:
+            cell = self._stack[-1]["cell"]
+            if cell is not None:
+                cell.chunks.append(data)
 
 
 def parse_tables(html: str) -> list[list[list[Cell]]]:

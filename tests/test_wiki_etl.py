@@ -344,3 +344,38 @@ def test_iso3166_table_covers_all_alpha2_codes():
     have = set(COUNTRY_ALPHA2.values())
     assert not (all_alpha2 - have), f"missing: {sorted(all_alpha2 - have)}"
     assert not (have - all_alpha2), f"bogus: {sorted(have - all_alpha2)}"
+
+
+def test_parse_tables_survives_nested_table():
+    """A table nested inside a <td> (the real wiki page carries
+    infobox/legend tables around the two content tables) must parse as
+    its own entry WITHOUT corrupting the host table: the host keeps
+    its rows before AND after the nesting row, the nested cell text
+    stays out of the host cell, and table order is document order of
+    the <table> start tags (host first) — the same ordering
+    soup.find_all('table') gives the reference parser."""
+    html = (
+        "<table>"
+        "<tr><td>before</td></tr>"
+        "<tr><td>host"
+        "<table><tr><td>inner A</td></tr><tr><td>inner B</td></tr></table>"
+        "</td><td>beside</td></tr>"
+        "<tr><td>after</td></tr>"
+        "</table>"
+        "<table><tr><td>second top-level</td></tr></table>"
+    )
+    tables = parse_tables(html)
+    assert len(tables) == 3
+    host, inner, second = tables
+    assert [[c.text() for c in row] for row in host] == [
+        ["before"],
+        ["host", "beside"],
+        ["after"],
+    ]
+    assert [[c.text() for c in row] for row in inner] == [
+        ["inner A"],
+        ["inner B"],
+    ]
+    assert [[c.text() for c in row] for row in second] == [
+        ["second top-level"]
+    ]
