@@ -255,29 +255,55 @@ def road_type_match_column(
             ruleset, ref_name, t, rels, fuzzy, ovr, _depth + 1
         )
 
-    if cf is None:
-        expr = F.lit(False)
-    else:
-        parts = []
+    return assemble_match_expr(cf, t, rels, ovr, name, fuzzy, resolver)
+
+
+def assemble_match_expr(
+    cf,
+    tags: Column,
+    rels: Column | None,
+    ovr: Column | None,
+    name: str,
+    fuzzy: bool,
+    resolve,
+    numeric_operand=None,
+) -> Column:
+    """The single source of the filtersMatch assembly shape
+    (LegalDefaultSpeeds.kt:207-223), shared by the recursive-inline
+    path above and the hoisted-column native cascade
+    (plans.native_cascade._match_expr):
+
+        coalesce(overrides[name],
+                 coalesce(anyRelationMatches(relationFilter) OR filter
+                          [OR fuzzyFilter], false))
+
+    Placeholders inside the relationFilter resolve via ``resolve``
+    against the *road's* context, not the relation map (kt:218-222);
+    numeric operands inside it DO read the relation map, which is why
+    ``numeric_operand`` (road-side staged unit-parse columns) is never
+    forwarded into the exists() branch."""
+    parts: list[Column] = []
+    if cf is not None:
         if cf.relation_filter is not None and rels is not None:
+            rf = cf.relation_filter
             parts.append(
-                F.exists(
-                    rels,
-                    lambda rel: filter_to_column(cf.relation_filter, rel, resolver),
-                )
+                F.exists(rels, lambda rel: filter_to_column(rf, rel, resolve))
             )
         if cf.filter is not None:
-            parts.append(filter_to_column(cf.filter, t, resolver))
+            parts.append(
+                filter_to_column(cf.filter, tags, resolve, numeric_operand)
+            )
         if fuzzy and cf.fuzzy_filter is not None:
-            parts.append(filter_to_column(cf.fuzzy_filter, t, resolver))
-        if parts:
-            expr = parts[0]
-            for p in parts[1:]:
-                expr = expr | p
-            expr = F.coalesce(expr, F.lit(False))
-        else:
-            expr = F.lit(False)
-
+            parts.append(
+                filter_to_column(cf.fuzzy_filter, tags, resolve, numeric_operand)
+            )
+    if parts:
+        expr = parts[0]
+        for p in parts[1:]:
+            expr = expr | p
+        expr = F.coalesce(expr, F.lit(False))
+    else:
+        expr = F.lit(False)
     if ovr is not None:
         return F.coalesce(F.element_at(ovr, F.lit(name)), expr)
     return expr

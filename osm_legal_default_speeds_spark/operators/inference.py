@@ -22,6 +22,10 @@ Physical design (SURVEY.md §2.4, §2.6):
 
 from __future__ import annotations
 
+import uuid
+import warnings
+import weakref
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
@@ -57,20 +61,56 @@ _WORKER_MEMO_CAP = 1_000_000
 _worker_memo: dict = {}
 _worker_engines: dict = {}
 
+# Driver-side broadcast cache: one Broadcast + cache token per LIVE
+# (ruleset, SparkContext) pair, so repeated operator applications over
+# the same compiled rules (streaming micro-batches, per-tile loops)
+# reuse one broadcast and keep hitting the worker-global engine/memo
+# caches above instead of re-shipping the ruleset and re-keying the
+# memo every call. Keyed by id() (dataclass CompiledRuleSet is
+# unhashable); the weakref callback evicts the entry — and with it the
+# Broadcast handle — when the ruleset is garbage-collected, and a dead
+# or replaced SparkContext forces a fresh broadcast.
+_bc_cache: dict = {}
+
+
+def _ruleset_broadcast(spark, ruleset: CompiledRuleSet):
+    """-> (Broadcast[CompiledRuleSet], stable cache token)."""
+    sc = spark.sparkContext
+    key = id(ruleset)
+    ent = _bc_cache.get(key)
+    if ent is not None and ent[0]() is ruleset and ent[1]() is sc:
+        return ent[2], ent[3]
+    bc = sc.broadcast(ruleset)
+    bc_id = uuid.uuid4().hex
+    _bc_cache[key] = (
+        weakref.ref(ruleset, lambda _: _bc_cache.pop(key, None)),
+        weakref.ref(sc),
+        bc,
+        bc_id,
+    )
+    return bc, bc_id
+
 
 def prune_relevant_tags(ruleset: CompiledRuleSet, tags_col: Column | str) -> Column:
     """Native map-internal column pruning: keep only tag keys any rule
     filter can reference. Runs JVM-side (whole-stage codegen), shrinking
-    the payload before shuffles and the Arrow transfer."""
+    the payload before shuffles and the Arrow transfer.
+
+    Warns when ``maxspeed`` itself is not a relevant key: pruning would
+    then drop the input maxspeed, silently disabling the FromMaxSpeed
+    cascade stage (C3) and R1 input-echo subtraction. Real rule sets
+    always filter on maxspeed, so this never fires in production."""
+    if not ruleset.is_relevant_tag_key("maxspeed"):
+        warnings.warn(
+            "prune_relevant_tags: 'maxspeed' is not a relevant key in "
+            "this rule set, so pruning drops the input maxspeed and "
+            "disables the FromMaxSpeed stage / R1 input-echo semantics",
+            stacklevel=2,
+        )
     tags = F.col(tags_col) if isinstance(tags_col, str) else tags_col
-    strings = sorted(ruleset.relevant_key_strings)
-    regex = ruleset.combined_key_regex()
 
     def keep(k: Column, v: Column) -> Column:
-        cond = k.isin(*strings) if strings else F.lit(False)
-        if regex is not None:
-            cond = cond | k.rlike(regex)
-        return cond
+        return is_relevant_tag_key_col(ruleset, k)
 
     return F.map_filter(tags, keep)
 
@@ -99,7 +139,8 @@ def infer_speed_limits(
     projection before the Arrow transfer. Sound because result assembly
     only reads ``maxspeed``-family keys — but those ARE relevant keys in
     any real dataset; enable only if your rule set references maxspeed
-    (checked at runtime) or you don't need R1 input-echo semantics.
+    (``prune_relevant_tags`` warns at runtime when it does not) or you
+    don't need R1 input-echo semantics.
     ``dedup_inputs``: evaluate the (pure) cascade once per distinct
     (country, canonical tags [, relations, overrides]) combination and
     join results back, instead of once per row. At 10^12-row scale the
@@ -115,7 +156,7 @@ def infer_speed_limits(
             overrides_col, result_col, prune_keys,
         )
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(ruleset)
+    bc, bc_id = _ruleset_broadcast(spark, ruleset)
 
     tags_expr: Column = F.col(tags_col)
     if prune_keys:
@@ -141,13 +182,10 @@ def infer_speed_limits(
         else F.lit(None).cast(_OVERRIDES_TYPE)
     )
 
-    # per-operator token namespacing the worker-global caches (PySpark
-    # Broadcast exposes no stable id); batches/tasks of the same query
-    # share it, distinct rulesets never collide
-    import uuid
-
-    bc_id = uuid.uuid4().hex
-
+    # bc_id namespaces the worker-global caches (PySpark Broadcast
+    # exposes no stable id): batches/tasks — and, via _bc_cache,
+    # repeated operator calls over the same live ruleset — share it;
+    # distinct rulesets never collide
     @F.pandas_udf(RESULT_SCHEMA)
     def _match_rules(
         cc: pd.Series, tags: pd.Series, rels: pd.Series, ovr: pd.Series

@@ -65,6 +65,7 @@ from pyspark.sql.types import (
 )
 
 from osm_legal_default_speeds_spark.functions.sql_exprs import (
+    assemble_match_expr,
     filter_to_column,
     number_with_unit_to_double,
 )
@@ -333,16 +334,36 @@ def _reachable_names(ruleset: CompiledRuleSet) -> list[str]:
 
 
 def _topo_levels(ruleset: CompiledRuleSet, names: list[str]) -> dict[str, int]:
-    """Placeholder-DAG depth per name (cycles were rejected at compile
-    time, rules_compiler._check_for_circular_placeholders)."""
+    """Placeholder-DAG depth per name. The compile-time cycle check
+    (rules_compiler._check_for_circular_placeholders) collects POSITIVE
+    ``{x}`` placeholders only — pinned to the reference's
+    getPlaceholders (BooleanExpression.kt:84-92), which skips
+    NotPlaceholder — so a cycle reachable only through negated
+    ``!{x}`` references compiles fine (as it does in the reference,
+    where it stack-overflows at query time). This engine must build
+    the full expression DAG up front, so such a cycle is detected here
+    and rejected with a clear error instead of a RecursionError."""
     memo: dict[str, int] = {}
+    in_progress: set[str] = set()
 
     def level(n: str) -> int:
         if n in memo:
             return memo[n]
-        cf = ruleset.road_type_filters.get(n)
-        deps = all_placeholder_names(cf) if cf is not None else set()
-        memo[n] = 1 + max((level(d) for d in deps), default=-1)
+        if n in in_progress:
+            raise ValueError(
+                f'circular placeholders involving road type "{n}" '
+                f"(reachable only through negated !{{...}} references, "
+                f"which compile-time rejection — reference parity — "
+                f"does not cover); the native engine cannot build an "
+                f"expression DAG for this rule set"
+            )
+        in_progress.add(n)
+        try:
+            cf = ruleset.road_type_filters.get(n)
+            deps = all_placeholder_names(cf) if cf is not None else set()
+            memo[n] = 1 + max((level(d) for d in deps), default=-1)
+        finally:
+            in_progress.discard(n)
         return memo[n]
 
     for n in names:
@@ -418,42 +439,17 @@ def _match_expr(
     resolve,
     numeric_operand=None,
 ) -> Column:
-    """filtersMatch for one name (LegalDefaultSpeeds.kt:207-223):
-    coalesce(override[name],
-             anyRelationMatches(relationFilter) OR filter
-             [OR fuzzyFilter]).
-    Placeholders inside the relationFilter resolve against the *road's*
-    hoisted columns, not the relation map (kt:218-222) — but numeric
-    operands inside it do read the relation map, so the staged
-    road-side parse columns must not leak in there."""
+    """filtersMatch for one name with HOISTED placeholder columns: the
+    assembly shape itself (relation-EXISTS OR filter [OR fuzzy],
+    coalesce(False), override splice) lives in ONE place —
+    ``sql_exprs.assemble_match_expr`` — shared with the
+    recursive-inline ``road_type_match_column``, so the two native
+    paths cannot drift (see that helper for the kt:207-223 citations
+    and the relation/numeric-operand scoping rules)."""
     cf = ruleset.road_type_filters.get(name)
-    parts: list[Column] = []
-    if cf is not None:
-        if cf.relation_filter is not None and rels is not None:
-            rf = cf.relation_filter
-            parts.append(
-                F.exists(rels, lambda rel: filter_to_column(rf, rel, resolve))
-            )
-        if cf.filter is not None:
-            parts.append(
-                filter_to_column(cf.filter, tags, resolve, numeric_operand)
-            )
-        if fuzzy and cf.fuzzy_filter is not None:
-            parts.append(
-                filter_to_column(
-                    cf.fuzzy_filter, tags, resolve, numeric_operand
-                )
-            )
-    if parts:
-        expr = parts[0]
-        for p in parts[1:]:
-            expr = expr | p
-        expr = F.coalesce(expr, F.lit(False))
-    else:
-        expr = F.lit(False)
-    if ovr is not None:
-        expr = F.coalesce(F.element_at(ovr, F.lit(name)), expr)
-    return expr
+    return assemble_match_expr(
+        cf, tags, rels, ovr, name, fuzzy, resolve, numeric_operand
+    )
 
 
 # --------------------------------------------------------------------------
@@ -594,11 +590,16 @@ def infer_speed_limits_native(
     )
 
     if dedup_inputs:
+        # max_cap_depth must ride into the per-distinct kernel
+        # explicitly (_infer_dedup's kw carries only the column names):
+        # dropping it would make the same arguments cap differently
+        # depending on the dedup flag
         return _infer_dedup(
             df, ruleset, country_col, tags_col, relations_col,
             overrides_col, result_col, prune_keys,
             infer_fn=lambda d, rs, **kw: infer_speed_limits_native(
-                d, rs, **{k: v for k, v in kw.items() if k != "dedup_inputs"}
+                d, rs, max_cap_depth=max_cap_depth,
+                **{k: v for k, v in kw.items() if k != "dedup_inputs"},
             ),
         )
 
@@ -684,7 +685,11 @@ def infer_speed_limits_native(
         out = out.withColumn(name, col)
     out = out.withColumn(result_col, bundle["result_struct"])
 
-    keep = orig_cols + [result_col]
+    # withColumn above REPLACED a pre-existing result_col in place, so
+    # only append the name when it is new — appending unconditionally
+    # would select the same name twice (AMBIGUOUS_REFERENCE downstream)
+    # where the Arrow-UDF operator replaces in place
+    keep = orig_cols + ([] if result_col in orig_cols else [result_col])
     return out.select(*keep)
 
 

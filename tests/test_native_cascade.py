@@ -282,3 +282,95 @@ def test_dim_cache_is_per_session_and_unpinned(spark):
 
     # the main session's cache is unaffected by s2's collection
     assert spark.__dict__["_nc_dim_cache"][token] is dim_a
+
+
+def test_max_cap_depth_survives_dedup_inputs(spark, monkeypatch):
+    """A caller-supplied max_cap_depth must reach the kernel unchanged
+    when dedup_inputs wraps it in the distinct->infer->join-back plan
+    (the dedup lambda forwards it explicitly; _infer_dedup's kw only
+    carries column names), so the same arguments cap identically with
+    and without the dedup flag."""
+    import osm_legal_default_speeds_spark.plans.native_cascade as nc
+
+    seen = []
+    real = nc._get_bundle
+
+    def spy(ruleset, country_col, relations_col, overrides_col, cap):
+        seen.append(cap)
+        return real(ruleset, country_col, relations_col, overrides_col, cap)
+
+    monkeypatch.setattr(nc, "_get_bundle", spy)
+    ruleset = compile_ruleset(*za_defs())
+    df = spark.createDataFrame(
+        [
+            Row(
+                road_id="r0",
+                country_code="ZA",
+                tags={"highway": "motorway"},
+                relations_tags=None,
+                overrides=None,
+            )
+        ],
+        INPUT_SCHEMA,
+    )
+    out = infer_speed_limits_native(
+        df,
+        ruleset,
+        relations_col="relations_tags",
+        overrides_col="overrides",
+        max_cap_depth=3,
+        dedup_inputs=True,
+    )
+    assert seen == [3], f"kernel saw cap depths {seen}, wanted [3]"
+    assert out.collect()[0]["speed_limit"] is not None
+
+
+def test_native_replaces_existing_result_col(spark):
+    """Drop-in parity with the Arrow-UDF operator when result_col
+    already exists on the input: withColumn semantics (replace in
+    place), never a duplicated column name."""
+    ruleset = compile_ruleset(*za_defs())
+    df = spark.createDataFrame(
+        [
+            Row(
+                road_id="r0",
+                country_code="ZA",
+                tags={"highway": "motorway"},
+                relations_tags=None,
+                overrides=None,
+            )
+        ],
+        INPUT_SCHEMA,
+    ).withColumn("speed_limit", F.lit("stale"))
+    out = infer_speed_limits_native(
+        df, ruleset, relations_col="relations_tags", overrides_col="overrides"
+    )
+    assert out.columns.count("speed_limit") == 1
+    # downstream reference must resolve (AMBIGUOUS_REFERENCE otherwise)
+    row = out.select("speed_limit").collect()[0]["speed_limit"]
+    assert row is not None and row["certitude"] == "Exact"
+
+
+def test_negated_placeholder_cycle_raises_clearly(spark):
+    """A placeholder cycle reachable only through negated !{...}
+    references passes compile-time rejection (reference parity:
+    getPlaceholders skips NotPlaceholder, BooleanExpression.kt:84-92;
+    the reference stack-overflows at query time on such rules). The
+    native engine must build the full expression DAG up front, so it
+    raises a clear ValueError instead of a RecursionError."""
+    from osm_legal_default_speeds_spark.plans.rules_model import (
+        RoadTypeDef,
+        RoadTypeFilterDef,
+    )
+
+    road_types = {
+        "A": RoadTypeFilterDef("!{B}", None, None),
+        "B": RoadTypeFilterDef("!{A}", None, None),
+    }
+    rules = {"XX": [RoadTypeDef("A", {"maxspeed": "10"})]}
+    ruleset = compile_ruleset(road_types, rules)  # compiles, as in the reference
+    df = spark.createDataFrame(
+        [("XX", {"highway": "x"})], "country_code string, tags map<string,string>"
+    )
+    with pytest.raises(ValueError, match="circular placeholders"):
+        infer_speed_limits_native(df, ruleset)

@@ -381,7 +381,12 @@ def test_prune_and_relevant_key_col(spark):
         ],
         StructType([StructField("tags", MapType(StringType(), StringType()))]),
     )
-    pruned = df.select(prune_relevant_tags(ruleset, "tags").alias("t")).collect()[0]["t"]
+    # this fixture ruleset never filters on maxspeed, so pruning drops
+    # the input maxspeed (disabling FromMaxSpeed/R1): the operator must
+    # say so out loud
+    with pytest.warns(UserWarning, match="'maxspeed' is not a relevant key"):
+        pruned_col = prune_relevant_tags(ruleset, "tags")
+    pruned = df.select(pruned_col.alias("t")).collect()[0]["t"]
     assert set(pruned) == {"highway", "imagination:1"}
 
     keys_df = spark.createDataFrame(
@@ -625,3 +630,35 @@ def test_equal_area_grid_matches_python_and_equalizes_bands(spark):
         y = out[pid] % ny
         s = (math.sin(math.radians(lat)) + 1.0) / 2.0 * ny
         assert y == min(max(int(s), 0), ny - 1)
+
+
+def test_ruleset_broadcast_reused_across_calls(spark):
+    """Repeated operator applications over the SAME live compiled
+    ruleset (streaming micro-batches, per-tile loops) must reuse one
+    Broadcast and one worker-cache token — re-broadcasting per call
+    leaks broadcast storage and re-keys the worker-global engine/memo
+    caches, turning every cross-call memo lookup into a miss."""
+    from osm_legal_default_speeds_spark.operators.inference import (
+        _ruleset_broadcast,
+    )
+
+    ruleset = compile_ruleset(*za_defs())
+    bc1, id1 = _ruleset_broadcast(spark, ruleset)
+    bc2, id2 = _ruleset_broadcast(spark, ruleset)
+    assert bc1 is bc2 and id1 == id2
+
+    # a DIFFERENT compiled ruleset (even of identical definitions) is a
+    # different cache entry: engines/memos must never collide
+    other = compile_ruleset(*za_defs())
+    bc3, id3 = _ruleset_broadcast(spark, other)
+    assert bc3 is not bc1 and id3 != id1
+
+    # and the two plans built from one ruleset share the broadcast in
+    # the operator itself (the end-to-end path, not just the helper)
+    df = spark.createDataFrame(
+        [("ZA", {"highway": "motorway"})],
+        "country_code string, tags map<string,string>",
+    )
+    a = infer_speed_limits(df, ruleset).collect()
+    b = infer_speed_limits(df, ruleset).collect()
+    assert a == b
