@@ -1151,10 +1151,10 @@ runs AS (
   FROM marked
 )
 SELECT region_code,
-       x / 128 * 360.0 - 180.0 AS lon_min,
-       MIN(y) / 64 * 180.0 - 90.0 AS lat_min,
-       (x + 1) / 128 * 360.0 - 180.0 AS lon_max,
-       (MAX(y) + 1) / 64 * 180.0 - 90.0 AS lat_max,
+       CAST(x AS DOUBLE) / 128 * 360.0 - 180.0 AS lon_min,
+       CAST(MIN(y) AS DOUBLE) / 64 * 180.0 - 90.0 AS lat_min,
+       CAST(x + 1 AS DOUBLE) / 128 * 360.0 - 180.0 AS lon_max,
+       CAST(MAX(y) + 1 AS DOUBLE) / 64 * 180.0 - 90.0 AS lat_max,
        COUNT(*) AS n_cells
 FROM runs GROUP BY region_code, x, run
 """

@@ -167,6 +167,7 @@ def infer_upserts(
     engine: str = "native",
     project=None,
     seq_col: str | None = None,
+    assume_unique: bool = False,
     **infer_kwargs,
 ) -> DataFrame:
     """Infer the changeset's upserted rows — the shared 'fresh side' of
@@ -189,22 +190,31 @@ def infer_upserts(
     edits; the hash rule only makes an unresolved feed deterministic
     instead of silently duplicating the key in the stored table.
     ``seq_col`` is dropped before inference (it is feed lineage, not a
-    road attribute)."""
+    road attribute).
+
+    ``assume_unique``: the caller guarantees at most one row per
+    ``id_col`` (e.g. commit_road_batch's seq path already ran the
+    per-id winner window over the FULL changeset, ops included) — skip
+    the dedup window here instead of paying an identical, guaranteed
+    no-op second shuffle per micro-batch."""
     from pyspark.sql import Window
 
-    row_hash = F.xxhash64(
-        F.to_json(F.struct(*upserted_roads.columns))
-    ).desc()
-    if seq_col is not None and seq_col in upserted_roads.columns:
-        order = [F.col(seq_col).desc_nulls_last(), row_hash]
+    if assume_unique:
+        deduped = upserted_roads
     else:
-        order = [row_hash]
-    w = Window.partitionBy(id_col).orderBy(*order)
-    deduped = (
-        upserted_roads.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+        row_hash = F.xxhash64(
+            F.to_json(F.struct(*upserted_roads.columns))
+        ).desc()
+        if seq_col is not None and seq_col in upserted_roads.columns:
+            order = [F.col(seq_col).desc_nulls_last(), row_hash]
+        else:
+            order = [row_hash]
+        w = Window.partitionBy(id_col).orderBy(*order)
+        deduped = (
+            upserted_roads.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     if seq_col is not None and seq_col in deduped.columns:
         deduped = deduped.drop(seq_col)
     if engine == "native":

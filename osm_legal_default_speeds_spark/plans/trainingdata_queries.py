@@ -1128,29 +1128,38 @@ GROUP BY 1, 2
 """
 
 
-_STAGED_EVENTS: dict = {}
+_STAGED_SRC: dict = {}
+
+
+def _staged_src(spark, key: tuple, prefix: str, build) -> str:
+    """Stage a streaming file-source directory ONCE per (session, key):
+    repeat streaming-query invocations (bench loops, pytest sessions)
+    previously re-wrote the full source table into a fresh mkdtemp
+    every call and never cleaned it up. ``build(dir)`` writes the
+    table on first use. Checkpoints stay fresh per call (reusing one
+    would resume past the already-read offsets and drain nothing)."""
+    import os as _os
+    import tempfile
+
+    k = (id(spark.sparkContext),) + key
+    d = _STAGED_SRC.get(k)
+    if d is None or not _os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix=prefix)
+        build(d)
+        _STAGED_SRC[k] = d
+    return d
 
 
 def _staged_events_dir(spark, sf_dir: str) -> str:
-    """Stage the events table as a file-source directory ONCE per
-    (session, sf_dir): repeat streaming-query invocations (bench
-    loops, pytest sessions) previously re-wrote the full table into a
-    fresh mkdtemp every call and never cleaned it up. Checkpoints stay
-    fresh per call (reusing one would resume past the already-read
-    offsets and drain nothing)."""
-    import tempfile
-
-    key = (id(spark.sparkContext), sf_dir)
-    d = _STAGED_EVENTS.get(key)
-    import os as _os
-
-    if d is None or not _os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="ev_src_")
-        _read(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(d)
-        _STAGED_EVENTS[key] = d
-    return d
+    return _staged_src(
+        spark,
+        ("ev_src", sf_dir),
+        "ev_src_",
+        lambda d: _read(spark, sf_dir, "events")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(d),
+    )
 
 
 def q_events_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1191,11 +1200,13 @@ def q_events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_dedup,
     )
 
-    d = tempfile.mkdtemp(prefix="evdup_src_")
+    def _build(d: str) -> None:
+        ev = _read(spark, sf_dir, "events")
+        aug = ev.unionAll(ev.where(F.col("event_id") % 10 == 0))
+        aug.repartition(8).write.mode("overwrite").parquet(d)
+
+    d = _staged_src(spark, ("evdup_src", sf_dir), "evdup_src_", _build)
     ck = tempfile.mkdtemp(prefix="evdup_ck_")
-    ev = _read(spark, sf_dir, "events")
-    aug = ev.unionAll(ev.where(F.col("event_id") % 10 == 0))
-    aug.repartition(8).write.mode("overwrite").parquet(d)
     out = streaming_dedup(spark, d, ck, sink_table="q_stream_dedup")
     return out.select(
         "event_id",
@@ -1747,13 +1758,15 @@ def q_image_verify_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_image_verify,
     )
 
-    ids = (
-        _read(spark, sf_dir, "events")
-        .where(F.col("event_id") < 512)
-        .select(F.col("event_id").alias("id"))
-    )
-    src = tempfile.mkdtemp(prefix="img_src_")
-    ids.repartition(4).write.mode("overwrite").parquet(src)
+    def _build(d: str) -> None:
+        ids = (
+            _read(spark, sf_dir, "events")
+            .where(F.col("event_id") < 512)
+            .select(F.col("event_id").alias("id"))
+        )
+        ids.repartition(4).write.mode("overwrite").parquet(d)
+
+    src = _staged_src(spark, ("img_src", sf_dir), "img_src_", _build)
     ck = tempfile.mkdtemp(prefix="img_ck_")
     return streaming_image_verify(
         spark, src, ck, sink_table="q_stream_image_verify"

@@ -420,6 +420,95 @@ def validate_batch_id(store_dir: str, batch_id: int) -> bool:
     return True
 
 
+_STREAM_ID_NAME = "STREAM_ID"
+
+
+def stream_binding(store_dir: str) -> str | None:
+    """The streaming-query id this store is bound to (recorded by
+    :func:`bind_stream` on the stream's first micro-batch), or None
+    for an unbound store (fresh, or written only by the batch API)."""
+    try:
+        with open(os.path.join(store_dir, _STREAM_ID_NAME)) as fh:
+            return fh.read().strip() or None
+    except OSError:
+        return None
+
+
+def bind_stream(store_dir: str, stream_id: str) -> bool:
+    """Bind the store to a streaming query's checkpoint identity.
+    Returns True if this call created the binding, False if the store
+    was already bound to the SAME id (normal restart/replay), and
+    raises if it is bound to a DIFFERENT id.
+
+    Why: the store's idempotent-replay rule skips any batch_id <=
+    CURRENT. That is only safe while batch numbering comes from the
+    SAME checkpoint lineage — a reset/relocated checkpoint renumbers
+    micro-batches from 0, so every genuinely NEW changeset would be
+    silently skipped as a 'replay' and the store would go stale with
+    no error. Binding the checkpoint's query id (the ``id`` field of
+    ``<checkpoint>/metadata``, stable across restarts of one
+    checkpoint) turns that silent data loss into this loud error.
+    Remediation: restore the original checkpoint directory, or start a
+    fresh store for the new stream; to intentionally re-home a store,
+    delete its STREAM_ID file AND ensure the new stream's batch
+    numbering cannot collide with committed versions."""
+    path = os.path.join(store_dir, _STREAM_ID_NAME)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        bound = stream_binding(store_dir)
+        if bound == stream_id:
+            return False
+        raise ValueError(
+            f"store {store_dir} is bound to streaming query "
+            f"{bound!r} but this stream's checkpoint identity is "
+            f"{stream_id!r}: the checkpoint was reset or a different "
+            f"stream attached, so its restarted batch numbering would "
+            f"be silently skipped as replays. Restore the original "
+            f"checkpoint, or point the new stream at a fresh store."
+        )
+    try:
+        os.write(fd, stream_id.encode())
+    finally:
+        os.close(fd)
+    return True
+
+
+def guard_stream_binding(store_dir: str, checkpoint_dir: str) -> None:
+    """Per-micro-batch guard for the streaming maintenance closures:
+    bind the store to this checkpoint's query id (loud failure on a
+    foreign binding — a reset checkpoint), and refuse to attach a NEW
+    stream to a store that already has committed versions, whose
+    restarted batch numbering the replay rule would silently skip. A
+    missing/unreadable checkpoint metadata degrades to no guard."""
+    qid = checkpoint_query_id(checkpoint_dir)
+    if qid is None:
+        return
+    had = current_version(store_dir)
+    if bind_stream(store_dir, qid) and had is not None:
+        raise ValueError(
+            f"stream {qid!r} attached to store {store_dir}, which "
+            f"already has committed versions (CURRENT={had}) but no "
+            f"stream binding: this stream's micro-batch numbering "
+            f"starts at 0, so its commits would be silently skipped "
+            f"as replays. Continue ingestion with the batch commit "
+            f"API (explicit version ids), or start a fresh store."
+        )
+
+
+def checkpoint_query_id(checkpoint_dir: str) -> str | None:
+    """The streaming query id recorded in a Structured Streaming
+    checkpoint (``<checkpoint>/metadata``, written at stream start and
+    stable across restarts of that checkpoint), or None when the
+    metadata is missing/unreadable (guards then degrade gracefully)."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            v = json.load(fh).get("id")
+            return v if isinstance(v, str) and v else None
+    except (OSError, ValueError):
+        return None
+
+
 def commit_delta(
     spark: SparkSession,
     store_dir: str,

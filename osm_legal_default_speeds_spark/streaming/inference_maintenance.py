@@ -37,6 +37,7 @@ from osm_legal_default_speeds_spark.streaming.delta_store import (
     compact_store,
     current_version,
     expire_versions,
+    guard_stream_binding,
     read_state_at,
 )
 
@@ -56,12 +57,21 @@ _KEY = "road_id"
 
 
 def read_road_changeset_stream(
-    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int = 1,
+    with_seq: bool = False,
 ) -> DataFrame:
     """File stream of road-changeset rows; one file per micro-batch by
-    default so every diff commits its own result-table version."""
+    default so every diff commits its own result-table version.
+    ``with_seq`` reads ROAD_CHANGESET_SCHEMA_SEQ so feeds that carry
+    edit recency actually reach commit_road_batch's last-wins branch —
+    without it the seq column in the files is silently dropped by the
+    reader schema. Files missing the column read null seq (hash
+    fallback), so mixed feeds are safe."""
+    schema = ROAD_CHANGESET_SCHEMA_SEQ if with_seq else ROAD_CHANGESET_SCHEMA
     return (
-        spark.readStream.schema(ROAD_CHANGESET_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(src_dir)
     )
@@ -164,11 +174,17 @@ def commit_road_batch(
             .drop("__rn")
         )
         upserted = winners.where(F.col("op") == "upsert").drop("op")
+        # the window above already left exactly one row per id, so
+        # infer_upserts' own dedup window (identical partitioning)
+        # would be a guaranteed-no-op second shuffle per micro-batch
+        already_unique = True
     else:
         upserted = batch.where(F.col("op") == "upsert").drop("op")
+        already_unique = False
     fresh = infer_upserts(
         upserted, ruleset, id_col=_KEY, country_col=country_col,
-        engine=engine, project=project, seq_col=seq_col, **infer_kwargs,
+        engine=engine, project=project, seq_col=seq_col,
+        assume_unique=already_unique, **infer_kwargs,
     )
     touched = batch.select(_KEY).distinct()
     return commit_delta(
@@ -188,6 +204,7 @@ def streaming_inference_maintenance(
     available_now: bool = True,
     max_files_per_trigger: int = 1,
     compact_every: int | None = 16,
+    with_seq: bool = False,
     **infer_kwargs,
 ):
     """Start the maintenance stream; returns the StreamingQuery (caller
@@ -195,10 +212,18 @@ def streaming_inference_maintenance(
     the latest committed version at any point, including mid-stream.
     ``compact_every`` bounds the reader-side reconstruction chain
     (measured costs: PLANS.md); expiry stays manual so lineage
-    retention is an operator policy."""
+    retention is an operator policy. ``with_seq``: read
+    ROAD_CHANGESET_SCHEMA_SEQ so a recency-stamped feed resolves
+    same-id ops last-wins (see commit_road_batch). The store is BOUND
+    to this stream's checkpoint identity on first commit
+    (delta_store.bind_stream): a reset checkpoint's restarted batch
+    numbering fails loudly instead of being silently skipped as
+    replays."""
+    _require_posix_store(store_dir)
     os.makedirs(store_dir, exist_ok=True)
 
     def _commit(batch: DataFrame, batch_id: int) -> None:
+        guard_stream_binding(store_dir, checkpoint_dir)
         commit_road_batch(
             spark, store_dir, batch, batch_id, ruleset,
             project=project, engine=engine, compact_every=compact_every,
@@ -206,7 +231,7 @@ def streaming_inference_maintenance(
         )
 
     stream = read_road_changeset_stream(
-        spark, changeset_dir, max_files_per_trigger
+        spark, changeset_dir, max_files_per_trigger, with_seq=with_seq
     )
     writer = stream.writeStream.foreachBatch(_commit).option(
         "checkpointLocation", checkpoint_dir

@@ -41,11 +41,15 @@ from osm_legal_default_speeds_spark.operators.spatial import (
     rebuild_changed_tiles_delta,
 )
 from osm_legal_default_speeds_spark.streaming.delta_store import (  # noqa: F401
+    _require_posix_store,
     base_version,
+    bind_stream,
+    checkpoint_query_id,
     commit_delta,
     compact_store,
     current_version,
     expire_versions,
+    guard_stream_binding,
     read_state_at,
     validate_batch_id,
 )
@@ -140,6 +144,10 @@ def commit_changeset(
     (:data:`CHANGESET_SCHEMA`). Version ids must be dense and
     ascending — pass ``current_version(store_dir) + 1`` (or 0 for a
     fresh store)."""
+    # refuse URI-schemed paths BEFORE creating anything: os.makedirs of
+    # 's3://bucket/x' would litter a junk local tree and the rebuild
+    # below is expensive (the inference twin guards the same way)
+    _require_posix_store(store_dir)
     os.makedirs(store_dir, exist_ok=True)
     # full pre-flight (replay AND dense-gap) before the rebuild: it
     # materializes changeset-sized intermediates eagerly and decodes
@@ -186,10 +194,19 @@ def streaming_tile_maintenance(
     :func:`rebuild_changed_tiles_delta`. Pass False when micro-batches
     are BULK (the initial base import of a whole corpus arriving as
     one changeset, a re-import wave): the dirty tile set is then
-    corpus-sized and must shuffle-join rather than broadcast."""
+    corpus-sized and must shuffle-join rather than broadcast.
+
+    The store is BOUND to this stream's checkpoint identity on its
+    first commit (delta_store.bind_stream): a reset or relocated
+    checkpoint renumbers micro-batches from 0, which the idempotent
+    replay rule would otherwise silently skip — new changesets dropped,
+    store stale, no error. The binding turns that into a loud failure;
+    see bind_stream's docstring for remediation."""
+    _require_posix_store(store_dir)
     os.makedirs(store_dir, exist_ok=True)
 
     def _commit(batch: DataFrame, batch_id: int) -> None:
+        guard_stream_binding(store_dir, checkpoint_dir)
         commit_changeset(
             spark, store_dir, batch, batch_id, res, clip=clip,
             compact_every=compact_every, broadcast_dirty=broadcast_dirty,

@@ -601,3 +601,111 @@ def test_fold_broadcast_budget_is_cumulative(spark, tmp_path, monkeypatch):
     plan = folded._jdf.queryExecution().analyzed().toString()
     assert plan.count("ResolvedHint") == 1, plan[:3000]
     assert len(folded.collect()) == 40  # fold still correct
+
+
+def test_bind_stream_primitives(tmp_path):
+    from osm_legal_default_speeds_spark.streaming.delta_store import (
+        bind_stream,
+        stream_binding,
+    )
+
+    store = str(tmp_path / "bind_store")
+    os.makedirs(store)
+    assert stream_binding(store) is None
+    assert bind_stream(store, "qid-a") is True  # created
+    assert stream_binding(store) == "qid-a"
+    assert bind_stream(store, "qid-a") is False  # same stream: replay
+    with pytest.raises(ValueError, match="bound to streaming query"):
+        bind_stream(store, "qid-b")
+
+
+def test_reset_checkpoint_fails_loudly(spark, tmp_path):
+    """A reset/relocated checkpoint renumbers micro-batches from 0; the
+    replay rule would silently skip every NEW changeset. The store's
+    stream binding must turn that silent data loss into an error."""
+    src = _stage_changesets(spark, tmp_path, range(1, 3))
+    store = str(tmp_path / "reset_store")
+    q = streaming_inference_maintenance(
+        spark, src, str(tmp_path / "ckpt_a"), store, _ruleset(),
+        project=_flat,
+    )
+    q.awaitTermination()
+    assert current_version(store) == 1
+
+    # new changeset arrives, but the operator 'reset the stream' by
+    # pointing it at a fresh checkpoint: batch numbering restarts at 0
+    old, new = _corpus(2), _corpus(3)
+    d = str(tmp_path / "rcs_build_extra")
+    spark.createDataFrame(
+        _changeset(old, new), ROAD_CHANGESET_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    [part] = glob.glob(f"{d}/part-*.parquet")
+    shutil.copy(part, f"{src}/f999.parquet")
+
+    q2 = streaming_inference_maintenance(
+        spark, src, str(tmp_path / "ckpt_b"), store, _ruleset(),
+        project=_flat,
+    )
+    with pytest.raises(Exception, match="bound to streaming query"):
+        q2.awaitTermination()
+    # the store is untouched, not silently stale-but-plausible
+    assert current_version(store) == 1
+
+
+def test_stream_refuses_preexisting_unbound_store(spark, tmp_path):
+    """Attaching a NEW stream to a store already populated by the batch
+    commit API must fail loudly: the stream's batch numbering starts at
+    0 and every commit would be skipped as a replay of versions the
+    batch API already wrote."""
+    store = str(tmp_path / "mixed_store")
+    batch = spark.createDataFrame(
+        _changeset({}, _corpus(1)), ROAD_CHANGESET_SCHEMA
+    )
+    assert commit_road_batch(spark, store, batch, 0, _ruleset(), project=_flat)
+    assert current_version(store) == 0
+
+    src = _stage_changesets(spark, tmp_path, range(1, 2))
+    q = streaming_inference_maintenance(
+        spark, src, str(tmp_path / "ckpt_mixed"), store, _ruleset(),
+        project=_flat,
+    )
+    with pytest.raises(Exception, match="already has committed versions"):
+        q.awaitTermination()
+    assert current_version(store) == 0
+
+
+def test_streaming_with_seq_upsert_then_remove_stays_removed(spark, tmp_path):
+    """with_seq=True reads ROAD_CHANGESET_SCHEMA_SEQ so a recency-
+    stamped feed reaches commit_road_batch's last-wins branch: a road
+    upserted (seq=1) then removed (seq=2) inside ONE coalesced file
+    stays removed. The default reader (sequence-less schema) resolves
+    the same file upsert-wins — the documented order-free fallback."""
+    rows = [
+        (1, "DE", {"highway": "motorway"}, "upsert", 1),
+        (1, None, None, "remove", 2),
+        (2, "DE", {"highway": "motorway"}, "upsert", 1),
+    ]
+    src = str(tmp_path / "seq_changesets")
+    os.makedirs(src)
+    d = str(tmp_path / "seq_build")
+    spark.createDataFrame(rows, ROAD_CHANGESET_SCHEMA_SEQ).coalesce(
+        1
+    ).write.mode("overwrite").parquet(d)
+    [part] = glob.glob(f"{d}/part-*.parquet")
+    shutil.copy(part, f"{src}/f001.parquet")
+
+    store_seq = str(tmp_path / "seq_store")
+    q = streaming_inference_maintenance(
+        spark, src, str(tmp_path / "ckpt_seq"), store_seq, _ruleset(),
+        project=_flat, with_seq=True,
+    )
+    q.awaitTermination()
+    assert set(_res_map(read_current_results(spark, store_seq))) == {2}
+
+    store_noseq = str(tmp_path / "noseq_store")
+    q = streaming_inference_maintenance(
+        spark, src, str(tmp_path / "ckpt_noseq"), store_noseq, _ruleset(),
+        project=_flat,
+    )
+    q.awaitTermination()
+    assert set(_res_map(read_current_results(spark, store_noseq))) == {1, 2}

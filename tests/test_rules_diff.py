@@ -355,3 +355,25 @@ def test_composed_road_and_rule_changesets(spark, roads):
     assert sorted(map(tuple, step2.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_infer_upserts_assume_unique_skips_dedup_window(spark, roads):
+    """assume_unique (set by commit_road_batch's seq path, which
+    already ran the per-id winner window over the full changeset) must
+    skip infer_upserts' own dedup window — an identical, guaranteed
+    no-op second shuffle otherwise — while producing exactly the same
+    rows on per-id-unique input."""
+    from osm_legal_default_speeds_spark.plans.rules_diff import (
+        infer_upserts,
+    )
+
+    rs = compile_ruleset(_road_types(), _rules())
+    dedup = infer_upserts(roads, rs)
+    fast = infer_upserts(roads, rs, assume_unique=True)
+    assert "row_number" in dedup._jdf.queryExecution().analyzed().toString()
+    assert (
+        "row_number"
+        not in fast._jdf.queryExecution().analyzed().toString()
+    )
+    key = lambda rows: sorted(map(repr, rows))  # noqa: E731
+    assert key(dedup.collect()) == key(fast.collect())
