@@ -79,9 +79,15 @@ _OPERATORS = tuple(
 )
 
 _ESCAPED_QUOTE_RE = re.compile(r"\\(['\"])")
-_WHITESPACE_RE = re.compile(r"\s")
-_WHITESPACES_RE = re.compile(r"\s*")
-_NOT_WITH_WS_AND_OPENING_BRACE_RE = re.compile(r"!\s*\(")
+# The reference's Regex("\\s") runs on the JVM, where \s is the ASCII
+# class [ \t\n\x0b\f\r] — Python's \s is Unicode-aware and would also
+# treat U+00A0/U+2028/... as token separators, parsing a DIFFERENT AST
+# for keys containing such characters (and diverging from the native
+# Column engine, whose rlike is JVM regex). Spell the JVM class out.
+_JVM_WS = r"[ \t\n\x0b\f\r]"
+_WHITESPACE_RE = re.compile(_JVM_WS)
+_WHITESPACES_RE = re.compile(f"{_JVM_WS}*")
+_NOT_WITH_WS_AND_OPENING_BRACE_RE = re.compile(rf"!{_JVM_WS}*\(")
 
 
 class _Cursor:

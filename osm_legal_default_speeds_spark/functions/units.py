@@ -55,16 +55,23 @@ UNIT_FACTORS: dict[str, float] = {
     "cwt": 0.05080234544,  # imperial (=long) hundredweight
 }
 
-# NumberWithUnitParser.kt:27-28
-_FEET_INCH_RE = re.compile(r"([0-9]+)\s*(?:'|ft)\s*([0-9]+)\s*(?:\"|in)")
-_WITH_UNIT_RE = re.compile(r"([0-9]+|[0-9]*\.[0-9]+)\s*([a-z/'\"]+)")
+# NumberWithUnitParser.kt:27-28. The reference's \s runs on the JVM,
+# where it is the ASCII class [ \t\n\x0b\f\r]; Python's Unicode \s
+# would additionally accept U+00A0 etc., diverging BOTH from the
+# reference and from the native Column twin (sql_exprs, whose rlike is
+# JVM regex) — so the JVM class is spelled out.
+_JVM_WS = r"[ \t\n\x0b\f\r]"
+_FEET_INCH_RE = re.compile(
+    rf"([0-9]+){_JVM_WS}*(?:'|ft){_JVM_WS}*([0-9]+){_JVM_WS}*(?:\"|in)"
+)
+_WITH_UNIT_RE = re.compile(rf"([0-9]+|[0-9]*\.[0-9]+){_JVM_WS}*([a-z/'\"]+)")
 
 # Plain-number grammar accepted by Java's Double.parseDouble for inputs
 # that already passed the first-char-is-digit-or-dot guard (no sign, no
 # hex, no underscores in practice for OSM values; leading/trailing
 # whitespace is trimmed by parseDouble). fullmatch-anchored.
 _PLAIN_NUMBER_RE = re.compile(
-    r"\s*([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?\s*"
+    rf"{_JVM_WS}*([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?{_JVM_WS}*"
 )
 
 
@@ -112,12 +119,16 @@ def parse_number_with_unit_series(values: pd.Series) -> pd.Series:
     """
     s = values.astype("object")
     out = pd.to_numeric(s, errors="coerce")
-    # pd.to_numeric is more lenient than Java parseDouble for signs and
-    # whitespace-only; re-check the guard for values it converted.
+    # pd.to_numeric is more lenient than Java parseDouble (signs,
+    # whitespace-only, UNICODE whitespace like U+00A0); re-check every
+    # converted value against the full parseDouble-shaped grammar —
+    # rejects fall into the residue, where the scalar parser (the
+    # single source of truth) re-decides them.
     converted = out.notna()
     if converted.any():
-        heads = s[converted].str.slice(0, 1)
-        bad = ~(heads.str.isdigit() | (heads == "."))
+        bad = ~s[converted].str.fullmatch(_PLAIN_NUMBER_RE.pattern).astype(
+            bool
+        )
         if bad.any():
             out[bad[bad].index] = np.nan
     residue = out.isna() & s.notna()

@@ -67,16 +67,26 @@ def chunk_documents(
             f"stride ({stride}) > chunk_len ({chunk_len}) would leave "
             f"tokens covered by no chunk"
         )
+    # stage the split array and its size as COLUMNS before anything
+    # references them: Catalyst does not CSE duplicated subtrees and
+    # the filter lambda below evaluates its predicate per sequence
+    # element — an inlined size(split(text)) there costs O(tokens) per
+    # candidate start, turning the linear pass quadratic on long docs
+    # (CollapseProject keeps the staging because the aliases are
+    # referenced more than once and are not cheap)
     t = F.split(F.col(text_col), " ", -1)
-    n = F.size(t)
+    staged = df.select(id_col, t.alias("__t")).select(
+        id_col, "__t", F.size("__t").alias("__n")
+    )
+    n = F.col("__n")
     starts = F.filter(
         F.sequence(F.lit(0), n - 1, F.lit(stride)),
         lambda s: (s == F.lit(0))
         | (s - F.lit(stride) + F.lit(chunk_len) < n),
     )
     chunk = F.slice(F.col("__t"), F.col("start") + 1, chunk_len)
-    return df.select(
-        id_col, t.alias("__t"), F.explode(starts).alias("start")
+    return staged.select(
+        id_col, "__t", F.explode(starts).alias("start")
     ).select(
         id_col,
         (F.col("start") / F.lit(stride)).cast("long").alias("chunk_idx"),
@@ -167,13 +177,21 @@ def clean_lines(
             cond = cond & ~low.contains(F.lit(s))
         return cond
 
-    kept = F.filter(lines, keep)
+    # stage the split and the interpreted kept-filter as columns: the
+    # three outputs below reference them 2-3x each, and Catalyst does
+    # not CSE duplicated subtrees — inlined, the per-line deny-scan
+    # filter would run three times per row (CLAUDE.md)
+    staged = df.withColumn("__cl_lines", lines).withColumn(
+        "__cl_kept", F.filter(F.col("__cl_lines"), keep)
+    )
+    kept, lns = F.col("__cl_kept"), F.col("__cl_lines")
     return (
-        df.withColumn(out_col, F.array_join(kept, "\n"))
+        staged.withColumn(out_col, F.array_join(kept, "\n"))
         .withColumn("n_lines_kept", F.size(kept).cast("long"))
         .withColumn(
-            "n_lines_dropped", (F.size(lines) - F.size(kept)).cast("long")
+            "n_lines_dropped", (F.size(lns) - F.size(kept)).cast("long")
         )
+        .drop("__cl_lines", "__cl_kept")
     )
 
 
@@ -222,16 +240,30 @@ def dedup_lines(
         .groupBy()
         .agg(F.sort_array(F.collect_list("__h")).alias("__common"))
     )
-    kept = F.filter(
-        lines,
-        lambda line: ~F.array_contains(F.col("__common"), F.md5(line)),
+    # stage the split and the kept-filter as columns after the join:
+    # out_col and n_lines_dropped each reference kept, and the
+    # O(lines x |boilerplate|) membership probe is the pass's dominant
+    # cost — inlined (no CSE for interpreted HOFs, CLAUDE.md) it would
+    # run twice per row
+    out = (
+        df.crossJoin(F.broadcast(common))
+        .withColumn("__dl_lines", lines)
+        .withColumn(
+            "__dl_kept",
+            F.filter(
+                F.col("__dl_lines"),
+                lambda line: ~F.array_contains(
+                    F.col("__common"), F.md5(line)
+                ),
+            ),
+        )
     )
-    out = df.crossJoin(F.broadcast(common))
+    kept, lns = F.col("__dl_kept"), F.col("__dl_lines")
     return (
         out.withColumn(out_col, F.array_join(kept, "\n"))
         .withColumn(
             "n_lines_dropped",
-            (F.size(lines) - F.size(kept)).cast("long"),
+            (F.size(lns) - F.size(kept)).cast("long"),
         )
-        .drop("__common")
+        .drop("__common", "__dl_lines", "__dl_kept")
     )

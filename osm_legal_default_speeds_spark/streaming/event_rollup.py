@@ -27,8 +27,11 @@ by the watermark horizon in APPEND/UPDATE mode (the production parquet
 sink path). The memory-sink drains here run in COMPLETE mode, where
 Spark keeps every window's state for the stream's lifetime — fine for
 the bounded test drains, wrong to size a long-running job from.
-Sessionization state is per-user and evicted on timeout, so memory is
-O(active users), not O(events).
+Sessionization state is per-user; on continuous streams pass
+``sessionize(..., timeout_ms=...)`` so idle users are emitted and
+EVICTED (memory O(active users), not O(all users ever seen)). Bounded
+availableNow drains run timer-free — a pending processing-time timer
+keeps an availableNow query alive forever (measured; see sessionize).
 """
 
 from __future__ import annotations
@@ -42,14 +45,41 @@ EVENTS_SCHEMA = (
 )
 
 
-def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream over the driver's events table directory.
     ``maxFilesPerTrigger`` keeps micro-batches bounded at scale."""
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "8")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(src_dir)
     )
+
+
+def drain_to_memory(
+    spark: SparkSession,
+    df: DataFrame,
+    checkpoint_dir: str,
+    sink_table: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drain a bounded stream (Trigger.AvailableNow) into a memory sink
+    and return the sink table — ONE definition of the test/oracle drain
+    shared by every memory-sink stream in this package (the image
+    drains import it too), so sink options cannot drift per site. The
+    memory sink is TEST-ONLY; see ``streaming_event_rollup``'s
+    docstring for the production-sink story."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
 
 
 def windowed_rollup(
@@ -97,16 +127,9 @@ def streaming_event_rollup(
     source/state side, which this function does exercise."""
     stream = read_event_stream(spark, src_dir)
     rolled = windowed_rollup(stream, window, watermark)
-    q = (
-        rolled.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_table)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return drain_to_memory(
+        spark, rolled, checkpoint_dir, sink_table, output_mode="complete"
     )
-    q.awaitTermination()
-    return spark.table(sink_table)
 
 
 def streaming_dedup(
@@ -136,24 +159,11 @@ def streaming_dedup(
     (test-only, as ``streaming_event_rollup`` documents) and returns
     the sink DataFrame."""
     keys = keys or ["event_id"]
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(src_dir)
-    )
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger)
     deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys
     )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_table)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink_table)
+    return drain_to_memory(spark, deduped, checkpoint_dir, sink_table)
 
 
 def streaming_rollup_to_parquet(
@@ -229,59 +239,109 @@ _STATE_SCHEMA = "start long, end long, n int, total double"
 GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
 
 
-def _session_fn(key, pdfs, state):
-    """Per-user gap-session kernel for applyInPandasWithState (Spark 4
-    also ships transformWithStateInPandas, but its driver worker needs
-    the protobuf package; this classic API is dependency-free)."""
-    start, end, n, total = state.get if state.exists else (None, None, 0, 0.0)
-    ts_all, vals = [], []
-    for pdf in pdfs:
-        ts_all.append(pdf["ts"].astype("int64") // 1000)  # ns -> us
-        vals.append(pdf["value"])
-    ts = pd.concat(ts_all).to_numpy()
-    vv = pd.concat(vals).to_numpy()
-    order = ts.argsort(kind="stable")
+def _sessions_frame(key, closed) -> pd.DataFrame:
+    s, e, cn, tv = zip(*closed)
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([key[0]] * len(closed), dtype="int64"),
+            "session_start": pd.to_datetime(list(s), unit="us"),
+            "session_end": pd.to_datetime(list(e), unit="us"),
+            "n_events": pd.Series(cn, dtype="int32"),
+            "total_value": pd.Series(tv, dtype="float64"),
+        }
+    )
 
-    closed = []
-    for t, v in zip(ts[order].tolist(), vv[order].tolist()):
-        if start is None:
-            start, end, n, total = t, t, 1, v
-        elif t - end <= GAP_US:
-            # late cross-batch arrivals both extend the end AND pull
-            # the start back (the batch oracle's global sort sees them
-            # in order; lateness beyond GAP of the open session's end
-            # is out of contract without a watermark)
-            start, end, n, total = min(start, t), max(end, t), n + 1, total + v
-        else:
-            closed.append((start, end, n, total))
-            start, end, n, total = t, t, 1, v
-    state.update((int(start), int(end), int(n), float(total)))
 
-    if closed:
-        s, e, cn, tv = zip(*closed)
-        yield pd.DataFrame(
-            {
-                "user_id": pd.Series([key[0]] * len(closed), dtype="int64"),
-                "session_start": pd.to_datetime(list(s), unit="us"),
-                "session_end": pd.to_datetime(list(e), unit="us"),
-                "n_events": pd.Series(cn, dtype="int32"),
-                "total_value": pd.Series(tv, dtype="float64"),
-            }
+def _make_session_fn(timeout_ms: int | None):
+    """Per-user gap-session kernel factory for applyInPandasWithState
+    (Spark 4 also ships transformWithStateInPandas, but its driver
+    worker needs the protobuf package; this classic API is
+    dependency-free). With ``timeout_ms``, a user idle that long in
+    PROCESSING time has their open session emitted and their state
+    REMOVED — the eviction that makes state O(active users), not
+    O(all users ever seen)."""
+
+    def _session_fn(key, pdfs, state):
+        if timeout_ms is not None and state.hasTimedOut:
+            # idle user: close out the open session and evict. A
+            # later event within GAP of this end starts a NEW session
+            # where the batch oracle would have merged — the same
+            # out-of-contract lateness the cross-batch note below
+            # already carves out, traded for bounded state.
+            if state.exists:
+                start, end, n, total = state.get
+                yield _sessions_frame(key, [(start, end, n, total)])
+            state.remove()
+            return
+        start, end, n, total = (
+            state.get if state.exists else (None, None, 0, 0.0)
         )
+        ts_all, vals = [], []
+        for pdf in pdfs:
+            ts_all.append(pdf["ts"].astype("int64") // 1000)  # ns -> us
+            vals.append(pdf["value"])
+        ts = pd.concat(ts_all).to_numpy()
+        vv = pd.concat(vals).to_numpy()
+        order = ts.argsort(kind="stable")
+
+        closed = []
+        for t, v in zip(ts[order].tolist(), vv[order].tolist()):
+            if start is None:
+                start, end, n, total = t, t, 1, v
+            elif t - end <= GAP_US:
+                # late cross-batch arrivals both extend the end AND
+                # pull the start back (the batch oracle's global sort
+                # sees them in order; lateness beyond GAP of the open
+                # session's end is out of contract without a watermark)
+                start, end, n, total = (
+                    min(start, t), max(end, t), n + 1, total + v,
+                )
+            else:
+                closed.append((start, end, n, total))
+                start, end, n, total = t, t, 1, v
+        state.update((int(start), int(end), int(n), float(total)))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+
+        if closed:
+            yield _sessions_frame(key, closed)
+
+    return _session_fn
 
 
-def sessionize(events: DataFrame) -> DataFrame:
+def sessionize(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
     """Custom stateful streaming operator: per-user gap sessions via
     ``applyInPandasWithState`` (Arrow-batched; state = one 4-tuple per
-    user)."""
+    user).
+
+    ``timeout_ms`` is the continuous-stream config: users idle that
+    long in PROCESSING time have their open session emitted and their
+    state REMOVED, so a long-running stream's state is O(active
+    users) — not O(all users ever seen) — and a churned user's last
+    session is not parked in the state store forever (set it to the
+    session gap in ms for gap-consistent eviction).
+
+    It is OPT-IN rather than the default because a pending
+    processing-time timer keeps a ``Trigger.AvailableNow`` query alive
+    indefinitely — measured: a 2-file drain ran past batch 158 firing
+    empty timer batches instead of terminating — and the bounded-drain
+    topology (tests, oracles, catch-up jobs) relies on availableNow
+    terminating. Bounded drains therefore run timer-free (NoTimeout)
+    and leave each user's final session in state by contract;
+    continuous ``processingTime`` streams should pass ``timeout_ms``."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return events.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
+        _make_session_fn(timeout_ms),
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
 
 
@@ -352,21 +412,12 @@ def streaming_speed_inference(
         )
 
         out = infer_speed_limits(roads_stream, ruleset)
-    q = (
-        out.select(
-            "road_id",
-            F.col("speed_limit.road_type_name").alias("road_type_name"),
-            F.col("speed_limit.certitude").alias("certitude"),
-        )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_table)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    projected = out.select(
+        "road_id",
+        F.col("speed_limit.road_type_name").alias("road_type_name"),
+        F.col("speed_limit.certitude").alias("certitude"),
     )
-    q.awaitTermination()
-    return spark.table(sink_table)
+    return drain_to_memory(spark, projected, checkpoint_dir, sink_table)
 
 
 # ---------------------------------------------------------------------------
@@ -434,13 +485,6 @@ def streaming_tile_rollup(
     is the exactly-once file-sink pattern)."""
     stream = geo_tagged_events(read_event_stream(spark, src_dir))
     rolled = tile_windowed_rollup(stream, "lon", "lat", res, window, watermark)
-    q = (
-        rolled.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_table)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return drain_to_memory(
+        spark, rolled, checkpoint_dir, sink_table, output_mode="complete"
     )
-    q.awaitTermination()
-    return spark.table(sink_table)

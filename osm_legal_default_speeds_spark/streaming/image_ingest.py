@@ -35,19 +35,14 @@ def read_id_stream(spark: SparkSession, src_dir: str) -> DataFrame:
 def _drain_to_memory(
     spark: SparkSession, df: DataFrame, checkpoint_dir: str, sink_table: str
 ) -> DataFrame:
-    """Append-drain a bounded stream (AvailableNow) into a memory sink
-    and return the sink table. One definition so every image-ingest
-    drain shares sink options."""
-    q = (
-        df.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_table)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    """Append-drain a bounded stream into a memory sink — the shared
+    package-wide drain (event_rollup.drain_to_memory), re-exported
+    under the historical name."""
+    from osm_legal_default_speeds_spark.streaming.event_rollup import (
+        drain_to_memory,
     )
-    q.awaitTermination()
-    return spark.table(sink_table)
+
+    return drain_to_memory(spark, df, checkpoint_dir, sink_table)
 
 
 def streaming_image_verify(

@@ -494,3 +494,14 @@ def test_list_placeholders():
     assert placeholders("a") == []
     assert placeholders("{a}") == ["a"]
     assert placeholders("{a} and {b}") == ["a", "b"]
+
+
+def test_unicode_whitespace_is_not_a_token_separator():
+    """The reference's Regex("\\\\s") runs on the JVM, where \\s is
+    ASCII-only — a non-breaking space (U+00A0) is part of the KEY, not
+    a separator. Python's Unicode \\s would lex 'a\\u00a0and\\u00a0b' as
+    three tokens (the expression `a and b`) instead of one key."""
+    matches(keys("a\u00a0and\u00a0b"), "a\u00a0and\u00a0b")
+    not_matches(keys("a", "b"), "a\u00a0and\u00a0b")
+    # ASCII whitespace still separates, as before
+    matches(keys("a", "b"), "a and b")

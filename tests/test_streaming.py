@@ -291,8 +291,10 @@ def test_session_kernel_pulls_start_back_for_late_merge():
 
     from osm_legal_default_speeds_spark.streaming.event_rollup import (
         GAP_US,
-        _session_fn,
+        _make_session_fn,
     )
+
+    _session_fn = _make_session_fn(None)
 
     class _State:
         def __init__(self, tup):
@@ -368,3 +370,68 @@ def test_streaming_image_ingest_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, got_f.collect())) == sorted(
         map(tuple, want_f.collect())
     )
+
+
+def test_sessionize_timeout_evicts_and_emits_open_session(spark, tmp_path):
+    """Processing-time timeout (the opt-in continuous-stream config): a
+    user idle longer than timeout_ms has their OPEN session emitted and
+    their state removed — state stays O(active users) and a churned
+    user's last session is not parked in the state store forever. The
+    query cannot use awaitTermination: a pending processing-time timer
+    keeps an availableNow query alive indefinitely (the reason
+    timeout_ms is opt-in), so the test polls the sink and stops."""
+    import datetime as _dt
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    def _t(mins):
+        return _dt.datetime(2024, 1, 1, 10, mins)
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    for i, rows in enumerate(
+        [
+            [(1, _t(0), 1, "c", 2.0, ""),
+             (2, _t(5), 1, "c", 3.0, "")],
+            [(3, _t(0), 2, "c", 5.0, "")],
+        ]
+    ):
+        d = str(tmp_path / f"sess_build_{i}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        [part] = _glob.glob(f"{d}/part-*.parquet")
+        dst = f"{src}/f{i}.parquet"
+        _shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        sessionize(stream, timeout_ms=1)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess_evict")
+        .option("checkpointLocation", str(tmp_path / "evict_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        want = {(1, 2, 5.0), (2, 1, 5.0)}
+        deadline = _time.time() + 120
+        got = set()
+        while _time.time() < deadline and got != want:
+            got = {
+                (r["user_id"], r["n_events"], r["total_value"])
+                for r in spark.table("t_sess_evict").collect()
+            }
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    # BOTH users' open sessions were closed by eviction (user 2's timer
+    # fires on a later empty timer batch) and nothing was emitted twice
+    assert got == want

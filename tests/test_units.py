@@ -108,3 +108,25 @@ def test_series_matches_scalar(values):
             assert math.isnan(g)
         else:
             assert g == expected
+
+
+def test_unicode_whitespace_rejected_like_jvm():
+    """The reference's regexes and toDoubleOrNull run on the JVM: \\s
+    is ASCII [ \\t\\n\\x0b\\f\\r] and parseDouble rejects U+00A0 — and
+    the native Column twin (Spark rlike = JVM regex) already behaves
+    that way, so the Python paths must too or the three engines
+    disagree on wiki-scraped values carrying non-breaking spaces."""
+    assert parse_number_with_unit("30 mph") == pytest.approx(48.28032)
+    assert parse_number_with_unit("30\u00a0mph") is None
+    assert parse_number_with_unit("30\u00a0") is None
+    # trailing ASCII whitespace is parseDouble-trimmed; LEADING fails
+    # the reference's first-char digit/dot guard before any trim
+    assert parse_number_with_unit("30 ") == 30.0
+    assert parse_number_with_unit(" 30 ") is None
+    got = parse_number_with_unit_series(
+        pd.Series(
+            ["30\u00a0mph", "30\u00a0", "30 mph", "30 "], dtype="object"
+        )
+    )
+    assert math.isnan(got[0]) and math.isnan(got[1])
+    assert got[2] == pytest.approx(48.28032) and got[3] == 30.0
