@@ -85,10 +85,13 @@ def asof_join(
     if tie_break is None:
         raise ValueError("asof_join requires an explicit tie_break column")
     reserved = {"__ts", "__side", "__p", "__m", f"{prefix}{right_ts}"}
+    reserved.update(f"{prefix}{c}" for c in payload)
     clash = reserved.intersection(left.columns)
     if clash:
-        # withColumn would silently overwrite them and the final
-        # select(*left.columns) would return the corrupted values
+        # withColumn would silently overwrite internal names, and an
+        # output-name collision (prefix+right_ts or prefix+payload)
+        # would emit two columns with one name — AMBIGUOUS_REFERENCE
+        # downstream, or the wrong column under sort-by-name hashing
         raise ValueError(
             f"left columns {sorted(clash)} collide with asof_join's "
             f"internal/output names; rename them or change prefix="
@@ -174,6 +177,18 @@ def windowed_range_join(
         raise ValueError(f"window_us must be positive, got {window_us}")
     keys = _as_list(on)
     left_keep = list(left_keep) if left_keep is not None else left.columns
+    clash = {"__b"}.intersection(left.columns).union(
+        {"__b"}.intersection(right.columns)
+    )
+    if clash:
+        # withColumn would silently overwrite the caller's column with
+        # the probe bucket, splitting every left row's aggregates
+        # across two output groups — the same failure class asof_join
+        # rejects loudly
+        raise ValueError(
+            "column '__b' collides with windowed_range_join's internal "
+            "probe-bucket name; rename it"
+        )
 
     bucket_l = F.floor(F.col(left_ts) / F.lit(window_us))
     # A right row in [left_ts - W, left_ts) has bucket in

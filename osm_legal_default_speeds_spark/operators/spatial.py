@@ -75,6 +75,32 @@ def grid_cell(lon: Column, lat: Column, res: int) -> Column:
     return (x * F.lit(grid_ny(res)) + y).cast("long")
 
 
+def grid_xy_cont(lon: Column | str, lat: Column | str, res: int) -> tuple[Column, Column]:
+    """CONTINUOUS (unfloored) grid coordinates of a point at ``res`` —
+    the single definition of the lon/lat -> grid transform that
+    ``grid_cell_xy`` floors and every supercover/clip/snap/tile
+    operator feeds to ``segment_cells``. One helper, not per-site
+    closures: the supercover-completeness lemmas assume the probe cell
+    and the supercover cells come from the IDENTICAL transform, so a
+    drift between copies would silently break candidate capture."""
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    nx, ny = grid_nx(res), grid_ny(res)
+    return (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(nx), (
+        lat + F.lit(90.0)
+    ) / F.lit(180.0) * F.lit(ny)
+
+
+def segment_grid_coords(
+    lon0: str, lat0: str, lon1: str, lat1: str, res: int
+) -> tuple[Column, Column, Column, Column]:
+    """Both endpoints of a segment through :func:`grid_xy_cont` —
+    (x0, y0, x1, y1), the argument shape :func:`segment_cells` takes."""
+    x0, y0 = grid_xy_cont(lon0, lat0, res)
+    x1, y1 = grid_xy_cont(lon1, lat1, res)
+    return x0, y0, x1, y1
+
+
 def cell_xy(cell: Column, res: int) -> tuple[Column, Column]:
     """Integer-exact (x, y) decode of a cell id. Double division
     ``floor(cell / ny)`` can round the quotient up past the true floor
@@ -370,21 +396,30 @@ def assign_jurisdiction(
     selection fully inside codegen'd array expressions.
     """
     spark = points.sparkSession
-    idx = F.broadcast(boundary_cell_index_df(spark, boundaries, index_res))
+    # the index columns are RENAMED to reserved names before the join:
+    # drop("cell") would otherwise remove a caller's own cell/candidates
+    # column (DataFrame.drop drops every column of that name)
+    idx = F.broadcast(
+        boundary_cell_index_df(spark, boundaries, index_res)
+        .withColumnRenamed("cell", "__pip_icell")
+        .withColumnRenamed("candidates", "__pip_cands")
+    )
 
     lon, lat = F.col(lon_col), F.col(lat_col)
-    pts = points.withColumn("_pip_cell", grid_cell(lon, lat, index_res))
+    pts = points.withColumn("__pip_cell", grid_cell(lon, lat, index_res))
 
-    joined = pts.join(idx, pts["_pip_cell"] == idx["cell"], "left").drop("cell")
+    joined = pts.join(
+        idx, F.col("__pip_cell") == F.col("__pip_icell"), "left"
+    )
     contained = lambda c: (  # noqa: E731
         (lon >= c.getField("lon_min"))
         & (lon < c.getField("lon_max"))
         & (lat >= c.getField("lat_min"))
         & (lat < c.getField("lat_max"))
     )
-    winner = F.array_min(F.filter(F.col("candidates"), contained))
+    winner = F.array_min(F.filter(F.col("__pip_cands"), contained))
     return joined.withColumn(out_col, winner.getField("region_code")).drop(
-        "candidates", "_pip_cell"
+        "__pip_icell", "__pip_cands", "__pip_cell"
     )
 
 
@@ -395,7 +430,15 @@ def pip_region_column(
     expression choosing the min-priority containing rectangle. Fully
     codegen'd; used for the oracle-checked queries and benchmarks."""
     best: Column = F.lit(None).cast("string")
-    for b in sorted(boundaries, key=lambda b: b.priority, reverse=True):
+    # sort by the FULL candidate-struct tuple, mirroring the field
+    # order array_min compares in assign_jurisdiction — with priority
+    # alone, equal-priority overlapping rectangles would resolve
+    # last-listed-wins here but smallest-region_code there, and the
+    # two documented-interchangeable paths would diverge
+    order = lambda b: (  # noqa: E731
+        b.priority, b.region_code, b.lon_min, b.lat_min, b.lon_max, b.lat_max
+    )
+    for b in sorted(boundaries, key=order, reverse=True):
         inside = (
             (lon >= F.lit(b.lon_min))
             & (lon < F.lit(b.lon_max))
@@ -588,18 +631,26 @@ def assign_jurisdiction_polygons(
     row multiplication; rectangles remain available as the cheaper
     ``assign_jurisdiction`` fast path."""
     spark = points.sparkSession
-    idx = F.broadcast(polygon_cell_index_df(spark, polygons, index_res))
+    # reserved index-column names: see assign_jurisdiction (drop("cell")
+    # would remove a caller's own cell/candidates column)
+    idx = F.broadcast(
+        polygon_cell_index_df(spark, polygons, index_res)
+        .withColumnRenamed("cell", "__pip_icell")
+        .withColumnRenamed("candidates", "__pip_cands")
+    )
     lon, lat = F.col(lon_col), F.col(lat_col)
-    pts = points.withColumn("_pip_cell", grid_cell(lon, lat, index_res))
-    joined = pts.join(idx, pts["_pip_cell"] == idx["cell"], "left").drop("cell")
+    pts = points.withColumn("__pip_cell", grid_cell(lon, lat, index_res))
+    joined = pts.join(
+        idx, F.col("__pip_cell") == F.col("__pip_icell"), "left"
+    )
     winner = F.array_min(
         F.filter(
-            F.col("candidates"),
+            F.col("__pip_cands"),
             lambda c: point_in_polygon_col(lon, lat, c.getField("rings")),
         )
     )
     return joined.withColumn(out_col, winner.getField("region_code")).drop(
-        "candidates", "_pip_cell"
+        "__pip_icell", "__pip_cands", "__pip_cell"
     )
 
 
@@ -684,17 +735,20 @@ def knn_assign_via_index(
         )
         for cell, cands in idx.items()
     ]
+    # reserved index-column names: see assign_jurisdiction (drop("cell")
+    # would remove a caller's own cell/cands column)
     idx_df = F.broadcast(
         spark.createDataFrame(
             rows,
-            "cell long, cands array<struct<r:string, lon_min:double, "
-            "lat_min:double, lon_max:double, lat_max:double>>",
+            "__knn_icell long, __knn_cands array<struct<r:string, "
+            "lon_min:double, lat_min:double, lon_max:double, "
+            "lat_max:double>>",
         )
     )
     lon, lat = F.col(lon_col), F.col(lat_col)
-    pts = points.withColumn("_knn_cell", grid_cell(lon, lat, index_res))
-    joined = pts.join(idx_df, pts["_knn_cell"] == idx_df["cell"], "left").drop(
-        "cell"
+    pts = points.withColumn("__knn_cell", grid_cell(lon, lat, index_res))
+    joined = pts.join(
+        idx_df, F.col("__knn_cell") == F.col("__knn_icell"), "left"
     )
 
     def dist(c: Column) -> Column:
@@ -708,12 +762,12 @@ def knn_assign_via_index(
 
     best = F.array_min(
         F.transform(
-            F.col("cands"),
+            F.col("__knn_cands"),
             lambda c: F.struct(dist(c).alias("d"), c.getField("r").alias("r")),
         )
     )
     return joined.withColumn(out_col, best.getField("r")).drop(
-        "cands", "_knn_cell"
+        "__knn_icell", "__knn_cands", "__knn_cell"
     )
 
 
@@ -1156,13 +1210,9 @@ def rasterize_segments(
     (id, seq, cx, cy, cell) tuple, never the geometry."""
     nx, ny = grid_nx(res), grid_ny(res)
 
-    def gx(c: str) -> Column:
-        return (F.col(c) + 180.0) / 360.0 * nx
-
-    def gy(c: str) -> Column:
-        return (F.col(c) + 90.0) / 180.0 * ny
-
-    cells = segment_cells(gx(lon0), gy(lat0), gx(lon1), gy(lat1), nx, ny)
+    cells = segment_cells(
+        *segment_grid_coords(lon0, lat0, lon1, lat1, res), nx, ny
+    )
     return segs.select(
         id_col, F.posexplode(cells).alias("seq", "c")
     ).select(
@@ -1472,14 +1522,8 @@ def snap_to_segments(
         Returns (__pid, m)."""
         nx, ny = grid_nx(r), grid_ny(r)
 
-        def gx(c: str) -> Column:
-            return (F.col(c) + 180.0) / 360.0 * nx
-
-        def gy(c: str) -> Column:
-            return (F.col(c) + 90.0) / 180.0 * ny
-
         cells = segment_cells(
-            gx(lon0), gy(lat0), gx(lon1), gy(lat1), nx, ny
+            *segment_grid_coords(lon0, lat0, lon1, lat1, r), nx, ny
         )
 
         def _ring(c: Column) -> Column:
@@ -2007,18 +2051,28 @@ def within_distance_join_meters(
         # if |lat| exceeds the cap the res choice was derived from
         return F.when(F.abs(c) <= F.lit(lat_cap), c)
 
+    # out-of-contract rows (|lat| > cap) are dropped MAP-SIDE: the
+    # probe's explode yields zero rows for a null ring array and the
+    # build side filters before the exchange — without this they would
+    # still ship 9 probe cells + 1 build row through the shuffle only
+    # to be killed by haversine(NULL) after the join
     probe = left.select(
         F.col(left_id).alias("__ida"),
         F.col(lon).alias("__lona"),
         guard(F.col(lat)).alias("__lata"),
-        F.explode(neighbor_cells(cell, res, 1)).alias("__cell"),
+        F.explode(
+            F.when(
+                F.abs(F.col(lat)) <= F.lit(lat_cap),
+                neighbor_cells(cell, res, 1),
+            )
+        ).alias("__cell"),
     )
     build = right.select(
         F.col(right_id).alias("__idb"),
         F.col(lon).alias("__lonb"),
         guard(F.col(lat)).alias("__latb"),
         cell.alias("__cell"),
-    )
+    ).where(F.col("__latb").isNotNull())
     pair = probe.hint("shuffle_hash").join(build.hint("shuffle_hash"), "__cell")
     if self_pairs:
         pair = pair.where(F.col("__ida") < F.col("__idb"))
@@ -2236,6 +2290,16 @@ def quantize_node(x: Column, y: Column, quantum: float = 1e-6) -> Column:
     floor arithmetic, bit-identical in any engine). 1e-6 deg is ~11 cm
     at the equator: endpoints digitized as 'the same junction' collide,
     float noise below the quantum does not split them."""
+    if quantum <= 0:
+        raise ValueError(f"quantum must be positive, got {quantum}")
+    # the fixed packing holds |quantized coord| < 2^29 for geographic
+    # degrees (|v| <= 180); a finer quantum would silently bleed qy
+    # into the qx field and fuse unrelated junctions' node ids
+    if 180.0 / quantum + 0.5 >= _NODE_OFF:
+        raise ValueError(
+            f"quantum {quantum} overflows the node packing: need "
+            f"180/quantum + 0.5 < 2^29 (quantum > ~3.4e-7 deg)"
+        )
     inv = 1.0 / quantum
     qx = F.floor(x * F.lit(inv) + F.lit(0.5)).cast("long")
     qy = F.floor(y * F.lit(inv) + F.lit(0.5)).cast("long")
@@ -2341,13 +2405,9 @@ def segment_intersections(
     the point's cell."""
     nx, ny = grid_nx(res), grid_ny(res)
 
-    def gx(c: str) -> Column:
-        return (F.col(c) + 180.0) / 360.0 * nx
-
-    def gy(c: str) -> Column:
-        return (F.col(c) + 90.0) / 180.0 * ny
-
-    cells = segment_cells(gx(lon0), gy(lat0), gx(lon1), gy(lat1), nx, ny)
+    cells = segment_cells(
+        *segment_grid_coords(lon0, lat0, lon1, lat1, res), nx, ny
+    )
     flat = segs.select(
         F.col(seg_id).alias("__sid"),
         F.col(lon0).alias("__x0"),
@@ -2490,6 +2550,10 @@ def polygon_stats(polys: DataFrame) -> DataFrame:
 VT_MAGIC = b"VT01"
 VT_FEATURE_BYTES = 40
 VT_HEADER_BYTES = 8
+# feature record: <q4d — seg_id is SIGNED (the column type is long and
+# simplify_to_segments propagates the caller's line ids into it; an
+# unsigned '<Q' pack would abort the task with struct.error on the
+# first negative id)
 
 
 def encode_vector_tiles(
@@ -2520,12 +2584,6 @@ def encode_vector_tiles(
 
     nx, ny = grid_nx(res), grid_ny(res)
 
-    def gx(c: str) -> Column:
-        return (F.col(c) + 180.0) / 360.0 * nx
-
-    def gy(c: str) -> Column:
-        return (F.col(c) + 90.0) / 180.0 * ny
-
     if clip:
         # store the clipped sub-segment per tile (what production tile
         # encoders ship — a tile renders with no out-of-bounds strokes;
@@ -2539,7 +2597,9 @@ def encode_vector_tiles(
             F.col("cell").alias("tile_id"),
         )
     else:
-        cells = segment_cells(gx(lon0), gy(lat0), gx(lon1), gy(lat1), nx, ny)
+        cells = segment_cells(
+            *segment_grid_coords(lon0, lat0, lon1, lat1, res), nx, ny
+        )
         flat = segs.select(
             F.col(seg_id).alias("__sid"),
             F.col(lon0).alias("__x0"),
@@ -2575,7 +2635,7 @@ def encode_vector_tiles(
             blob = VT_MAGIC + _struct.pack("<I", len(fl))
             blob += b"".join(
                 _struct.pack(
-                    "<Q4d",
+                    "<q4d",
                     f["__sid"], f["__x0"], f["__y0"], f["__x1"], f["__y1"],
                 )
                 for f in fl
@@ -2613,7 +2673,7 @@ def decode_vector_tile(blob: bytes) -> list[tuple]:
     out = []
     for i in range(n):
         out.append(
-            struct.unpack_from("<Q4d", blob, VT_HEADER_BYTES + i * VT_FEATURE_BYTES)
+            struct.unpack_from("<q4d", blob, VT_HEADER_BYTES + i * VT_FEATURE_BYTES)
         )
     return out
 
@@ -2647,10 +2707,8 @@ def clip_segments(
     renderers draw them seamlessly). Map-side explode only, fan-out =
     crossed-interval count, geometry rides as 4 doubles."""
     nx, ny = grid_nx(res), grid_ny(res)
-    gx0 = (F.col(lon0) + 180.0) / 360.0 * nx
-    gy0 = (F.col(lat0) + 90.0) / 180.0 * ny
-    gx1 = (F.col(lon1) + 180.0) / 360.0 * nx
-    gy1 = (F.col(lat1) + 90.0) / 180.0 * ny
+    gx0, gy0 = grid_xy_cont(lon0, lat0, res)
+    gx1, gy1 = grid_xy_cont(lon1, lat1, res)
     dx = gx1 - gx0
     dy = gy1 - gy0
     ts = segment_cut_params(gx0, gy0, gx1, gy1)
@@ -2877,17 +2935,13 @@ def _rebuild_changed_tiles_parts(
 
     nx, ny = grid_nx(res), grid_ny(res)
 
-    def gx(c: str) -> Column:
-        return (F.col(c) + 180.0) / 360.0 * nx
-
-    def gy(c: str) -> Column:
-        return (F.col(c) + 90.0) / 180.0 * ny
-
     def cover_cells(segs: DataFrame) -> DataFrame:
         """(tile_id, __sid) for every tile the segment's supercover
         crosses — the same midpoint-cut construction the encoder
         stamped, so the dirty set is exact in both clip modes."""
-        cells = segment_cells(gx(lon0), gy(lat0), gx(lon1), gy(lat1), nx, ny)
+        cells = segment_cells(
+            *segment_grid_coords(lon0, lat0, lon1, lat1, res), nx, ny
+        )
         return segs.select(
             F.col(seg_id).alias("__sid"), F.explode(cells).alias("__c")
         ).select(
@@ -2989,7 +3043,7 @@ def _rebuild_changed_tiles_parts(
                 continue
             feats.sort()  # tuple order == array_sort struct field order
             blob = VT_MAGIC + _struct.pack("<I", len(feats))
-            blob += b"".join(_struct.pack("<Q4d", *f) for f in feats)
+            blob += b"".join(_struct.pack("<q4d", *f) for f in feats)
             out.append(blob)
         return pd.Series(out)
 

@@ -117,17 +117,26 @@ def trajectory_legs(
         F.col(lat_col).alias("lat1"),
     )
     w = Window.partitionBy("user").orderBy("t1", "id1")
-    pairs = base.select(
-        "user",
-        "id1",
-        to_us(F.col("t1")).alias("t1_us"),
-        "lon1",
-        "lat1",
-        F.lag("id1").over(w).alias("id0"),
-        to_us(F.lag("t1").over(w)).alias("t0_us"),
-        F.lag("lon1").over(w).alias("lon0"),
-        F.lag("lat1").over(w).alias("lat0"),
-    ).where(F.col("id0").isNotNull())
+    # partition start is detected with a NON-NULLABLE lag marker, not
+    # lag(id): a ping whose PREDECESSOR carries a NULL event_id still
+    # has valid coordinates and must produce its leg — filtering on
+    # id0 IS NOT NULL would silently drop it
+    pairs = (
+        base.select(
+            "user",
+            "id1",
+            to_us(F.col("t1")).alias("t1_us"),
+            "lon1",
+            "lat1",
+            F.lag("id1").over(w).alias("id0"),
+            to_us(F.lag("t1").over(w)).alias("t0_us"),
+            F.lag("lon1").over(w).alias("lon0"),
+            F.lag("lat1").over(w).alias("lat0"),
+            F.lag(F.lit(1)).over(w).alias("__prev"),
+        )
+        .where(F.col("__prev").isNotNull())
+        .drop("__prev")
+    )
     return leg_metrics(pairs)
 
 

@@ -2811,10 +2811,13 @@ _LEGS_SQL = f"""
       lag(event_id) OVER w AS id0,
       lag(ts) OVER w AS t0,
       lag(lon) OVER w AS lon0,
-      lag(lat) OVER w AS lat0
+      lag(lat) OVER w AS lat0,
+      -- partition-start sentinel, NOT id0 IS NOT NULL: a NULL-id
+      -- predecessor still produces a leg (operators/trajectory.py)
+      lag(1) OVER w AS has_prev
     FROM pings
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-  ) WHERE id0 IS NOT NULL
+  ) WHERE has_prev IS NOT NULL
 """
 
 

@@ -332,3 +332,34 @@ def test_range_join_rejects_nonpositive_window(spark):
                 window_us=bad, aggs=[F.count(F.lit(1)).alias("n")],
                 left_keep=["lid"],
             )
+
+
+def test_range_join_rejects_reserved_bucket_column(spark):
+    from osm_legal_default_speeds_spark.operators.joins import (
+        windowed_range_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100, 5)], "k long, ts_us long, __b long"
+    )
+    right = spark.createDataFrame([(1, 50)], "k long, ts_us long")
+    with pytest.raises(ValueError, match="__b"):
+        windowed_range_join(
+            left, right, "k", "ts_us", "ts_us", 100,
+            [F.count(F.lit(1)).alias("n")],
+        )
+
+
+def test_asof_rejects_payload_output_collision(spark):
+    from osm_legal_default_speeds_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 9.0)], "k long, ts_us long, asof_v double"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 1.0, 0)], "k long, ts_us long, v double, tb long"
+    )
+    with pytest.raises(ValueError, match="asof_v"):
+        asof_join(
+            left, right, "k", payload=["v"], tie_break="tb"
+        )

@@ -1525,3 +1525,138 @@ def test_tile_hotspots_local_maximum_semantics(spark):
     assert got[iso] == 3
     winner = min(tie_a, tie_b)
     assert got[winner] == 5 and max(tie_a, tie_b) not in got
+
+
+# --------------------------------------------------------------------------
+# round-5 review regressions: reserved names, tie-breaks, packing guards
+# --------------------------------------------------------------------------
+
+def test_assign_jurisdiction_preserves_user_cell_columns(spark):
+    """The broadcast-index joins must not clobber a caller's own
+    cell/candidates/cands columns (DataFrame.drop removes EVERY column
+    of that name) — a grid-encoded upstream naturally carries 'cell'."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        RectBoundary,
+        assign_jurisdiction,
+        assign_jurisdiction_polygons,
+        knn_assign_via_index,
+    )
+
+    bounds = [RectBoundary("AA", 0.0, 0.0, 10.0, 10.0, 0)]
+    polys = [
+        PolygonBoundary(
+            "AA", [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]], 0
+        )
+    ]
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0, 999, "keep-me", "mine")],
+        "pid long, lon double, lat double, cell long, candidates string, "
+        "cands string",
+    )
+    for out in (
+        assign_jurisdiction(pts, bounds),
+        assign_jurisdiction_polygons(pts, polys),
+        knn_assign_via_index(pts, bounds),
+    ):
+        row = out.collect()[0]
+        assert row["cell"] == 999
+        assert row["candidates"] == "keep-me"
+        assert row["cands"] == "mine"
+        assert row[out.columns[-1]] == "AA"  # region still assigned
+
+
+def test_pip_paths_agree_on_equal_priority_overlap(spark):
+    """pip_region_column (when-fold) and assign_jurisdiction
+    (array_min over the candidate struct) are documented as
+    interchangeable; equal-priority overlapping rectangles must
+    resolve identically — smallest (priority, region_code, ...)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        RectBoundary,
+        assign_jurisdiction,
+        pip_region_column,
+    )
+
+    bounds = [
+        RectBoundary("BB", 0.0, 0.0, 10.0, 10.0, 0),
+        RectBoundary("AA", 5.0, 5.0, 15.0, 15.0, 0),  # overlaps BB
+    ]
+    pts = spark.createDataFrame(
+        [(1, 7.0, 7.0), (2, 2.0, 2.0), (3, 12.0, 12.0)],
+        "pid long, lon double, lat double",
+    )
+    via_index = {
+        r["pid"]: r["region_code"]
+        for r in assign_jurisdiction(pts, bounds).collect()
+    }
+    via_case = {
+        r["pid"]: r["rc"]
+        for r in pts.select(
+            "pid",
+            pip_region_column(bounds, F.col("lon"), F.col("lat")).alias("rc"),
+        ).collect()
+    }
+    assert via_index == via_case == {1: "AA", 2: "BB", 3: "AA"}
+
+
+def test_quantize_node_rejects_overflowing_quantum(spark):
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        segment_components,
+    )
+
+    segs = spark.createDataFrame(
+        [(1, 0.0, 0.0, 1.0, 1.0)],
+        "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double",
+    )
+    with pytest.raises(ValueError, match="overflows the node packing"):
+        segment_components(segs, quantum=1e-7).collect()
+    with pytest.raises(ValueError, match="positive"):
+        segment_components(segs, quantum=0.0).collect()
+
+
+def test_vector_tiles_pack_negative_seg_id(spark):
+    """seg_id is a signed long; the 40-byte feature record must pack
+    and round-trip negative ids instead of aborting the task with
+    struct.error."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        decode_vector_tile,
+        encode_vector_tiles,
+    )
+
+    segs = spark.createDataFrame(
+        [(-5, 1.0, 1.0, 1.1, 1.1), (7, 1.0, 1.0, 1.1, 1.1)],
+        "seg_id long, lon0 double, lat0 double, lon1 double, lat1 double",
+    )
+    tiles = encode_vector_tiles(segs, res=5, clip=False).collect()
+    ids = {
+        f[0]
+        for t in tiles
+        for f in decode_vector_tile(bytes(t["tile_blob"]))
+    }
+    assert ids == {-5, 7}
+
+
+def test_within_meters_polar_rows_dropped_mapside(spark):
+    """|lat| > lat_cap rows are out of contract; they must produce no
+    pairs AND no probe fan-out rows (the explode yields zero rows for
+    them instead of 9 shuffled cells killed post-join)."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        within_distance_join_meters,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 10.0, 89.0), (2, 10.0, 89.0), (3, 10.0, 50.0), (4, 10.001, 50.0)],
+        "pid long, lon double, lat double",
+    )
+    got = sorted(
+        (r["pid_a"], r["pid_b"])
+        for r in within_distance_join_meters(
+            pts.selectExpr("pid AS pid_a", "lon", "lat"),
+            pts.selectExpr("pid AS pid_b", "lon", "lat"),
+            radius_m=1000.0,
+            left_id="pid_a",
+            right_id="pid_b",
+            self_pairs=True,
+        ).collect()
+    )
+    # polar points 1/2 excluded even though they are 0 m apart
+    assert got == [(3, 4)]

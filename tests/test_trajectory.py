@@ -219,3 +219,28 @@ def test_streaming_speeding_matches_batch(spark, tmp_path):
         for r in got_df.collect()
     )
     assert got == expected and len(got) >= 2
+
+
+def test_null_id_predecessor_still_produces_leg(spark):
+    """A ping whose PREDECESSOR carries a NULL event_id must still
+    produce its leg (the partition-start sentinel is a lag marker, not
+    lag(id)): coordinates and timestamps are the data, the id is
+    bookkeeping."""
+    from osm_legal_default_speeds_spark.operators.trajectory import (
+        trajectory_legs,
+        trajectory_stats,
+    )
+
+    rows = [
+        (None, 9, _ts("2024-01-01T00:00:00"), 10.0, 50.0),
+        (91, 9, _ts("2024-01-01T01:00:00"), 11.0, 50.0),
+        (92, 9, _ts("2024-01-01T02:00:00"), 12.0, 50.0),
+    ]
+    pings = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, lon double, lat double",
+    )
+    legs = trajectory_legs(pings).collect()
+    assert len(legs) == 2  # NULL-id ping -> 91, then 91 -> 92
+    assert {(r["id0"], r["id1"]) for r in legs} == {(None, 91), (91, 92)}
+    assert trajectory_stats(pings).collect()[0]["n_legs"] == 2
