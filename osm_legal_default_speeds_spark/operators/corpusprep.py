@@ -151,7 +151,8 @@ def clean_lines(
 ) -> DataFrame:
     """C4-style line filtering inside each document: keep only lines
     that (a) end in terminal punctuation (. ! ? \"), (b) have at least
-    ``min_words`` space-separated words, and (c) contain none of the
+    ``min_words`` space-separated NON-EMPTY words (consecutive spaces
+    don't mint words), and (c) contain none of the
     lowercase ``deny_substrings``. Appends ``out_col`` (kept lines
     re-joined with newlines) plus ``n_lines_kept`` / ``n_lines_dropped``.
 
@@ -171,7 +172,13 @@ def clean_lines(
     def keep(line):
         last = F.substring(line, -1, 1)
         cond = last.isin(*_TERMINALS)
-        cond = cond & (F.size(F.split(line, " ", -1)) >= F.lit(min_words))
+        # count non-empty tokens: a bare split-length counts the ''
+        # tokens consecutive spaces produce, letting space-padded
+        # lines defeat the min_words contract
+        words = F.filter(
+            F.split(line, " ", -1), lambda w: w != F.lit("")
+        )
+        cond = cond & (F.size(words) >= F.lit(min_words))
         low = F.lower(line)
         for s in deny_substrings:
             cond = cond & ~low.contains(F.lit(s))
@@ -209,8 +216,11 @@ def dedup_lines(
     corpus has blank separator lines in >= min_docs documents, and
     treating them as common would strip every paragraph break
     corpus-wide — the reference passes exclude empty/short lines from
-    the candidate set for exactly this reason. Appends ``out_col``
-    with surviving lines re-joined in original order, plus
+    the candidate set for exactly this reason. CRLF newlines are
+    normalized to LF before splitting (same as :func:`clean_lines` —
+    without it the same banner hashes differently in CRLF vs LF
+    documents and neither copy reaches ``min_docs``). Appends
+    ``out_col`` with surviving lines re-joined in original order, plus
     ``n_lines_dropped``.
 
     Plan: ONE aggregation shuffle finds the boilerplate set — lines
@@ -227,7 +237,9 @@ def dedup_lines(
     lines if a corpus ever yields a boilerplate set too large to probe
     — at that point the corpus is mostly template and line dedup is
     the wrong tool anyway."""
-    lines = F.split(F.col(text_col), "\n", -1)
+    lines = F.split(
+        F.replace(F.col(text_col), F.lit("\r\n"), F.lit("\n")), "\n", -1
+    )
     common = (
         df.select(
             F.col(id_col).alias("__id"),

@@ -182,15 +182,34 @@ def curate_corpus(
 # Shingling + MinHash
 # ---------------------------------------------------------------------------
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (multiset; min-hash only needs the set).
-    Texts shorter than n words yield one truncated shingle."""
-    t = tokens(text)
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array (multiset; min-hash only
+    needs the set). Token arrays shorter than n yield one truncated
+    shingle.
+
+    ``t`` should be a STAGED column (an attribute from a prior
+    projection), not an inline ``tokens(text)`` subtree: the transform
+    lambda references ``t`` once per shingle, higher-order functions
+    evaluate interpreted, and Catalyst does not CSE duplicated subtrees
+    — an inlined tokenize would re-split the full text for EVERY
+    shingle, O(tokens^2) per document (CLAUDE.md, commit d50c7de).
+    Referencing ``t`` twice here (count + lambda) also keeps
+    CollapseProject from re-inlining the staged projection."""
     n_sh = F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), n_sh - 1),
         lambda i: F.array_join(F.slice(t, i + 1, n), " "),
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of the raw text — Column-level convenience
+    for pair-sized inputs (ngram_jaccard on post-LSH candidates).
+    O(tokens^2) per document when interpreted (see
+    :func:`shingles_from_tokens`); DataFrame-level corpus scans should
+    stage the token array as a column and call the ``_from_tokens``
+    core instead."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def minhash_signature(
@@ -273,9 +292,14 @@ def minhash_signatures(
     source scans narrower than the cluster (small files); leave None at
     corpus scale."""
     df = widen_narrow_scan(df, pre_partitions)
-    sh = df.select(
+    # stage the token array: inlined, the interpreted shingle transform
+    # would re-tokenize the full text once per shingle (O(tokens^2) per
+    # doc — see shingles_from_tokens)
+    sh = df.withColumn("__t", tokens(F.col(text_col))).select(
         F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("__t"), shingle_n))
+        ).alias("s"),
     )
     if portable:
         mins = [
@@ -560,8 +584,10 @@ def dup_groups_from_pairs(
     cc = connected_components(pairs, a_col, b_col)
     return cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.min("node").alias("rep_id"),
-    )
+        # component IS the min reachable node id (connected_components
+        # contract) and is itself a member, so rep_id == component; an
+        # alias, not a redundant min aggregate
+    ).withColumn("rep_id", F.col("component"))
 
 
 # ---------------------------------------------------------------------------
@@ -668,14 +694,19 @@ def decontaminate(
 
     Returns the surviving rows of ``docs`` (original columns).
     """
-    gram = lambda c: F.explode(  # noqa: E731
-        F.array_distinct(shingles(c, shingle_n))
+    # token arrays staged per side: see shingles_from_tokens (inlined
+    # tokenize re-splits the text once per shingle, O(tokens^2)/doc)
+    gram = F.explode(
+        F.array_distinct(shingles_from_tokens(F.col("__t"), shingle_n))
     )
     eval_grams = (
-        eval_docs.select(gram(F.col(text_col)).alias("g")).distinct()
+        eval_docs.withColumn("__t", tokens(F.col(text_col)))
+        .select(gram.alias("g"))
+        .distinct()
     )
     hits = (
-        docs.select(F.col(id_col).alias("__d"), gram(F.col(text_col)).alias("g"))
+        docs.withColumn("__t", tokens(F.col(text_col)))
+        .select(F.col(id_col).alias("__d"), gram.alias("g"))
         .join(F.broadcast(eval_grams), "g")
         .groupBy("__d")
         .agg(F.count_distinct("g").alias("__hits"))
@@ -718,11 +749,14 @@ def cross_doc_spans(
     table is ~2x the corpus, so at 100 TB materializing it trades
     cheap, perfectly parallel map CPU for cluster-wide storage and
     eviction pressure; recompute is the scale-correct default."""
-    t = tokens(F.col(text_col))
-    g = docs.select(
+    # staged token array: __len and the shingle transform share it, and
+    # the inlined form would re-tokenize once per shingle (O(tokens^2)
+    # per doc — see shingles_from_tokens)
+    t = F.col("__t")
+    g = docs.withColumn("__t", tokens(F.col(text_col))).select(
         id_col,
         F.size(t).alias("__len"),
-        F.posexplode(shingles(F.col(text_col), n)).alias("pos", "gram"),
+        F.posexplode(shingles_from_tokens(t, n)).alias("pos", "gram"),
     ).select(
         id_col, "__len", "pos", F.md5(F.col("gram")).alias("gh")
     )
@@ -764,7 +798,10 @@ def cross_doc_spans(
         F.sum("cov").alias("dup_span_tokens"),
         F.count(F.lit(1)).alias("n_spans"),
     )
-    lens = docs.select(id_col, F.size(t).alias("n_tokens"))
+    # plain size(tokenize) — evaluated once per row, nothing to stage
+    lens = docs.select(
+        id_col, F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
     return lens.join(per_doc, id_col, "left").select(
         id_col,
         "n_tokens",

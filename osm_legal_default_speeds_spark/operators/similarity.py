@@ -807,11 +807,17 @@ def brute_force_topk_np(
             norms[norms == 0.0] = 1.0
             sims = (mat / norms) @ qn.T  # (batch, Q)
             n_keep = min(k, len(ids))
-            # per-batch partial top-k per query (argpartition, then sort)
+            # per-batch partial top-k per query. Tie-safe: a bare
+            # argpartition cuts boundary ties arbitrarily (duplicate
+            # embeddings score identically), making the partials
+            # batch-layout-dependent; keeping every row tied with the
+            # k-th value lets the final (sim desc, id asc) window stay
+            # deterministic for any partitioning (same contract as the
+            # PQ kernels).
             out_q, out_id, out_sim = [], [], []
             for qi in range(len(qids)):
                 col = sims[:, qi]
-                cand = np.argpartition(-col, n_keep - 1)[:n_keep]
+                cand = _keep_topk_with_ties(col, n_keep)
                 for i in cand:
                     out_q.append(qids[qi])
                     out_id.append(ids[i])
@@ -907,11 +913,27 @@ def train_pq(
     """Per-subspace Lloyd's k-means codebooks, shape (m, ksub, d/m).
     Deterministic: the sample is the pushed-down ``id < sample_ids``
     filter ordered by id, init is the first ksub sample subvectors,
-    ties in assignment break to the lowest centroid index (argmin)."""
+    ties in assignment break to the lowest centroid index (argmin).
+
+    Like ``_default_centroids`` / ``train_codebook``'s init, the cheap
+    pushed-down filter silently under-fills when ids don't start at 0
+    (sharded/offset ids — this module itself creates +10000-offset dup
+    ids); fall back to orderBy.limit (TakeOrdered partial top-k, no
+    global sort) so such corpora train on the requested sample size
+    instead of a truncated — or empty — one."""
     rows = vectors.where(F.col(id_col) < sample_ids).select(
         id_col, vec_col
     ).collect()
+    if len(rows) < sample_ids:
+        rows = (
+            vectors.orderBy(id_col)
+            .limit(sample_ids)
+            .select(id_col, vec_col)
+            .collect()
+        )
     rows.sort(key=lambda r: r[id_col])
+    if not rows:
+        raise ValueError("train_pq: input has no vectors to sample")
     X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     n, d = X.shape
     if d % m:
@@ -1394,7 +1416,7 @@ def semantic_dedup(
     tree_probe: int | None = None,
 ) -> DataFrame:
     """Keep one representative of every cluster-local near-duplicate
-    group: (vec_id, cell) for surviving rows.
+    group: (``id_col``, cell) for surviving rows.
 
     Drop rule: a row is dropped iff SOME lower-id row in its cell has
     cosine >= min_cosine with it, where cosine is evaluated as the dot
@@ -1539,6 +1561,9 @@ def semantic_dedup(
             .select(F.col("b.vid").alias("vid"))
             .distinct()
         )
-    return v.select("vid", "cell").join(
-        F.broadcast(losers), "vid", "left_anti"
+    return (
+        v.select("vid", "cell")
+        .join(F.broadcast(losers), "vid", "left_anti")
+        # surface the caller's id name, not the internal alias
+        .select(F.col("vid").alias(id_col), "cell")
     )

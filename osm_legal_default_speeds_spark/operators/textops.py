@@ -471,17 +471,27 @@ def repetition_stats(
     the aggregate. groupBy(doc, token) is map-side combined; the final
     per-doc agg is tiny. Both ratios are single IEEE divisions —
     bit-identical in the DuckDB twin."""
-    from osm_legal_default_speeds_spark.operators.dedup import shingles
+    from osm_legal_default_speeds_spark.operators.dedup import (
+        shingles_from_tokens,
+    )
 
-    sh = shingles(F.col(text_col), ngram_n)
+    # two staged levels: the token array feeds the shingle transform
+    # (inlined it would re-tokenize once per shingle, O(tokens^2)/doc)
+    # and the shingle array is referenced three times by the ratio (no
+    # HOF CSE — see shingles_from_tokens / CLAUDE.md)
+    sh = F.col("__sh")
     dup_ratio = (
         (F.size(sh) - F.size(F.array_distinct(sh))).cast("double")
         / F.size(sh).cast("double")
     )
-    exploded = df.select(
-        F.col(id_col),
-        dup_ratio.alias("__dr"),
-        F.explode(tokens(F.col(text_col))).alias("token"),
+    exploded = (
+        df.withColumn("__t", tokens(F.col(text_col)))
+        .withColumn("__sh", shingles_from_tokens(F.col("__t"), ngram_n))
+        .select(
+            F.col(id_col),
+            dup_ratio.alias("__dr"),
+            F.explode(F.col("__t")).alias("token"),
+        )
     )
     counted = exploded.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("__cnt"), F.first("__dr").alias("__dr")

@@ -1089,7 +1089,7 @@ losers AS (
   FROM vcell a JOIN vcell b ON a.cell = b.cell AND a.vid < b.vid
   WHERE {_sql_dot('a.nvec', 'b.nvec')} >= {ND_MIN_COS}
 )
-SELECT vid, cell FROM vcell
+SELECT vid AS vec_id, cell FROM vcell
 WHERE vid NOT IN (SELECT vid FROM losers)
 """
 
@@ -2657,7 +2657,8 @@ k AS (
   SELECT doc_id, lines,
     list_filter(lines, l ->
       l[-1] IN ('.', '!', '?', '"')
-      AND len(string_split(l, ' ')) >= 3
+      -- non-empty word count, mirroring clean_lines
+      AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
       AND NOT contains(lower(l), '{{')
       AND NOT contains(lower(l), 'javascript')
       AND NOT contains(lower(l), 'lorem ipsum')) AS kept
@@ -2691,7 +2692,11 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LINE_DEDUP = f"""
 WITH aug AS ({SQL_DOCS_LINES_AUG}),
-ln AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug),
+-- CRLF -> LF literal replace, mirroring dedup_lines
+ln AS (SELECT doc_id,
+         string_split(replace(text, chr(13) || chr(10), chr(10)), chr(10))
+           AS lines
+       FROM aug),
 ex AS (SELECT doc_id, unnest(lines) AS line FROM ln),
 common AS (
   -- empty lines are never boilerplate (mirrors dedup_lines)

@@ -1438,7 +1438,7 @@ def test_semantic_dedup_drops_planted_copies(spark):
     )
 
     vecs = _semdedup_fixture(spark)
-    kept = {r.vid for r in semantic_dedup(vecs, 4, 0.999).collect()}
+    kept = {r.vec_id for r in semantic_dedup(vecs, 4, 0.999).collect()}
     # copies (higher ids) dropped, originals kept
     assert {100, 101, 102}.isdisjoint(kept)
     assert {5, 17} <= kept
@@ -1453,9 +1453,9 @@ def test_semantic_dedup_np_assign_parity(spark):
     )
 
     vecs = _semdedup_fixture(spark)
-    a = sorted((r.vid, r.cell) for r in semantic_dedup(vecs, 4, 0.999).collect())
+    a = sorted((r.vec_id, r.cell) for r in semantic_dedup(vecs, 4, 0.999).collect())
     b = sorted(
-        (r.vid, r.cell)
+        (r.vec_id, r.cell)
         for r in semantic_dedup(vecs, 4, 0.999, np_assign=True).collect()
     )
     assert a == b
@@ -1467,9 +1467,9 @@ def test_semantic_dedup_partition_invariant(spark):
     )
 
     vecs = _semdedup_fixture(spark)
-    one = sorted(r.vid for r in semantic_dedup(vecs, 4, 0.999).collect())
+    one = sorted(r.vec_id for r in semantic_dedup(vecs, 4, 0.999).collect())
     many = sorted(
-        r.vid
+        r.vec_id
         for r in semantic_dedup(vecs.repartition(13), 4, 0.999).collect()
     )
     assert one == many
@@ -1481,9 +1481,9 @@ def test_semantic_dedup_np_pairs_parity(spark):
     )
 
     vecs = _semdedup_fixture(spark)
-    a = sorted((r.vid, r.cell) for r in semantic_dedup(vecs, 4, 0.999).collect())
+    a = sorted((r.vec_id, r.cell) for r in semantic_dedup(vecs, 4, 0.999).collect())
     b = sorted(
-        (r.vid, r.cell)
+        (r.vec_id, r.cell)
         for r in semantic_dedup(
             vecs, 4, 0.999, np_assign=True, np_pairs=True
         ).collect()
@@ -1630,18 +1630,18 @@ def test_semantic_dedup_auto_centroids(spark):
 
     vecs = _semdedup_fixture(spark)  # 43 rows
     auto = sorted(
-        (r.vid, r.cell)
+        (r.vec_id, r.cell)
         for r in semantic_dedup(
             vecs, "auto", 0.999, target_cell_rows=10
         ).collect()
     )
     explicit = sorted(
-        (r.vid, r.cell)
+        (r.vec_id, r.cell)
         for r in semantic_dedup(vecs, 5, 0.999).collect()  # ceil(43/10)
     )
     assert auto == explicit
     # default signature runs end-to-end (auto is the default)
-    kept = {r.vid for r in semantic_dedup(vecs, min_cosine=0.999).collect()}
+    kept = {r.vec_id for r in semantic_dedup(vecs, min_cosine=0.999).collect()}
     assert {100, 101, 102}.isdisjoint(kept) and {5, 17} <= kept
 
     import pytest as _pytest
@@ -1666,15 +1666,15 @@ def test_default_codebook_offset_ids_fallback(spark):
     offset = vecs.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
-    kept_dense = {r.vid for r in semantic_dedup(vecs, 5, 0.999).collect()}
+    kept_dense = {r.vec_id for r in semantic_dedup(vecs, 5, 0.999).collect()}
     kept_off = {
-        r.vid - 1_000_000
+        r.vec_id - 1_000_000
         for r in semantic_dedup(offset, 5, 0.999, np_assign=True).collect()
     }
     assert kept_off == kept_dense
     # Column path too (silent-nothing mode before the fix)
     kept_col = {
-        r.vid - 1_000_000
+        r.vec_id - 1_000_000
         for r in semantic_dedup(
             offset, 5, 0.999, np_assign=False, np_pairs=False
         ).collect()
@@ -1924,7 +1924,7 @@ def test_semantic_dedup_tree_assign_keeps_planted_dup_recall(spark):
 
     vecs = _semdedup_fixture(spark)
     kept = {
-        r.vid
+        r.vec_id
         for r in semantic_dedup(
             vecs, 4, 0.999, np_assign=True, np_pairs=True, tree_probe=1
         ).collect()
