@@ -10,8 +10,10 @@ data-driven per-country cascade stays in the Arrow UDF
 
 Correctness notes mirrored from the reference:
 - regex atoms use FULL-string matching (``RegexOrSet.kt:22``): every
-  compiled pattern is anchored ``^(?:...)$`` because Spark's ``rlike``
-  is substring search (SURVEY.md §4.3 - "correctness-critical"),
+  compiled pattern is anchored ``\\A(?:...)\\z`` because Spark's
+  ``rlike`` is substring search (SURVEY.md §4.3 -
+  "correctness-critical") and Java's ``$`` still matches before a
+  final line terminator,
 - alternation-only patterns are emitted as IN-lists
   (``RegexOrSet.kt:5-27``) — Catalyst can't do this rewrite for us
   because the pattern arrives as data, not as a SQL literal,
@@ -51,10 +53,15 @@ from osm_legal_default_speeds_spark.functions.tagfilter_ast import (
 from osm_legal_default_speeds_spark.functions.tagfilter_parser import parse_tag_filter
 from osm_legal_default_speeds_spark.functions.units import UNIT_FACTORS
 
-# Anchored (fullmatch) regexes mirroring functions.units
-_PLAIN_NUMBER_PATTERN = r"^\s*([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?\s*$"
-_WITH_UNIT_PATTERN = "^([0-9]+|[0-9]*\\.[0-9]+)\\s*([a-z/'\"]+)$"
-_FEET_INCH_PATTERN = "^([0-9]+)\\s*(?:'|ft)\\s*([0-9]+)\\s*(?:\"|in)$"
+# Anchored (fullmatch) regexes mirroring functions.units. \A/\z, not
+# ^/$: Java's $ also matches just before a FINAL line terminator, so a
+# ^...$ anchor accepts "30 mph\n" that the Python scalar's fullmatch
+# (and the reference's matchEntire) reject; \z is the absolute end.
+_PLAIN_NUMBER_PATTERN = (
+    r"\A\s*([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?\s*\z"
+)
+_WITH_UNIT_PATTERN = "\\A([0-9]+|[0-9]*\\.[0-9]+)\\s*([a-z/'\"]+)\\z"
+_FEET_INCH_PATTERN = "\\A([0-9]+)\\s*(?:'|ft)\\s*([0-9]+)\\s*(?:\"|in)\\z"
 
 
 def number_with_unit_to_double(value: Column) -> Column:
@@ -95,7 +102,11 @@ def number_with_unit_to_double(value: Column) -> Column:
 
 
 def _anchored(pattern: str) -> str:
-    return f"^(?:{pattern})$"
+    # \A/\z, not ^/$: Java's $ matches just before a final line
+    # terminator, so ^(?:p)$ on rlike accepts "residential\n" that the
+    # reference's matchEntire and the Arrow kernel's re.fullmatch
+    # reject — a silent native-vs-Python engine divergence.
+    return f"\\A(?:{pattern})\\z"
 
 
 def _regex_or_set_match(ros: RegexOrSet, col: Column) -> Column:

@@ -277,8 +277,17 @@ class HasTagLike(TagFilter):
         self.value_regex = RegexOrSet(value)
 
     def matches(self, tags: Tags) -> bool:
+        # v is not None: map<string,string> VALUES are nullable in
+        # Spark and arrive as None in the Arrow batch; the set path
+        # (`None in members`) and the native column path (null ->
+        # coalesced false) both degrade to no-match, but
+        # re.fullmatch(None) would raise — mirror the None guard
+        # HasTagValueLike already has (TagFilter.kt:52-66)
         kr, vr = self.key_regex, self.value_regex
-        return any(kr.matches(k) and vr.matches(v) for k, v in tags.items())
+        return any(
+            v is not None and kr.matches(k) and vr.matches(v)
+            for k, v in tags.items()
+        )
 
     def relevant_key(self):
         return RelevantKeyRegex(self.key_regex)

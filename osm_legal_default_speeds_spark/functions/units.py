@@ -70,8 +70,23 @@ _WITH_UNIT_RE = re.compile(rf"([0-9]+|[0-9]*\.[0-9]+){_JVM_WS}*([a-z/'\"]+)")
 # that already passed the first-char-is-digit-or-dot guard (no sign, no
 # hex, no underscores in practice for OSM values; leading/trailing
 # whitespace is trimmed by parseDouble). fullmatch-anchored.
+# KNOWN (intentional) narrowings vs the full parseDouble grammar, kept
+# so the Python scalar, the vectorized path, and the native Column twin
+# (sql_exprs, Spark cast) all agree with EACH OTHER: hex-float literals
+# ("0x1p3" -> 8.0 in Kotlin, None here — Spark's cast can't parse them
+# either) and [\x00-\x20] control-char padding ("30\x1f" -> 30.0 in
+# Kotlin via trim, None here — _JVM_WS covers only the 6 \s chars).
+# Both shapes are absent from real OSM maxspeed values.
 _PLAIN_NUMBER_RE = re.compile(
     rf"{_JVM_WS}*([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?{_JVM_WS}*"
+)
+# The vectorized fast path's re-check. NO leading-whitespace allowance:
+# the scalar's first-char-is-digit-or-dot guard rejects " 30" before
+# parseDouble ever trims it (NumberWithUnitParser.kt:5-6), so the bulk
+# pd.to_numeric conversion — which happily coerces " 30" — must be
+# re-screened against the guard, not just the parseDouble grammar.
+_PLAIN_NUMBER_STRICT_RE = re.compile(
+    rf"([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?{_JVM_WS}*"
 )
 
 
@@ -126,12 +141,16 @@ def parse_number_with_unit_series(values: pd.Series) -> pd.Series:
     # single source of truth) re-decides them.
     converted = out.notna()
     if converted.any():
-        bad = ~s[converted].str.fullmatch(_PLAIN_NUMBER_RE.pattern).astype(
-            bool
-        )
+        bad = ~s[converted].str.fullmatch(
+            _PLAIN_NUMBER_STRICT_RE.pattern
+        ).astype(bool)
         if bad.any():
             out[bad[bad].index] = np.nan
     residue = out.isna() & s.notna()
     if residue.any():
-        out[residue] = s[residue].map(parse_number_with_unit)
+        # astype: map yields None for rejects; assigning object-dtype
+        # Nones into the float64 result is deprecated in pandas
+        out[residue] = (
+            s[residue].map(parse_number_with_unit).astype("float64")
+        )
     return out.astype("float64")

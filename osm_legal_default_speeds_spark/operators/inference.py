@@ -221,7 +221,16 @@ def infer_speed_limits(
                 continue
             t = tags_l[i] or {}
             r = rels_l[i]
-            relations = list(r) if r is not None and len(r) else ()
+            # drop null ELEMENTS (array<map> elements are nullable):
+            # the native cascade's exists() evaluates a null relation
+            # to null -> coalesced false, i.e. it never matches — an
+            # unfiltered None here would crash the memo key's
+            # m.items() and HasKey's `key in None`
+            relations = (
+                [m for m in r if m is not None]
+                if r is not None and len(r)
+                else ()
+            )
             o = ovr_l[i]
             key = (
                 bc_id,
@@ -344,6 +353,12 @@ def _infer_dedup(
     if broadcast_results:
         inferred = F.broadcast(inferred)
 
+    # replace a pre-existing result_col in place (same contract as the
+    # non-dedup Arrow path's withColumn and the native cascade's
+    # explicit keep-list) — joining it back alongside the original
+    # would select the same name twice (AMBIGUOUS_REFERENCE downstream)
+    if result_col in keyed.columns:
+        keyed = keyed.drop(result_col)
     out = keyed.join(inferred, [country_col, key_col], "left")
     drop = [key_col] + ([work_tags] if prune_keys else [])
     return out.drop(*drop)

@@ -313,15 +313,16 @@ def stage_result_tags(
 # hoisted match-predicate columns (manual CSE over the placeholder DAG)
 # --------------------------------------------------------------------------
 
-def _reachable_names(ruleset: CompiledRuleSet) -> list[str]:
-    """Names appearing in any country's scan order, plus their
-    placeholder closures, in deterministic order."""
-    in_rules = set()
-    for cc, rules in ruleset.speed_limits_by_country.items():
-        for i in ruleset.scan_order_by_country[cc]:
-            in_rules.add(rules[i].name)
+def _placeholder_closure(
+    ruleset: CompiledRuleSet, frontier: set[str]
+) -> set[str]:
+    """Close a name set over placeholder references: returns
+    ``frontier`` plus every name transitively reachable through
+    ``road_type_filters``' placeholders. Shared by _reachable_names
+    (seed = names in scan orders) and _get_bundle's hoisting decision
+    (seed = directly-referenced placeholder targets) so the two sets
+    can never silently disagree on traversal rules."""
     seen: set[str] = set()
-    frontier = set(in_rules)
     while frontier:
         seen |= frontier
         nxt: set[str] = set()
@@ -330,7 +331,17 @@ def _reachable_names(ruleset: CompiledRuleSet) -> list[str]:
             if cf is not None:
                 nxt |= all_placeholder_names(cf)
         frontier = nxt - seen
-    return sorted(seen)
+    return seen
+
+
+def _reachable_names(ruleset: CompiledRuleSet) -> list[str]:
+    """Names appearing in any country's scan order, plus their
+    placeholder closures, in deterministic order."""
+    in_rules: set[str] = set()
+    for cc, rules in ruleset.speed_limits_by_country.items():
+        for i in ruleset.scan_order_by_country[cc]:
+            in_rules.add(rules[i].name)
+    return sorted(_placeholder_closure(ruleset, in_rules))
 
 
 def _topo_levels(ruleset: CompiledRuleSet, names: list[str]) -> dict[str, int]:
@@ -769,20 +780,12 @@ def _get_bundle(
     # every projection under spark.sql.codegen.maxFields (default 100)
     # — hoisting all ~190 names produced 287-column projections, which
     # silently lose codegen and fall back to interpreted evaluation.
-    shared: set[str] = set()
-    frontier: set[str] = set()
+    seed: set[str] = set()
     for n in names:
         cf = ruleset.road_type_filters.get(n)
         if cf is not None:
-            frontier |= all_placeholder_names(cf)
-    while frontier:
-        shared |= frontier
-        nxt: set[str] = set()
-        for n in frontier:
-            cf = ruleset.road_type_filters.get(n)
-            if cf is not None:
-                nxt |= all_placeholder_names(cf)
-        frontier = nxt - shared
+            seed |= all_placeholder_names(cf)
+    shared = _placeholder_closure(ruleset, seed)
 
     def ecol(n: str) -> str:
         return f"__nc_e{name_idx[n]}"

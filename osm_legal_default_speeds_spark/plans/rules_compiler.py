@@ -67,7 +67,14 @@ class CompiledRuleSet:
         rule set has no regex keys."""
         if not self.relevant_key_regexes:
             return None
-        return "^(?:" + "|".join(f"(?:{r.pattern})" for r in self.relevant_key_regexes) + ")$"
+        # \A/\z, not ^/$ — Java's $ matches before a final newline, so
+        # ^$-anchoring would keep keys the Python is_relevant_tag_key
+        # (re.fullmatch) drops (see functions.sql_exprs._anchored)
+        return (
+            "\\A(?:"
+            + "|".join(f"(?:{r.pattern})" for r in self.relevant_key_regexes)
+            + ")\\z"
+        )
 
 
 def _scan_order(rules: Sequence[RoadTypeDef]) -> list[int]:

@@ -21,7 +21,14 @@ from osm_legal_default_speeds_spark.functions.tagfilter_parser import (
 )
 
 KEYS = ["highway", "lit", "maxspeed", "x", "name:en"]
-VALUES = ["yes", "no", "residential", "30 mph", "50", "a b", "3.5t", ""]
+# "residential\n" pins the \A/\z anchoring: Java's $ matches before a
+# final line terminator, so a ^$-anchored rlike accepts the trailing-
+# newline value that re.fullmatch (and the reference's matchEntire)
+# reject — the differential must cover it or the engines drift
+VALUES = [
+    "yes", "no", "residential", "30 mph", "50", "a b", "3.5t", "",
+    "residential\n",
+]
 REGEXES = ["yes|no", "res.*", ".*way", "[a-z]+", "3.*"]
 NUMBERS = ["3", "3.5", "3.5st", "48.3", "30mph"]
 

@@ -227,6 +227,12 @@ FILTER_EXPRS = [
     "(highway = residential or highway = tertiary) and !name",
     "highway and !(shop or craft)",
     "lit != yes and width < 2m",
+    # real-regex atom (not rewritable to an IN-set) — pins the \A/\z
+    # anchoring: Java's $ matches before a final line terminator, so a
+    # ^$-anchored rlike would accept "residential\n" that the AST's
+    # re.fullmatch rejects
+    'highway ~ "residential|unclassified.*"',
+    '~"highwa.*" ~ "resi.*"',
 ]
 
 FILTER_TAGS = [
@@ -249,6 +255,9 @@ FILTER_TAGS = [
     {"highway": "motorway", "shop": "car"},
     {"lit": "no", "width": "1.5"},
     {"lit": "yes", "width": "1.5"},
+    # trailing-newline value/key: must NOT fullmatch any anchored regex
+    {"highway": "residential\n"},
+    {"highway\n": "residential"},
 ]
 
 
@@ -306,6 +315,15 @@ UNIT_VALUES = [
     "48.3",
     "1e3",
     "1.",
+    # trailing-newline / leading-whitespace forms: pin the \A/\z
+    # anchoring of the native patterns (Java's $ matches before a
+    # final newline, so "5'8\"\n" would wrongly parse with ^$) and
+    # the first-char guard (" 30" rejected before parseDouble trims)
+    "30\n",
+    "30 mph\n",
+    "5'8\"\n",
+    " 30",
+    "\t30",
 ]
 
 
@@ -662,3 +680,72 @@ def test_ruleset_broadcast_reused_across_calls(spark):
     a = infer_speed_limits(df, ruleset).collect()
     b = infer_speed_limits(df, ruleset).collect()
     assert a == b
+
+
+def test_null_relation_element_parity(spark):
+    """A null ELEMENT inside the relations array (legal in
+    array<map<string,string>>) must be treated as non-matching by every
+    engine, not crash the Arrow kernel. The native cascade's exists()
+    evaluates the null element to null -> coalesced false; the Arrow
+    kernel filters the Nones before building the memo key; the pure
+    engine sees the filtered list."""
+    from osm_legal_default_speeds_spark.plans.native_cascade import (
+        infer_speed_limits_native,
+    )
+
+    road_types, rules = za_defs()
+    ruleset = compile_ruleset(road_types, rules)
+    engine = LegalDefaultSpeedsEngine(ruleset=ruleset)
+
+    cases = [
+        # relation filter matters for this fixture ({bus route})
+        ("ZA", {"sidewalk": "no"}, [None], None),
+        ("ZA", {"sidewalk": "no"},
+         [None, {"type": "route", "ref": "ZA 2"}], None),
+        ("ZA", {"highway": "residential"}, [None, None], None),
+    ]
+    rows = [
+        Row(road_id=f"r{i}", country_code=cc, tags=t,
+            relations_tags=rels, overrides=o)
+        for i, (cc, t, rels, o) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    kw = dict(relations_col="relations_tags", overrides_col="overrides")
+
+    arrow = {r["road_id"]: r["speed_limit"]
+             for r in infer_speed_limits(df, ruleset, **kw).collect()}
+    native = {r["road_id"]: r["speed_limit"]
+              for r in infer_speed_limits_native(df, ruleset, **kw).collect()}
+
+    for i, (cc, t, rels, o) in enumerate(cases):
+        exp = engine.get_speed_limits(
+            cc, t, [m for m in rels if m is not None], overrides=o
+        )
+        for got, label in ((arrow[f"r{i}"], "arrow"), (native[f"r{i}"], "native")):
+            if exp is None:
+                assert got is None, f"case {i} {label}"
+            else:
+                assert got is not None, f"case {i} {label}"
+                assert got.road_type_name == exp.road_type_name, f"case {i} {label}"
+                assert (got.tags or {}) == exp.tags, f"case {i} {label}"
+                assert got.certitude == exp.certitude, f"case {i} {label}"
+
+
+def test_infer_dedup_replaces_existing_result_col(spark):
+    """dedup_inputs=True must replace a pre-existing result_col in
+    place (same contract as the non-dedup withColumn path and the
+    native cascade's keep-list) instead of joining back a second
+    identically-named column (AMBIGUOUS_REFERENCE downstream)."""
+    ruleset = compile_ruleset(*za_defs())
+    df = spark.createDataFrame(
+        [("ZA", {"highway": "motorway"}, "stale")],
+        "country_code string, tags map<string,string>, speed_limit string",
+    )
+    out = infer_speed_limits(
+        df, ruleset, result_col="speed_limit", dedup_inputs=True
+    )
+    assert out.columns.count("speed_limit") == 1
+    # the name must be selectable (this raises on ambiguity) and carry
+    # the INFERRED struct, not the stale input value
+    row = out.select("speed_limit").collect()[0]
+    assert row["speed_limit"].road_type_name == "motorway"

@@ -186,3 +186,18 @@ def test_regex_or_set():
     assert r.matches("c")
     assert not r.matches("d")
     assert not r.matches("a|b")
+
+
+def test_has_tag_like_null_map_value():
+    """map<string,string> VALUES are nullable in Spark and arrive as
+    None in the Arrow batch: every classification (set and real-regex)
+    must degrade to no-match like the native column path (null ->
+    coalesced false), not raise from re.fullmatch(None)."""
+    real = HasTagLike("maxspeed.*", "[0-9]+")  # RealRegex value pattern
+    assert not real.matches({"maxspeed:hgv": None})
+    assert real.matches({"maxspeed:hgv": None, "maxspeed": "30"})
+    piped = HasTagLike("shop|craft", "car|boat")  # IN-set value pattern
+    assert not piped.matches({"shop": None})
+    # value-only atoms already guard; keep them pinned alongside
+    assert not HasTagValueLike("shop", "car|boat").matches({"shop": None})
+    assert NotHasTagValueLike("shop", "car|boat").matches({"shop": None})

@@ -98,6 +98,10 @@ def test_no_sign_or_inf():
     "values",
     [
         ["30 mph", "60", "", "RO:urban", None, ".5", "5'8\"", "1 bananas", "3.5st", "1 km"],
+        # whitespace forms: the bulk pd.to_numeric path must re-apply
+        # the scalar's first-char guard (" 30" -> None) while keeping
+        # parseDouble's trailing-trim ("30 ", "30\n" -> 30.0)
+        [" 30", "\t30", "30 ", "30\n", "5'8\"\n", "30 mph\n"],
     ],
 )
 def test_series_matches_scalar(values):
