@@ -42,7 +42,11 @@ def build_pyfiles_zip(dest_path: str, package_root: str | None = None) -> str:
     assert pkg_name == "osm_legal_default_speeds_spark", package_root
     parent = os.path.dirname(package_root)
     with zipfile.ZipFile(dest_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, dirs, files in sorted(os.walk(package_root)):
+        # don't wrap the walk in sorted(): that exhausts the generator
+        # BEFORE the in-place dirs[:] prune can steer traversal, so the
+        # __pycache__ skip would be dead code; sorting dirs in place
+        # gives deterministic member order AND a live prune
+        for root, dirs, files in os.walk(package_root):
             dirs[:] = sorted(d for d in dirs if d != "__pycache__")
             for fn in sorted(files):
                 if fn.endswith(".py"):

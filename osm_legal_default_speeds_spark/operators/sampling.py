@@ -77,7 +77,9 @@ def stratified_sample(
     group's full membership in one task (the collect_list partial
     buffers themselves are not truncated before the exchange; see
     similarity.topk_per_query partial="arrow" for the variant that
-    is)."""
+    is). A NULL group VALUE is a group like any other (matching the
+    SQL twin's PARTITION BY) — the semi-join compares groups with
+    eqNullSafe."""
     u = _salted_unit(F.col(key_col), salt).alias("__u")
     base = df.withColumn("__u", u)
     entry = F.struct(F.col("__u"), F.col(key_col).alias("__k"))
@@ -100,7 +102,13 @@ def stratified_sample(
     return (
         base.join(
             F.broadcast(winners),
-            (base[group_col] == F.col("__wg"))
+            # eqNullSafe on the GROUP: groupBy keeps a null group key
+            # (and so does the DuckDB twin's PARTITION BY), so the
+            # null group must sample its n rows like any other — a
+            # plain == would null-extend and silently drop the whole
+            # group. The KEY comparison stays plain ==: null keys are
+            # excluded from the winner set above by contract.
+            base[group_col].eqNullSafe(F.col("__wg"))
             & (base[key_col] == F.col("__wk")),
             "left_semi",
         )
@@ -161,7 +169,12 @@ def spatial_split(
 
     Deterministic and engine-portable (salted md5 unit hash of the
     cell id), map-side only — a pure Column on the scan stage, zero
-    shuffles, any partitioning. Adds a ``split`` column."""
+    shuffles, any partitioning. Adds a ``split`` column.
+
+    NULL coordinates get a NULL split: a row without geography has no
+    spatial block, and silently routing it to ``test`` (what a bare
+    CASE's else-branch would do) skews the held-out set — callers
+    decide whether such rows join a split or are dropped."""
     from osm_legal_default_speeds_spark.operators.spatial import grid_cell
 
     if not (0.0 <= train and 0.0 <= val and train + val <= 1.0):
@@ -170,13 +183,19 @@ def spatial_split(
             f"val={val} (need train>=0, val>=0, train+val<=1; test "
             f"gets the 1-train-val remainder)"
         )
-    cell = grid_cell(F.col(lon_col), F.col(lat_col), res)
+    # the null gate must be explicit: grid_cell's edge clamp uses
+    # greatest/least, which SKIP nulls, so a null coordinate would
+    # silently clamp into cell (0, 0) instead of propagating null
+    cell = F.when(
+        F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull(),
+        grid_cell(F.col(lon_col), F.col(lat_col), res),
+    )
     u = _salted_unit(cell, salt)
     return df.withColumn(
         "split",
         F.when(u < F.lit(train), F.lit("train"))
         .when(u < F.lit(train + val), F.lit("val"))
-        .otherwise(F.lit("test")),
+        .when(u.isNotNull(), F.lit("test")),
     )
 
 

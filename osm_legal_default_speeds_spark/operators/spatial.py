@@ -70,7 +70,12 @@ def grid_cell_xy(lon: Column, lat: Column, res: int) -> tuple[Column, Column]:
 
 
 def grid_cell(lon: Column, lat: Column, res: int) -> Column:
-    """cell_id = x * 2^res + y  (bigint; res fixed per column)."""
+    """cell_id = x * 2^res + y  (bigint; res fixed per column).
+
+    NULL caveat: the edge clamp uses greatest/least, which SKIP nulls,
+    so a null coordinate lands in cell (0, 0) rather than propagating
+    null — callers that must distinguish "no geography" gate on
+    coordinate nullness first (see sampling.spatial_split)."""
     x, y = grid_cell_xy(lon, lat, res)
     return (x * F.lit(grid_ny(res)) + y).cast("long")
 

@@ -179,10 +179,17 @@ def run_checkpointed(
                     "id_hash_xor": str(got["fp"]),
                 }
 
-            # per-bucket row counts: metadata-only scan of what we wrote
+            # per-bucket row counts: metadata-only scan of what we
+            # wrote. The explicit schema matters on a FRESH output dir
+            # whose first batch wrote zero rows (only _SUCCESS, no
+            # footers, no partition dirs): schema inference would raise
+            # 'Unable to infer schema for Parquet' and wedge the job on
+            # that batch forever; with the known schema the scan is
+            # simply empty and every bucket records 0 rows.
             counts = {
                 r[PID_COL]: r["cnt"]
-                for r in spark.read.parquet(output_dir)
+                for r in spark.read.schema(part.schema)
+                .parquet(output_dir)
                 .where(F.col(PID_COL).isin(batch))
                 .groupBy(PID_COL)
                 .agg(F.count(F.lit(1)).alias("cnt"))
@@ -349,11 +356,23 @@ def run_checkpointed_iceberg(
 def completed_buckets_iceberg(spark: SparkSession, table: str) -> set[int]:
     """Committed buckets = union of ``job.buckets`` summary properties
     over all snapshots of ``table`` (empty if the table does not exist
-    yet)."""
+    yet). Existence is checked EXPLICITLY (same contract as the writer
+    above): only a missing table/catalog (AnalysisException from
+    resolution — incl. the Iceberg runtime being absent entirely)
+    degrades to "nothing committed"; a transient network/catalog
+    failure reading ``.snapshots`` re-raises instead of silently
+    triggering the full-corpus recompute this checkpoint design
+    exists to avoid."""
+    from pyspark.errors import AnalysisException
+
     try:
-        snaps = spark.sql(f"SELECT summary FROM {table}.snapshots").collect()
-    except Exception:
+        if not spark.catalog.tableExists(table):
+            return set()
+    except AnalysisException:
+        # unresolvable catalog/namespace (no Iceberg runtime, first
+        # run against an uncreated catalog) — first-run semantics
         return set()
+    snaps = spark.sql(f"SELECT summary FROM {table}.snapshots").collect()
     done: set[int] = set()
     for r in snaps:
         payload = (r["summary"] or {}).get("job.buckets")

@@ -53,13 +53,20 @@ def _orders_copy(o: DataFrame, i: int) -> DataFrame:
 def _documents_copy(d: DataFrame, i: int) -> DataFrame:
     if i == 0:
         return d
+    # stage the rewritten text as a COLUMN before taking its length:
+    # Catalyst does not CSE duplicated subtrees, so an inline reuse
+    # would run the full-document \S+ regexp twice per row — the
+    # dominant cost of synthesis across all salted copies
     text = F.regexp_replace(F.col("text"), r"(\S+)", f"$1q{i}")
-    return d.select(
-        (F.col("doc_id") + F.lit(i * _COPY_OFFSET)).alias("doc_id"),
-        text.alias("text"),
-        "lang",
-        "source",
-        F.length(text).alias("n_chars"),
+    return (
+        d.withColumn("__text", text)
+        .select(
+            (F.col("doc_id") + F.lit(i * _COPY_OFFSET)).alias("doc_id"),
+            F.col("__text").alias("text"),
+            "lang",
+            "source",
+            F.length(F.col("__text")).alias("n_chars"),
+        )
     )
 
 
@@ -162,8 +169,15 @@ def synthesize_sf(
         if name.rsplit(".", 1)[0] in REPLICATED:
             continue
         dst = os.path.join(out_dir, name)
-        if not os.path.exists(dst):
-            os.symlink(os.path.join(src_dir, name), dst)
+        # lexists + remove, not an exists guard: after a marker
+        # mismatch this is a REBUILD — a surviving symlink still points
+        # at the PREVIOUS src_dir (silently mixing two fixture
+        # generations), and a broken one (old src deleted) would make
+        # os.symlink raise FileExistsError while os.path.exists says
+        # there is nothing there
+        if os.path.lexists(dst):
+            os.remove(dst)
+        os.symlink(os.path.join(src_dir, name), dst)
 
     with open(marker, "w") as fh:
         fh.write(_marker_line(copies, src_dir) + "\n")

@@ -1592,9 +1592,11 @@ def _sql_spatial_split() -> str:
 WITH pts AS ({_GEO_PTS_SQL}),
 cells AS (SELECT image_id, {_CELL3_SQL} AS cell FROM pts)
 SELECT image_id,
+  -- null coords -> null split (mirrors spatial_split: a bare ELSE
+  -- would silently route geography-less rows into the test set)
   CASE WHEN {u} < 0.75 THEN 'train'
        WHEN {u} < 0.875 THEN 'val'
-       ELSE 'test' END AS split
+       WHEN {u} IS NOT NULL THEN 'test' END AS split
 FROM cells
 """
 

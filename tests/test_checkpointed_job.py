@@ -359,3 +359,53 @@ def test_checkpointed_image_job_payload_integrity(spark, tmp_path):
         )
     )
     assert v.where(~F.col("pixels_ok") | ~F.col("caption_ok")).count() == 0
+
+
+def test_empty_first_batch_makes_progress(spark, tmp_path):
+    """A fresh output dir whose first batch writes ZERO rows (empty
+    input, or every row hashing to later buckets) must still commit
+    its manifests: without an explicit schema the row-count read-back
+    would raise 'Unable to infer schema for Parquet' on the footerless
+    directory and wedge the job on batch 0 forever."""
+
+    def empty_pipeline(s):
+        from osm_legal_default_speeds_spark.operators.spatial import (
+            assign_tiles,
+        )
+        from osm_legal_default_speeds_spark.plans.driver_queries import (
+            _roads_df,
+        )
+
+        roads = _roads_df(s, SF_DIR).select("road_id", "lon", "lat")
+        return assign_tiles(roads, tile_res=6).where(F.lit(False))
+
+    out = str(tmp_path / "empty")
+    res = run_checkpointed(
+        spark,
+        empty_pipeline,
+        out,
+        bucket_expr="tile_id",
+        num_buckets=NUM_BUCKETS,
+        batch_size=3,
+        transform_label="empty",
+        lineage_id_col="road_id",
+    )
+    assert sorted(res["completed"]) == list(range(NUM_BUCKETS))
+    assert res["rows"] == 0
+    manifests = read_manifests(out)
+    assert len(manifests) == NUM_BUCKETS
+    assert all(m["rows"] == 0 for m in manifests)
+
+    # and a resume over the completed-but-empty dir is a clean no-op
+    res2 = run_checkpointed(
+        spark,
+        empty_pipeline,
+        out,
+        bucket_expr="tile_id",
+        num_buckets=NUM_BUCKETS,
+        batch_size=3,
+        transform_label="empty",
+        lineage_id_col="road_id",
+    )
+    assert res2["completed"] == []
+    assert sorted(res2["skipped"]) == list(range(NUM_BUCKETS))

@@ -105,3 +105,40 @@ def test_oversized_source_keys_are_rejected(spark, tmp_path):
     ).write.parquet(str(fake / "orders.parquet"))
     with pytest.raises(ValueError, match="copy offset"):
         synthesize_sf(spark, str(fake), str(tmp_path / "out"), copies=2)
+
+
+def test_rebuild_repoints_symlinks_to_new_src(spark, tmp_path):
+    """A marker-mismatch rebuild must re-create the non-replicated
+    symlinks against the NEW src_dir: a surviving link from the
+    previous generation would silently mix two fixture generations in
+    one synth dir (and a broken link would crash os.symlink with
+    FileExistsError while os.path.exists claims it's absent)."""
+    import shutil
+
+    src_a = tmp_path / "src_a"
+    src_b = tmp_path / "src_b"
+    for d in (src_a, src_b):
+        d.mkdir()
+        for t in ("documents", "embeddings", "orders"):
+            os.symlink(f"{SRC}/{t}.parquet", d / f"{t}.parquet")
+    # distinct non-replicated table per generation
+    spark.createDataFrame([(1, "A")], "r_regionkey long, r_name string") \
+        .write.parquet(str(src_a / "region.parquet"))
+    spark.createDataFrame([(2, "B")], "r_regionkey long, r_name string") \
+        .write.parquet(str(src_b / "region.parquet"))
+
+    out = str(tmp_path / "out")
+    synthesize_sf(spark, str(src_a), out, copies=2)
+    assert spark.read.parquet(f"{out}/region.parquet").collect()[0][1] == "A"
+
+    # same out dir, different src -> marker mismatch -> full rebuild
+    synthesize_sf(spark, str(src_b), out, copies=2)
+    link = os.path.join(out, "region.parquet")
+    assert os.path.islink(link)
+    assert os.readlink(link) == str(src_b / "region.parquet")
+    assert spark.read.parquet(f"{out}/region.parquet").collect()[0][1] == "B"
+
+    # broken link survives a deleted previous src: rebuild still works
+    shutil.rmtree(src_b / "region.parquet")
+    synthesize_sf(spark, str(src_a), out, copies=2)
+    assert spark.read.parquet(f"{out}/region.parquet").collect()[0][1] == "A"

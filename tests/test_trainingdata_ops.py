@@ -2011,6 +2011,46 @@ def test_stratified_sample_null_key_does_not_waste_a_slot(spark):
     assert all(r["k"] is not None for r in out)
 
 
+def test_stratified_sample_null_group_is_a_group(spark):
+    """A NULL group VALUE is a partition like any other (the DuckDB
+    twin's PARTITION BY keeps it): before the eqNullSafe fix the
+    semi-join null-extended and silently dropped every null-group row,
+    returning 0 instead of min(n, group size) for that group."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (None, "c"), ("g", "d"), ("g", "e")],
+        "grp string, k string",
+    )
+    out = stratified_sample(df, "grp", "k", 2).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["k"])
+    assert len(by_grp.get(None, [])) == 2
+    assert len(by_grp.get("g", [])) == 2
+
+
+def test_spatial_split_null_coords_get_null_split(spark):
+    """Rows without geography have no spatial block: the split must be
+    NULL (caller decides), not silently routed to 'test' by a bare
+    otherwise() — which would skew the held-out set. Mirrored in the
+    SQL twin (CASE ... WHEN u IS NOT NULL THEN 'test')."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        spatial_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 50.0), (2, None, 50.0), (3, 10.0, None), (4, None, None)],
+        "id long, lon double, lat double",
+    )
+    out = {r["id"]: r["split"] for r in
+           spatial_split(df, "lon", "lat", res=3).collect()}
+    assert out[1] in ("train", "val", "test")
+    assert out[2] is None and out[3] is None and out[4] is None
+
+
 def test_pack_sequences_accepts_column_name_string(spark):
     """token_count_col as a column-NAME string must behave like
     F.col(name): the window arithmetic previously treated the bare
