@@ -90,7 +90,9 @@ def _run(df) -> int:
     return obs.get["n"]
 
 
-def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict, dict]:
+def bench_queries(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict, dict, dict, list]:
     from osm_legal_default_speeds_spark.operators.inference import infer_speed_limits
     from osm_legal_default_speeds_spark.operators.spatial import (
         assign_tiles,
@@ -252,8 +254,26 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict, dict]:
 
         queries["minhash_near_dup"] = q_minhash_prod
 
-    except Exception:
-        pass
+    except Exception as exc:
+        # lazy-import failure mid-build: keep the core queries runnable,
+        # but NEVER silently — a shrunken headline total would read as a
+        # large speedup in a cross-round comparison
+        print(
+            f"WARNING: graft queries unavailable ({type(exc).__name__}: "
+            f"{exc})",
+            file=sys.stderr,
+        )
+
+    # the headline set is fixed; record any dropped member IN the JSON
+    # (the sole artifact of a bench run) so a shrunken total is visible
+    expected = (
+        "inference_full_rules", "inference_dedup_plan", "inference_native",
+        "spatial_pipeline", "tile_rollup", "flagship_e2e", "exact_dedup",
+        "ann_topk", "text_quality", "image_verify", "minhash_near_dup",
+    )
+    skipped = [n for n in expected if n not in queries]
+    if skipped:
+        print(f"WARNING: headline queries missing: {skipped}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -271,7 +291,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict, dict]:
         # hand-picked quiet window (judge r02 item 2)
         timings[name] = min(samples)
         all_runs[name] = samples
-    return timings, rows, all_runs
+    return timings, rows, all_runs, skipped
 
 
 def scaling_df(spark: SparkSession, sf_dir: str, replicate: int):
@@ -385,73 +405,79 @@ def _ensure_pyfiles_zip() -> str:
     return build_pyfiles_zip(path)
 
 
+def _run_scaling_leg(sf_dir: str, cpus: str, replicate: int) -> dict:
+    """One pinned scaling leg in a clean subprocess JVM. ONE definition
+    shared by the strong- and weak-scaling orchestrators: the hard-won
+    submit-path fixes encoded here must never diverge between them —
+
+    - real `spark-submit --py-files` when available (north rule: the
+      job runs via spark-submit at two cluster sizes); plain python
+      driver as the fallback,
+    - JVM flags (ParallelGC etc.) ride --conf
+      spark.driver.extraJavaOptions: spark-submit launches the JVM
+      before the worker's builder config could apply,
+    - --driver-memory rides the submit line for the same reason (the
+      builder's spark.driver.memory is silently ignored under
+      spark-submit, which left prior scaling runs at the 1g default),
+    - taskset pins the process to exactly N cores: unpinned, the
+      local[8] leg's JVM threads AND its Python workers spread over
+      all 32 physical cores, inflating the "8-core" baseline,
+    - fixed heap for both legs (default 8g: measured 64g is ~2.3x
+      SLOWER at 32 cores; a fixed heap slightly favors the 8-core
+      leg's GC, so reported efficiency is conservative).
+
+    Callers own leg ORDER (wide first — the sandbox re-homes vCPUs an
+    8-core-pinned leg leaves idle, degrading a following 32-wide job
+    ~36% for minutes) and the efficiency arithmetic."""
+    import shutil
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CPUS=cpus,
+        SPARK_GRAFT_REPLICATE=str(replicate),
+        SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    )
+    submit = _find_spark_submit()
+    if submit:
+        zip_path = _ensure_pyfiles_zip()
+        cmd = [
+            submit, "--master", f"local[{cpus}]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", f"spark.driver.extraJavaOptions={JAVA_OPTS}",
+            "--driver-memory", env["SPARK_GRAFT_DRIVER_MEM"],
+            "--py-files", zip_path,
+            os.path.abspath(__file__), "--scaling-worker",
+        ]
+        env["PYSPARK_PYTHON"] = sys.executable
+    else:
+        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker"]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
+    p = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=3600
+    )
+    lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    if p.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scaling worker (local[{cpus}]) failed rc={p.returncode}: "
+            f"{p.stderr.strip()[-2000:]}"
+        )
+    return json.loads(lines[-1])
+
+
 def run_scaling(sf_dir: str) -> None:
     """Run the fixed-size scaling job at local[8] and local[32] in
     clean subprocess JVMs; print one JSON line with throughput at both
     plus scaling efficiency, and write BENCH/BASELINE.md."""
-    import shutil
-    import subprocess
-
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "64"))
     results = {}
-    # 32-core leg FIRST. Measured (steal-time + user-tick accounting in
-    # /proc/stat): after an 8-core-pinned leg idles 24 vCPUs for ~2 min,
-    # the sandbox hypervisor re-homes them and a subsequent 32-wide job
-    # burns ~36% more user ticks for identical work (plus ~6% steal) for
-    # several minutes — 19-23 s instead of 11-14 s — and our own busy
-    # work does not reclaim the cores, only elapsed idle time does. The
-    # reverse order is clean: an 8-core leg after a 32-core leg measures
-    # its fastest samples. So the wide leg always runs first.
+    # 32-core leg FIRST (see _run_scaling_leg: the sandbox re-homes
+    # vCPUs an 8-core-pinned leg leaves idle, degrading a following
+    # 32-wide job ~36% for minutes; the reverse order is clean).
     for cpus in ("32", "8"):
-        env = dict(os.environ)
-        env.update(
-            SPARK_GRAFT_SF_DIR=sf_dir,
-            SPARK_GRAFT_CPUS=cpus,
-            SPARK_GRAFT_REPLICATE=str(replicate),
-            # fixed heap for both runs: measured 64g is ~2.3x SLOWER
-            # than 8g at 32 cores (sparse-heap locality/page-fault
-            # cost), and a fixed heap slightly favors the 8-core run's
-            # GC — i.e. the reported efficiency is conservative
-            SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-        )
-        # Submit each measurement through real `spark-submit --py-files`
-        # (north rule: the job runs via spark-submit at two cluster
-        # sizes); falls back to a plain python driver if unavailable.
-        submit = _find_spark_submit()
-        if submit:
-            zip_path = _ensure_pyfiles_zip()
-            cmd = [
-                submit, "--master", f"local[{cpus}]",
-                "--conf", "spark.ui.enabled=false",
-                # must ride the submit command: spark-submit launches the
-                # JVM before the worker's builder config could apply
-                "--conf", f"spark.driver.extraJavaOptions={JAVA_OPTS}",
-                # also pre-JVM-launch: the builder's spark.driver.memory
-                # is silently ignored under spark-submit (JVM already
-                # up), which left prior scaling runs at the 1g default
-                "--driver-memory", env["SPARK_GRAFT_DRIVER_MEM"],
-                "--py-files", zip_path,
-                os.path.abspath(__file__), "--scaling-worker",
-            ]
-            env["PYSPARK_PYTHON"] = sys.executable
-        else:
-            cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker"]
-        # Pin the process to exactly N cores: without pinning, the
-        # local[8] run's JVM threads AND its 8 Python UDF workers
-        # spread over all 32 physical cores, inflating the "8-core"
-        # baseline and corrupting the N -> 4N comparison.
-        if shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
-        p = subprocess.run(
-            cmd, env=env, capture_output=True, text=True, timeout=3600,
-        )
-        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
-        if p.returncode != 0 or not lines:
-            raise RuntimeError(
-                f"scaling worker (cpus={cpus}) failed rc={p.returncode}: "
-                f"{p.stderr[-2000:]}"
-            )
-        results[cpus] = json.loads(lines[-1])
+        results[cpus] = _run_scaling_leg(sf_dir, cpus, replicate)
 
     t8, t32 = results["8"]["wall_s"], results["32"]["wall_s"]
     c8, c32 = results["8"]["control_wall_s"], results["32"]["control_wall_s"]
@@ -549,16 +575,13 @@ def run_scaling(sf_dir: str) -> None:
 
 def scaling_worker() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+    # SAME default as the run_scaling orchestrator: a standalone
+    # --scaling-worker run must measure the same-size job, or its
+    # output (which now records replicate) reads as a bogus speedup
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "64"))
     spark = make_spark(app="bench-scaling")
     try:
         spark.range(1000).select(F.sum("id")).collect()  # JVM warm-up
-        # Warm the Python worker pool: each of the N cores forks a
-        # pyspark worker that imports pandas/pyarrow on first use
-        # (~3 core-s each — pure one-time startup). On a real cluster
-        # executors and their workers are long-lived, so steady-state
-        # throughput is the honest scaling metric; an unwarmed run
-        # would mostly measure 8-vs-32 interpreter startups.
         # Machine-ceiling control: an embarrassingly parallel, fully
         # codegen'd, no-shuffle, no-Python job (md5 over a range). Its
         # measured strong-scaling efficiency is the best THIS machine
@@ -578,7 +601,14 @@ def scaling_worker() -> None:
             ctrl_wall = min(ctrl_wall, time.perf_counter() - t1)
 
         big = scaling_df(spark, sf_dir, replicate)
-        _run(big)  # settle: plan analysis + codegen + JIT warm on THIS plan
+        # The settle run IS the warm-up: plan analysis + codegen + JIT
+        # on THIS plan, and (for the SPARK_GRAFT_ENGINE=arrow leg) the
+        # Python worker pool fork + pandas/pyarrow imports (~3 core-s
+        # per worker). On a real cluster executors and their workers
+        # are long-lived, so steady-state throughput is the honest
+        # scaling metric; dropping this run would make the timed
+        # minimum measure 8-vs-32 interpreter startups instead.
+        _run(big)
         # min-of-3: the sandbox host shows large run-to-run variance
         # (noisy neighbors / variable turbo); the minimum is the least
         # noise-contaminated estimate of the job's true cost
@@ -589,7 +619,9 @@ def scaling_worker() -> None:
             wall = min(wall, time.perf_counter() - t0)
     finally:
         spark.stop()
-    print(json.dumps({"rows": n, "wall_s": wall, "control_wall_s": ctrl_wall}))
+    print(json.dumps({"rows": n, "wall_s": wall,
+                      "control_wall_s": ctrl_wall,
+                      "replicate": replicate}))
 
 
 # Round-3 operator additions, benched separately (`--extended`) so the
@@ -648,12 +680,19 @@ def bench_named(
 ) -> tuple[dict, dict, dict]:
     from osm_legal_default_speeds_spark.plans.driver_queries import QUERIES
 
+    # strict: a stale name list must fail LOUDLY up front — silently
+    # measuring fewer queries shrinks totals/exponent averages in a way
+    # a round-over-round comparison reads as a speedup
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(
+            f"bench query names not in the registry (stale list after a "
+            f"rename?): {unknown}"
+        )
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     all_runs: dict[str, list[float]] = {}
     for name in names:
-        if name not in QUERIES:
-            continue
         df = QUERIES[name](spark, sf_dir)
         samples: list[float] = []
         for _ in range(3):
@@ -686,6 +725,10 @@ def run_extended(sf_dir: str) -> None:
                 "runs": all_runs,
                 "loadavg_1m": [round(load_before[0], 2), round(load_after[0], 2)],
                 "rows": rows,
+                # non-empty ONLY when a headline query failed to
+                # register — the total is then NOT comparable across
+                # rounds and this field says why
+                "skipped": skipped,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -777,49 +820,13 @@ def run_weak_scaling(sf_dir: str) -> None:
     direct sandbox proxy for "4x executors ingest 4x data in the same
     time" — the 100 TB growth axis — complementing the strong-scaling
     criterion in BASELINE.json."""
-    import shutil
-    import subprocess
-
     base = int(os.environ.get("SPARK_GRAFT_WEAK_REPLICATE", "16"))
     results = {}
     # 32-core leg first — same vCPU re-homing hazard as run_scaling
+    # (leg mechanics live in _run_scaling_leg, shared with the strong
+    # run so the submit-path fixes can never diverge between modes)
     for cpus, rep in (("32", base * 4), ("8", base)):
-        env = dict(os.environ)
-        env.update(
-            SPARK_GRAFT_SF_DIR=sf_dir,
-            SPARK_GRAFT_CPUS=cpus,
-            SPARK_GRAFT_REPLICATE=str(rep),
-            SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-        )
-        submit = _find_spark_submit()
-        if submit:
-            zip_path = _ensure_pyfiles_zip()
-            cmd = [
-                submit, "--master", f"local[{cpus}]",
-                "--conf", "spark.ui.enabled=false",
-                # must ride the submit command: spark-submit launches the
-                # JVM before the worker's builder config could apply
-                "--conf", f"spark.driver.extraJavaOptions={JAVA_OPTS}",
-                # also pre-JVM-launch: the builder's spark.driver.memory
-                # is silently ignored under spark-submit (JVM already
-                # up), which left prior scaling runs at the 1g default
-                "--driver-memory", env["SPARK_GRAFT_DRIVER_MEM"],
-                "--py-files", zip_path,
-                os.path.abspath(__file__), "--scaling-worker",
-            ]
-            env["PYSPARK_PYTHON"] = sys.executable
-        else:
-            cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker"]
-        if shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
-        p = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
-        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
-        if p.returncode != 0 or not lines:
-            raise RuntimeError(
-                f"scaling worker (local[{cpus}]) failed rc={p.returncode}: "
-                f"{p.stderr.strip()[-2000:]}"
-            )
-        results[cpus] = json.loads(lines[-1])
+        results[cpus] = _run_scaling_leg(sf_dir, cpus, rep)
 
     t8, t32 = results["8"]["wall_s"], results["32"]["wall_s"]
     c8, c32 = results["8"]["control_wall_s"], results["32"]["control_wall_s"]
@@ -865,13 +872,20 @@ def main() -> None:
             d = os.path.join(root, name)
             if os.path.isdir(d) and d not in dirs:
                 dirs.append(d)
-        if abs_dir not in dirs or len(dirs) < 2:
+        # validate the TRUNCATED ladder (everything up to and incl.
+        # SF_DIR), not the discovered siblings: pointing SF_DIR at the
+        # smallest scale leaves a 1-element ladder that would burn the
+        # whole bench before the exponent math IndexErrors
+        ladder = (
+            dirs[: dirs.index(abs_dir) + 1] if abs_dir in dirs else []
+        )
+        if len(ladder) < 2:
             raise SystemExit(
                 f"--sf-scaling needs SPARK_GRAFT_SF_DIR to be the largest "
-                f"of the sf0.001/sf0.01/sf0.1 siblings; got {sf_dir} "
-                f"(found: {dirs})"
+                f"of >=2 sf0.001/sf0.01/sf0.1 siblings; got {sf_dir} "
+                f"(usable ladder: {ladder}, found: {dirs})"
             )
-        return run_sf_scaling(dirs[: dirs.index(abs_dir) + 1])
+        return run_sf_scaling(ladder)
     if "--sf-scaling-xl" in sys.argv:
         # one decade past the largest driver-generated fixture: a
         # deterministic salted 10x replication of sf0.1 (see
@@ -950,7 +964,7 @@ def main() -> None:
     try:
         _warm_pool(spark)
         load_before = os.getloadavg()
-        timings, rows, all_runs = bench_queries(spark, sf_dir)
+        timings, rows, all_runs, skipped = bench_queries(spark, sf_dir)
         load_after = os.getloadavg()
     finally:
         spark.stop()
@@ -969,6 +983,10 @@ def main() -> None:
                 "runs": all_runs,
                 "loadavg_1m": [round(load_before[0], 2), round(load_after[0], 2)],
                 "rows": rows,
+                # non-empty ONLY when a headline query failed to
+                # register — the total is then NOT comparable across
+                # rounds and this field says why
+                "skipped": skipped,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

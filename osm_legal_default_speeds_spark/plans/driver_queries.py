@@ -2755,8 +2755,13 @@ _LAST_DRIVER_ROW = {
 
 def _window_reorder(d: dict) -> dict:
     """Staleness-first round-robin over the full registry (see the
-    policy note above). Applied identically to QUERIES and ORACLES so
-    their insertion orders stay aligned."""
+    policy note above). Applied to QUERIES and ORACLES with the same
+    primary key (ledger staleness), but the tie-break is each dict's
+    OWN insertion rank and the two dicts register shared keys in
+    different relative positions — so their final orders are NOT
+    positionally aligned. That is fine: the driver and the contract
+    test look oracles up BY NAME, never by position; nothing may rely
+    on positional pairing across the two dicts."""
     order = {q: i for i, q in enumerate(d)}
     ranked = sorted(d, key=lambda q: (_LAST_DRIVER_ROW.get(q, 0), order[q]))
     return {q: d[q] for q in ranked}
@@ -2916,9 +2921,11 @@ ORACLES.update(
 # oracle is the FULL clipped rebuild of the new corpus
 # (SQL_VECTOR_TILES_CLIPPED verbatim — the same oracle the full-build
 # query answers), so a green row proves the incremental path converges
-# to the full build exactly. Registered after the window reorder:
-# brand-new operators stay pytest-oracled (full-registry contract
-# test) until a future round rotates them into the driver window.
+# to the full build exactly. (Registration POSITION does not control
+# window membership: the staleness-first reorder runs LAST, over the
+# full registry, so new operators with no ledger row rank as
+# maximally stale and rotate straight into the next driver window —
+# tiles_incremental and cascade_incremental got r4 rows this way.)
 # --------------------------------------------------------------------------
 
 def q_tiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
