@@ -116,7 +116,14 @@ def trajectory_legs(
         F.col(lon_col).alias("lon1"),
         F.col(lat_col).alias("lat1"),
     )
-    w = Window.partitionBy("user").orderBy("t1", "id1")
+    # NULLS FIRST is pinned EXPLICITLY: Spark's default for ASC is
+    # nulls-first but DuckDB's (the driver oracle window) is
+    # nulls-last, so a same-(user, ts) tie between a NULL and a
+    # non-NULL event_id would pair legs differently across engines if
+    # either side relied on its default
+    w = Window.partitionBy("user").orderBy(
+        F.col("t1").asc_nulls_first(), F.col("id1").asc_nulls_first()
+    )
     # partition start is detected with a NON-NULLABLE lag marker, not
     # lag(id): a ping whose PREDECESSOR carries a NULL event_id still
     # has valid coordinates and must produce its leg — filtering on

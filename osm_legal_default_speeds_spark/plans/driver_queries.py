@@ -2821,7 +2821,11 @@ _LEGS_SQL = f"""
       -- predecessor still produces a leg (operators/trajectory.py)
       lag(1) OVER w AS has_prev
     FROM pings
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    -- NULLS FIRST explicit on BOTH engines: Spark defaults ASC to
+    -- nulls-first, DuckDB to nulls-last — a (ts, NULL-id) tie would
+    -- otherwise pair legs differently (operators/trajectory.py)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
   ) WHERE has_prev IS NOT NULL
 """
 

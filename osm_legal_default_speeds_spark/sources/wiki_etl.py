@@ -171,23 +171,34 @@ def _parse_month_span(tok: str) -> str | None:
     return None
 
 
+# %ignore-WS parity (speed_grammar.ebnf): the reference LEXES, so
+# whitespace around a span's punctuation tokens is insignificant —
+# 'Mo-Fr, Sa' is the same weekday_list as 'Mo-Fr,Sa' and
+# '08:00 - 10:00' the same time_span as '08:00-10:00'. This port
+# word-splits instead, using remaining spaces as SPAN separators, so
+# punctuation-adjacent whitespace must be collapsed first or a routine
+# wiki edit adding a space after a comma silently changes (or fails)
+# the parse.
+_WS_AROUND_PUNCT_RE = re.compile(r"\s*([\-+,])\s*")
+
+
 def _parse_date_interval(part: str) -> str | None:
     """date_interval: [month_span] [weekday_span] [time_span] [off] —
     at least one of the three spans present, in that order."""
+    part = _WS_AROUND_PUNCT_RE.sub(r"\1", part)
+    part = re.sub(r"\(\s+", "(", part)
+    part = re.sub(r"\s+\)", ")", part)
     words = part.split()
     if not words:
         return None
     out = []
     i = 0
-    if i < len(words) and _parse_month_span(words[i]):
-        out.append(_parse_month_span(words[i]))
-        i += 1
-    if i < len(words) and _parse_weekday_span(words[i]):
-        out.append(_parse_weekday_span(words[i]))
-        i += 1
-    if i < len(words) and _parse_time_span(words[i]):
-        out.append(_parse_time_span(words[i]))
-        i += 1
+    for span_parse in (_parse_month_span, _parse_weekday_span, _parse_time_span):
+        if i < len(words):
+            span = span_parse(words[i])
+            if span is not None:
+                out.append(span)
+                i += 1
     if i < len(words) and words[i] == "off":
         out.append("off")
         i += 1
@@ -367,7 +378,14 @@ class _TableHTMLParser(HTMLParser):
     ordering (parse_utils.py) that the tables[0]/tables[1] layout
     contract indexes into."""
 
-    UNINTERESTING = {"sup", "img", "script", "style"}
+    # Non-void wrappers whose TEXT content must be skipped. img is NOT
+    # here: it is an HTML void element, so html.parser never emits an
+    # end tag for a bare '<img ...>' (modern MediaWiki markup) — depth-
+    # tracking it would leave _skip_depth stuck > 0 after the first
+    # flag icon and silently drop every later cell's text. An <img>
+    # can contain no text, so there is nothing to skip; XHTML '<img/>'
+    # arrives as startendtag and both handlers below no-op on it.
+    UNINTERESTING = {"sup", "script", "style"}
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)

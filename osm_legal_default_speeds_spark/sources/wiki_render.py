@@ -89,20 +89,14 @@ def _split_top_semi(v: str) -> list[str]:
 
 
 def _split_top_pipe(v: str) -> list[str]:
-    """Split a lanes value on '|' outside parentheses."""
-    parts, depth, cur = [], 0, []
-    for ch in v:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "|" and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    parts.append("".join(cur))
-    return parts
+    """Split a lanes value on '|' outside parentheses — the parser's
+    paren-aware splitter (wiki_etl._split_top), NOT a lenient copy:
+    one splitting semantics for the round-trip pair means malformed
+    (unbalanced-paren) stored values fail identically on both sides
+    instead of rendering differently than they re-parse."""
+    from osm_legal_default_speeds_spark.sources.wiki_etl import _split_top
+
+    return _split_top(v, "|")
 
 
 def render_term(term: str) -> str:
@@ -257,26 +251,26 @@ def render_speed_table(
 ) -> str:
     """speedLimitsByCountryCode -> the wiki speed table (table 0)."""
     names = names or code_display_names()
+    # render each rule's cells ONCE: the vehicle-column discovery pass
+    # and the row pass share the rendered dicts (rendering is the
+    # dominant per-rule cost over the 1,206-rule dataset)
+    rendered = [
+        (cc, rule, render_cells(rule.get("tags", {})))
+        for cc in sorted(rules_by_cc)
+        for rule in rules_by_cc[cc]
+    ]
     vehicles = sorted(
-        {
-            col
-            for rules in rules_by_cc.values()
-            for rule in rules
-            for col in render_cells(rule.get("tags", {}))
-            if col != "(default)"
-        }
+        {col for _, _, cells in rendered for col in cells if col != "(default)"}
     )
     cols = ["(default)"] + vehicles
     head = "<tr>" + "".join(
         f"<th>{_html.escape(c)}</th>" for c in ["Country", "Road type"] + cols
     ) + "</tr>"
     rows = [head]
-    for cc in sorted(rules_by_cc):
-        for rule in rules_by_cc[cc]:
-            cells = render_cells(rule.get("tags", {}))
-            tds = [_td(names[cc]), _td(rule.get("name", ""))]
-            tds += [_td(cells.get(c, "")) for c in cols]
-            rows.append("<tr>" + "".join(tds) + "</tr>")
+    for cc, rule, cells in rendered:
+        tds = [_td(names[cc]), _td(rule.get("name", ""))]
+        tds += [_td(cells.get(c, "")) for c in cols]
+        rows.append("<tr>" + "".join(tds) + "</tr>")
     return "<table>" + "\n".join(rows) + "</table>"
 
 

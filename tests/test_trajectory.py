@@ -244,3 +244,51 @@ def test_null_id_predecessor_still_produces_leg(spark):
     assert len(legs) == 2  # NULL-id ping -> 91, then 91 -> 92
     assert {(r["id0"], r["id1"]) for r in legs} == {(None, 91), (91, 92)}
     assert trajectory_stats(pings).collect()[0]["n_legs"] == 2
+
+
+def test_ts_tie_with_null_id_orders_identically_cross_engine(spark):
+    """Window order is pinned NULLS FIRST on both engines: Spark's ASC
+    default is nulls-first but DuckDB's is nulls-last, so a same-user
+    same-ts tie between a NULL and a non-NULL event_id would pair legs
+    differently if either side used its default. The NULL-id ping must
+    sort FIRST (Spark semantics, now explicit in the oracle too)."""
+    import duckdb
+    import pandas as pd
+
+    from osm_legal_default_speeds_spark.operators.trajectory import (
+        trajectory_legs,
+    )
+
+    rows = [
+        ("u1", None, 1_000_000, 10.0, 50.0),
+        ("u1", 5, 1_000_000, 11.0, 50.0),   # ts tie with the NULL id
+        ("u1", 7, 2_000_000, 12.0, 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts long, lon double, lat double"
+    )
+    legs = trajectory_legs(
+        df, user_col="user_id", ts_col="ts", lon_col="lon",
+        lat_col="lat", id_col="event_id",
+    ).select("id0", "id1").collect()
+    got = sorted(
+        ((r["id0"], r["id1"]) for r in legs),
+        key=lambda t: (t[0] is not None, t[0] or 0),
+    )
+    assert got == [(None, 5), (5, 7)]
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "lon", "lat"])
+    con = duckdb.connect()
+    con.register("pings", pdf)
+    oracle = con.execute("""
+        SELECT id0, id1 FROM (
+          SELECT lag(event_id) OVER w AS id0, event_id AS id1,
+                 lag(1) OVER w AS has_prev
+          FROM pings
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+        ) WHERE has_prev IS NOT NULL
+    """).fetchall()
+    assert sorted(oracle, key=lambda t: (t[0] is not None, t[0] or 0)) == [
+        (None, 5), (5, 7),
+    ]

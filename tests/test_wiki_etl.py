@@ -103,6 +103,19 @@ GOLDENS = [
     ("40 (10 m)", {"maxspeed:conditional": "40 @ (length>10)"}),
     ("40 (current 2 t)", {"maxspeed:conditional": "40 @ (weight>2)"}),
     ("40 (2 lt)", {"maxspeed:conditional": "40 @ (weightrating>2 lt)"}),
+    # whitespace around span punctuation is insignificant (Lark
+    # %ignore WS): a wiki edit adding spaces must parse identically
+    ("100 (Mo-Fr, Sa 08:00-10:00)",
+     {"maxspeed:conditional": "100 @ (Mo-Fr,Sa 08:00-10:00)"}),
+    ("100 (Mo-Fr,Sa 08:00-10:00)",
+     {"maxspeed:conditional": "100 @ (Mo-Fr,Sa 08:00-10:00)"}),
+    ("100 (08:00 - 10:00)",
+     {"maxspeed:conditional": "100 @ (08:00-10:00)"}),
+    ("60 (Jan - Feb Mo - Fr off), 80",
+     {"maxspeed:conditional": "60 @ (Jan-Feb Mo-Fr off)",
+      "maxspeed": "80"}),
+    ("30 ((sunset - 01:00)-(sunrise + 01:00))",
+     {"maxspeed:conditional": "30 @ ((sunset-01:00)-(sunrise+01:00))"}),
     # junk
     ("junk", None),
     ("40 mph ((2t)", None),
@@ -378,4 +391,28 @@ def test_parse_tables_survives_nested_table():
     ]
     assert [[c.text() for c in row] for row in second] == [
         ["second top-level"]
+    ]
+
+
+def test_parse_tables_bare_void_img_does_not_swallow_cells():
+    """HTML5 void <img> tags without a self-closing slash (what real
+    MediaWiki emits for flag icons) never get an end-tag callback from
+    html.parser: depth-tracking them left the skip counter stuck > 0
+    and every subsequent cell parsed empty. <sup> text must still be
+    skipped, and XHTML '<img/>' must stay harmless."""
+    html = """
+<table>
+ <tr><th>Country</th><th>Rule</th></tr>
+ <tr><td><img src="flag_de.png">Germany</td><td>100</td></tr>
+ <tr><td><img src="flag_fr.png">France</td><td>80</td></tr>
+ <tr><td><img src="x.png"/>Italy<sup>[1]</sup></td><td>90</td></tr>
+</table>
+"""
+    table = parse_tables(html)[0]
+    got = [["".join(c.chunks).strip() for c in row] for row in table]
+    assert got == [
+        ["Country", "Rule"],
+        ["Germany", "100"],
+        ["France", "80"],
+        ["Italy", "90"],
     ]
