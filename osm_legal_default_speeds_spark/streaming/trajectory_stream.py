@@ -46,17 +46,34 @@ def _pair_fn(key, pdfs, state):
     frames = list(pdfs)
     pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
     ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
-    ids = pdf["event_id"].to_numpy()
+    ids_s = pdf["event_id"]
     lons = pdf["lon"].to_numpy()
     lats = pdf["lat"].to_numpy()
-    # batch-twin order: (ts, id); lexsort's last key is primary
+    # batch-twin order: (ts, id) with NULL ids FIRST on ts ties — the
+    # batch window pins NULLS FIRST explicitly (operators/trajectory),
+    # and a null-id ping (a bigint column with nulls arrives here as
+    # float64 NaN) must pair like any other, not crash int(NaN).
+    # lexsort's LAST key is primary; the not-null flag breaks ts ties
+    # before the id value (exact int64, nulls zeroed out of the key).
     import numpy as np
 
-    order = np.lexsort((ids, ts_us))
+    isna = pd.isna(ids_s).to_numpy()
+    id_key = (
+        pd.to_numeric(ids_s, errors="coerce")
+        .fillna(0)
+        .astype("int64")
+        .to_numpy()
+    )
+    order = np.lexsort((id_key, (~isna).astype("int8"), ts_us))
 
     out = {k: [] for k in ("id0", "t0_us", "lon0", "lat0", "id1", "t1_us", "lon1", "lat1")}
     for i in order.tolist():
-        cur = (int(ids[i]), int(ts_us[i]), float(lons[i]), float(lats[i]))
+        cur = (
+            None if isna[i] else int(id_key[i]),
+            int(ts_us[i]),
+            float(lons[i]),
+            float(lats[i]),
+        )
         if prev is not None:
             out["id0"].append(prev[0])
             out["t0_us"].append(prev[1])
@@ -74,11 +91,13 @@ def _pair_fn(key, pdfs, state):
         yield pd.DataFrame(
             {
                 "user": pd.Series([key[0]] * n, dtype="int64"),
-                "id0": pd.Series(out["id0"], dtype="int64"),
+                # nullable Int64: a None id must stay a SQL NULL, not
+                # coerce to NaN-float or crash an int64 cast
+                "id0": pd.Series(out["id0"], dtype="Int64"),
                 "t0_us": pd.Series(out["t0_us"], dtype="int64"),
                 "lon0": pd.Series(out["lon0"], dtype="float64"),
                 "lat0": pd.Series(out["lat0"], dtype="float64"),
-                "id1": pd.Series(out["id1"], dtype="int64"),
+                "id1": pd.Series(out["id1"], dtype="Int64"),
                 "t1_us": pd.Series(out["t1_us"], dtype="int64"),
                 "lon1": pd.Series(out["lon1"], dtype="float64"),
                 "lat1": pd.Series(out["lat1"], dtype="float64"),

@@ -292,3 +292,71 @@ def test_ts_tie_with_null_id_orders_identically_cross_engine(spark):
     assert sorted(oracle, key=lambda t: (t[0] is not None, t[0] or 0)) == [
         (None, 5), (5, 7),
     ]
+
+
+def test_streaming_null_id_ping_matches_batch(spark, tmp_path):
+    """A NULL event_id ping must flow through the STREAMING kernel too
+    (a bigint column with nulls reaches the pandas kernel as float64
+    NaN — the old int() cast crashed the task) and sort NULLS FIRST on
+    a ts tie, exactly like the batch window's pinned order."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from osm_legal_default_speeds_spark.streaming.trajectory_stream import (
+        streaming_speeding_legs,
+    )
+
+    bounds = [RectBoundary("AA", 0.0, 0.0, 10.0, 10.0, priority=1)]
+    limits = {"AA": 80}
+    schema = "event_id long, user_id long, ts timestamp_ntz, lon double, lat double"
+    batch_a = [
+        (None, 1, _ts("2024-01-01T00:00:00"), 2.0, 1.0),   # null id...
+        (2, 1, _ts("2024-01-01T00:00:00"), 2.0, 1.2),      # ...ts TIE
+    ]
+    batch_b = [
+        (3, 1, _ts("2024-01-01T01:00:00"), 2.0, 2.5),      # fast leg
+    ]
+    all_pings = spark.createDataFrame(batch_a + batch_b, schema)
+    key = lambda t: tuple((v is not None, v or 0) for v in t)  # noqa: E731
+    expected = sorted(
+        (
+            (r.user, r.id0, r.id1, r.region_code, r.limit_kmh, r.speed_kmh_floor)
+            for r in speeding_legs(all_pings, bounds, limits).collect()
+        ),
+        key=key,
+    )
+    # the null-id ping sorts FIRST on the tie, so the legs are
+    # (None -> 2) [zero-duration: speed NULL, filtered from verdicts]
+    # and (2 -> 3) [the speeding one]. Nulls-LAST ordering would
+    # instead pair (2 -> None), (None -> 3) and the verdict would read
+    # (None, 3) — so the exact (2, 3) id pair pins the order.
+    assert [(a, b) for (_, a, b, *_r) in expected] == [(2, 3)]
+
+    src = str(tmp_path / "pings")
+    os.makedirs(src)
+    for i, data in enumerate([batch_a, batch_b]):
+        (
+            spark.createDataFrame(data, schema)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(f"{src}_stage{i}")
+        )
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(f"{src}_stage*/part-*.parquet"))):
+        dst = f"{src}/f{i}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (now - 600 + i * 60, now - 600 + i * 60))
+
+    got_df = streaming_speeding_legs(
+        spark, src, str(tmp_path / "ckpt"), bounds, limits,
+        sink_table="t_stream_nullid", max_files_per_trigger=1,
+    )
+    got = sorted(
+        (
+            (r.user, r.id0, r.id1, r.region_code, r.limit_kmh, r.speed_kmh_floor)
+            for r in got_df.collect()
+        ),
+        key=key,
+    )
+    assert got == expected
