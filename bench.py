@@ -725,10 +725,11 @@ def run_extended(sf_dir: str) -> None:
                 "runs": all_runs,
                 "loadavg_1m": [round(load_before[0], 2), round(load_after[0], 2)],
                 "rows": rows,
-                # non-empty ONLY when a headline query failed to
-                # register — the total is then NOT comparable across
-                # rounds and this field says why
-                "skipped": skipped,
+                # always empty here: bench_named refuses to run at all
+                # when a name is missing from the registry (SystemExit),
+                # so a printed extended total ran every listed query;
+                # the field mirrors default mode's schema
+                "skipped": [],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,0 +1,92 @@
+"""JSON-emit guards for bench.py's reporting paths.
+
+The bench harness is the driver's only per-round artifact, and its
+modes are normally exercised by hand — a NameError in the final
+json.dumps block (as shipped once in --extended: it referenced
+default mode's ``skipped`` local) burns a full multi-minute run and
+leaves the round with no extended record. These tests stub out Spark
+and the query loops and drive each mode's reporting code to the
+printed JSON line, so a broken emit block fails in milliseconds
+instead of after the measurement.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+_BENCH_PATH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+
+
+@pytest.fixture()
+def bench_mod():
+    spec = importlib.util.spec_from_file_location("bench_under_test", _BENCH_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _FakeSpark:
+    def stop(self):
+        pass
+
+
+def _last_json_line(capsys):
+    out = [
+        line
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert out, "mode printed no JSON line"
+    return json.loads(out[-1])
+
+
+def test_extended_mode_emits_one_json_line(bench_mod, monkeypatch, capsys):
+    monkeypatch.setattr(bench_mod, "make_spark", lambda *a, **k: _FakeSpark())
+    monkeypatch.setattr(bench_mod, "_warm_pool", lambda s: None)
+    monkeypatch.setattr(
+        bench_mod,
+        "bench_named",
+        lambda spark, sf_dir, names: (
+            {"q": 0.1},
+            {"q": 42},
+            {"q": [0.3, 0.2, 0.1]},
+        ),
+    )
+    bench_mod.run_extended("/root/testdata/sf0.1")
+    d = _last_json_line(capsys)
+    assert d["queries"] == {"q": 0.1}
+    assert d["runs"] == {"q": [0.3, 0.2, 0.1]}
+    assert d["rows"] == {"q": 42}
+    # bench_named fails loudly on unknown names, so a printed extended
+    # total always ran every listed query
+    assert d["skipped"] == []
+    assert d["value"] == 0.1
+    assert d["sf"] == 0.1
+
+
+def test_default_mode_emits_one_json_line(bench_mod, monkeypatch, capsys):
+    monkeypatch.setattr(bench_mod, "make_spark", lambda *a, **k: _FakeSpark())
+    monkeypatch.setattr(bench_mod, "_warm_pool", lambda s: None)
+    monkeypatch.setattr(
+        bench_mod,
+        "bench_queries",
+        lambda spark, sf_dir: (
+            {"q": 0.5},
+            {"q": 7},
+            {"q": [0.7, 0.6, 0.5]},
+            ["missing_query"],
+        ),
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench_mod.main()
+    d = _last_json_line(capsys)
+    assert d["value"] == 0.5
+    # a shrunken headline set must be visible in the artifact itself
+    assert d["skipped"] == ["missing_query"]
+    assert d["sf"] == 0.1
