@@ -69,6 +69,58 @@ def test_extended_mode_emits_one_json_line(bench_mod, monkeypatch, capsys):
     assert d["sf"] == 0.1
 
 
+def test_scaling_mode_preserves_curated_tail(
+    bench_mod, monkeypatch, capsys, tmp_path
+):
+    """--scaling rewrites everything ABOVE the curated-sections marker
+    in BENCH/BASELINE.md and must carry the marker + tail through
+    verbatim — losing the tail would destroy the measurement history
+    that every round's prose analysis lives in."""
+    legs = {
+        "32": {"wall_s": 10.0, "control_wall_s": 4.0, "rows": 1000},
+        "8": {"wall_s": 30.0, "control_wall_s": 12.0, "rows": 1000},
+    }
+    monkeypatch.setattr(
+        bench_mod,
+        "_run_scaling_leg",
+        lambda sf_dir, cpus, replicate: legs[cpus],
+    )
+    monkeypatch.chdir(tmp_path)
+    marker = "<!-- curated sections below survive --scaling reruns -->"
+    curated = marker + "\n\n### History\n\nhand-written analysis\n"
+    (tmp_path / "BENCH").mkdir()
+    (tmp_path / "BENCH" / "BASELINE.md").write_text(
+        "# old auto block\n\nstale table\n\n" + curated
+    )
+    bench_mod.run_scaling("/root/testdata/sf0.1")
+    d = _last_json_line(capsys)
+    # raw eff = (thr32/thr8)/4 = (30/10)/4
+    assert d["value"] == 0.75
+    assert d["machine_ceiling_efficiency"] == 0.75
+    assert d["normalized_efficiency"] == 1.0
+    out = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "stale table" not in out
+    assert out.count(marker) == 1
+    assert out.endswith(curated)
+    assert "| local[32], pinned to 32 cores | 1000 | 10.00 |" in out
+
+
+def test_weak_scaling_mode_emits_one_json_line(bench_mod, monkeypatch, capsys):
+    legs = {
+        "32": {"wall_s": 12.0, "control_wall_s": 4.0, "rows": 4000},
+        "8": {"wall_s": 10.0, "control_wall_s": 12.0, "rows": 1000},
+    }
+    monkeypatch.setattr(
+        bench_mod,
+        "_run_scaling_leg",
+        lambda sf_dir, cpus, replicate: legs[cpus],
+    )
+    bench_mod.run_weak_scaling("/root/testdata/sf0.1")
+    d = _last_json_line(capsys)
+    assert d["value"] == round(10.0 / 12.0, 3)
+    assert d["rows"] == {"local8": 1000, "local32": 4000}
+
+
 def test_default_mode_emits_one_json_line(bench_mod, monkeypatch, capsys):
     monkeypatch.setattr(bench_mod, "make_spark", lambda *a, **k: _FakeSpark())
     monkeypatch.setattr(bench_mod, "_warm_pool", lambda s: None)
