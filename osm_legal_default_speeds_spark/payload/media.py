@@ -240,6 +240,11 @@ def sample_frames(video: DataFrame, every: int = 2) -> DataFrame:
     clip buffer is sliced per frame (only sampled frames are touched)
     and each sampled frame is wrapped in the image codec's raw
     container."""
+    if every < 1:
+        # fail on the driver at plan time: inside the kernel this is a
+        # cryptic range() error (0) or a silent empty output (negative)
+        # per executor task
+        raise ValueError(f"every must be >= 1, got {every}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -75,6 +75,15 @@ def test_frame_sampling_decodes_to_reference(video):
             assert r["caption"] == meta[vid]["caption"]
 
 
+def test_frame_sampling_rejects_nonpositive_stride(video):
+    """every < 1 fails on the driver at plan time — inside the kernel
+    every=0 is a cryptic range() error and a negative stride silently
+    emits nothing, both per executor task."""
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="every must be >= 1"):
+            sample_frames(video, every=bad)
+
+
 def test_sampled_frames_compose_with_image_operators(video):
     frames = sample_frames(video, every=3).withColumnRenamed(
         "video_id", "image_id"
