@@ -79,6 +79,15 @@ def asof_join(
     dropped up front — under Spark's NULLS-FIRST window sort they
     would otherwise rank as "earliest prior" and match EVERY left
     row), and NULL-``left_ts`` rows come back with NULL asof columns.
+
+    NULL keys follow the same rule: ASOF's equality prefix
+    (``l.k = r.k``) never matches a NULL, so NULL-key right rows are
+    dropped up front too — the window formulation would otherwise
+    group them WITH NULL-key left rows (partitionBy, unlike a join
+    condition, puts all NULLs in one partition) and hand those left
+    rows a phantom match the declared DuckDB semantics (and any plain
+    Spark join) would never produce. NULL-key left rows still pass
+    through with NULL asof columns — LEFT semantics.
     """
     keys = _as_list(on)
     payload = payload or []
@@ -103,8 +112,11 @@ def asof_join(
     packed = F.max(
         F.struct(F.col(tie_break), *[F.col(c) for c in payload])
     ).alias("__p")
+    right_keep = F.col(right_ts).isNotNull()
+    for k in keys:
+        right_keep = right_keep & F.col(k).isNotNull()
     r = (
-        right.where(F.col(right_ts).isNotNull())
+        right.where(right_keep)
         .groupBy(*keys, F.col(right_ts).alias("__ts"))
         .agg(packed)
         .withColumn("__side", F.lit(0))

@@ -298,6 +298,21 @@ def test_asof_null_ts_never_matches(spark):
     assert got[2] == (None, None)  # NULL left ts matches nothing
 
 
+def test_asof_null_key_never_matches(spark):
+    # ASOF's equality prefix (l.k = r.k) never matches a NULL, but the
+    # window formulation's partitionBy puts all NULL keys in ONE
+    # partition — without the up-front right-side filter a NULL-key
+    # left row would be handed a phantom NULL-key right match no plain
+    # join (or the DuckDB oracle) would produce.
+    got = _asof(
+        spark,
+        [(1, None, 100), (2, 10, 100)],
+        [(None, 20, 1, "ghost"), (10, 30, 2, "real")],
+    )
+    assert got[1] == (None, None)  # NULL-key left: LEFT nulls
+    assert got[2] == (30, "real")  # non-null keys unaffected
+
+
 def test_asof_rejects_internal_column_collision(spark):
     left = spark.createDataFrame(
         [(1, 10, 100, "x")], "lid long, k long, ts_us long, __ts string"
