@@ -121,6 +121,28 @@ def test_weak_scaling_mode_emits_one_json_line(bench_mod, monkeypatch, capsys):
     assert d["rows"] == {"local8": 1000, "local32": 4000}
 
 
+def test_sf_scaling_mode_emits_known_exponents(bench_mod, monkeypatch, capsys):
+    """The ladder mode is the longest-running bench mode; its
+    reporting is pure math over bench_named results — pin it with a
+    known answer (10x rows, 10x wall -> exponent exactly 1.0)."""
+    walls = {"0.01": 0.2, "0.1": 2.0}
+
+    def fake_bench_named(spark, sf_dir, names):
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        return {q: walls[sf] for q in names}, {q: 1 for q in names}, {}
+
+    monkeypatch.setattr(bench_mod, "make_spark", lambda *a, **k: _FakeSpark())
+    monkeypatch.setattr(bench_mod, "_warm_pool", lambda s: None)
+    monkeypatch.setattr(bench_mod, "bench_named", fake_bench_named)
+    bench_mod.run_sf_scaling(
+        ["/root/testdata/sf0.1", "/root/testdata/sf0.01"], queries=("q1", "q2")
+    )
+    d = _last_json_line(capsys)
+    assert d["exponents"] == {"q1": 1.0, "q2": 1.0}
+    assert d["value"] == 1.0
+    assert d["unit"] == "exponent"
+
+
 def test_default_mode_emits_one_json_line(bench_mod, monkeypatch, capsys):
     monkeypatch.setattr(bench_mod, "make_spark", lambda *a, **k: _FakeSpark())
     monkeypatch.setattr(bench_mod, "_warm_pool", lambda s: None)
