@@ -233,6 +233,13 @@ def pack_sequences(
     sort order — no global sort, no driver state). Returns the input
     plus (shard, seq_no).
     """
+    if max_tokens <= 0:
+        # floor(start / 0) is NULL under non-ANSI Spark: every row
+        # would get a silent NULL seq_no (same failure class as
+        # windowed_range_join's window_us guard)
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
     # normalize a column-NAME string to a Column up front: F.sum would
     # tolerate the name, but the `cum - token_count_col` arithmetic
     # below would treat it as a string LITERAL (NumberFormatException

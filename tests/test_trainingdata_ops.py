@@ -813,6 +813,21 @@ def test_sampling_deterministic_and_stratified(spark):
     assert mix.count() == docs.where(F.col("source") == "src0").count()
 
 
+def test_pack_sequences_rejects_nonpositive_params(spark):
+    """max_tokens <= 0 would make floor(start/0) a silent NULL seq_no
+    on every row under non-ANSI Spark (windowed_range_join's window_us
+    failure class); both knobs fail loudly at plan time instead."""
+    from osm_legal_default_speeds_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame([("a", 3)], "doc_id string, n_tok int")
+    with pytest.raises(ValueError, match="max_tokens must be positive"):
+        pack_sequences(docs, "doc_id", "n_tok", max_tokens=0)
+    with pytest.raises(ValueError, match="n_shards must be positive"):
+        pack_sequences(docs, "doc_id", "n_tok", max_tokens=8, n_shards=0)
+
+
 def test_pack_sequences_invariants(spark):
     """Packing: partition-invariant assignment; sequences never exceed
     max_tokens plus their largest document; shard token totals are
