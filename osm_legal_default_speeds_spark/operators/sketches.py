@@ -114,6 +114,12 @@ def kmv_distinct(
     use ``partial='column'`` for such keys. (NaN alone is fine: Spark
     groupBy normalizes NaN to a single value too.)
     """
+    if k < 2:
+        # the estimator divides (k-1) by the kth smallest hash: k=0
+        # would index ks[0] (a runtime INVALID_ARRAY_INDEX — SQL
+        # arrays are 1-based) and k=1 estimates 0 for every saturated
+        # group; the KMV error bound (~1/sqrt(k-2)) wants k >> 2 anyway
+        raise ValueError(f"kmv_distinct needs k >= 2, got {k}")
     groups = list(group_cols or [])
     u = unit_hash(F.col(col)).alias("__u")
     part = F.spark_partition_id().alias("__pid")
@@ -220,6 +226,12 @@ def group_quantiles_disc(
     identically."""
     from pyspark.sql import Window
 
+    bad = [p for p in ps if not 0.0 < p <= 1.0]
+    if bad:
+        # p > 1 makes ceil(p*n) unreachable -> a silent NULL quantile
+        # on every group; p <= 0 is not a type-1 quantile (ceil(0)=0
+        # degenerates to the minimum regardless of p)
+        raise ValueError(f"quantile probabilities must be in (0, 1]: {bad}")
     hist = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(group_col, value_col)
@@ -305,6 +317,18 @@ def bucket_hash(col: Column, j: int, width: int) -> Column:
     return h % F.lit(int(width))
 
 
+def _check_cms_params(depth: int, width: int) -> None:
+    # width=0 makes every bucket `h % 0` — a silent NULL under
+    # non-ANSI Spark, so the whole sketch collapses into one NULL
+    # bucket per row; depth=0 explodes an empty array and silently
+    # drops every input/probe row
+    if depth < 1 or width < 1:
+        raise ValueError(
+            f"count-min sketch needs depth >= 1 and width >= 1, got "
+            f"depth={depth}, width={width}"
+        )
+
+
 def _jb_structs(col: str, depth: int, width: int) -> Column:
     return F.array(
         *[
@@ -323,6 +347,7 @@ def cms_sketch(
     """Build the sketch: one pass, each value lands in one bucket per
     depth row. Returns (j int, bucket long, c long) — at most
     depth x width rows (absent buckets are zero)."""
+    _check_cms_params(depth, width)
     jb = F.explode(_jb_structs(col, depth, width)).alias("jb")
     return (
         df.select(jb)
@@ -341,6 +366,7 @@ def cms_lookup(
     """Point-estimate the count of each probe value: min over the
     depth rows, with absent buckets counting 0. The sketch side is
     broadcast (it is <= depth x width rows by construction)."""
+    _check_cms_params(depth, width)
     pj = probes.select(
         F.col(col), F.explode(_jb_structs(col, depth, width)).alias("jb")
     ).select(col, F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))

@@ -144,6 +144,27 @@ def test_cms_absent_value_estimates_zero_or_collision(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_sketch_params_fail_at_plan_time(spark):
+    """The silent-NULL parameter class: cms width=0 makes every bucket
+    h % 0 (NULL under non-ANSI Spark), kmv k<2 indexes ks[0] (1-based
+    SQL arrays) at runtime, and a quantile p>1 makes ceil(p*n)
+    unreachable — all now rejected on the driver."""
+    from osm_legal_default_speeds_spark.operators.sketches import (
+        group_quantiles_disc,
+        kmv_distinct,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "v string, g int")
+    with pytest.raises(ValueError, match="depth >= 1 and width >= 1"):
+        cms_sketch(df, "v", depth=4, width=0)
+    with pytest.raises(ValueError, match="depth >= 1 and width >= 1"):
+        cms_lookup(df, df, "v", depth=0, width=16)
+    with pytest.raises(ValueError, match="k >= 2"):
+        kmv_distinct(df, "v", k=1)
+    with pytest.raises(ValueError, match=r"in \(0, 1\]"):
+        group_quantiles_disc(df, "g", "v", ps=[0.5, 1.5])
+
+
 def test_zorder_known_vectors(spark):
     from osm_legal_default_speeds_spark.operators.spatial import zorder_key
 
