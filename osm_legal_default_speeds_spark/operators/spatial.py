@@ -1109,6 +1109,15 @@ def tile_rollup(
             "cannot split a hot key across reducers; use a row-local "
             "column (e.g. the row id) or the default spark_partition_id()"
         )
+    if salt_on is not None and salt_buckets < 1:
+        # pmod(x, 0) is NULL under non-ANSI Spark: every row would
+        # share one (tile, NULL) salt group — results stay correct but
+        # the hot-key protection is silently OFF, the failure mode
+        # this operator exists to prevent
+        raise ValueError(
+            f"salt_buckets must be >= 1 when salt_on is set, got "
+            f"{salt_buckets}"
+        )
     if salt_on is not None:
         salt = F.pmod(F.crc32(F.col(salt_on).cast("string")), F.lit(salt_buckets))
     else:

@@ -588,6 +588,10 @@ def test_tile_rollup_salt_rejects_group_key(spark):
     df = spark.range(10).select(F.col("id").alias("tile_id"))
     with pytest.raises(ValueError, match="group key"):
         tile_rollup(df, salt_on="tile_id")
+    # salt_buckets=0 would make pmod(x, 0) NULL — one (tile, NULL)
+    # salt group, i.e. the hot-key protection silently OFF
+    with pytest.raises(ValueError, match="salt_buckets must be >= 1"):
+        tile_rollup(df, salt_on="other_col", salt_buckets=0)
 
 
 def test_tile_rollup_salt_splits_hot_key(spark):
