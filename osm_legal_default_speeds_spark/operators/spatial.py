@@ -51,11 +51,21 @@ from pyspark.sql import Column, DataFrame, functions as F
 # Grid index (native integer algebra — codegen'd, SQL-portable)
 # --------------------------------------------------------------------------
 
+def _check_grid_res(res: int) -> None:
+    # res=-1 would already die on Python's negative shift, but beyond
+    # ~30 the packed cell id (x * ny + y, up to 2^(2*res+1)) silently
+    # overflows int64 Column arithmetic — wrong cells, no error
+    if not 0 <= res <= 30:
+        raise ValueError(f"grid res must be in [0, 30], got {res}")
+
+
 def grid_nx(res: int) -> int:
+    _check_grid_res(res)
     return 1 << (res + 1)
 
 
 def grid_ny(res: int) -> int:
+    _check_grid_res(res)
     return 1 << res
 
 

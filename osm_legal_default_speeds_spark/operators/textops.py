@@ -120,6 +120,10 @@ def rolling_hash_from_hashes(
     """Polynomial rolling hash over token hashes — an order-sensitive
     counterpart to ``fingerprint`` (distinguishes permutations). Native
     left-to-right fold. ``wh`` must be ``word_hashes(t, hex_chars=8)``."""
+    if mod < 2:
+        # x % 0 is NULL under non-ANSI Spark (every fingerprint silently
+        # NULL); mod=1 hashes everything to 0
+        raise ValueError(f"rolling-hash mod must be >= 2, got {mod}")
     return F.aggregate(
         wh, F.lit(0).cast("long"), lambda acc, h: (acc * base + h) % mod
     )

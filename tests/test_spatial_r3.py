@@ -352,6 +352,38 @@ def test_tile_smooth_rejects_tiny_grid(spark):
         tile_smooth(df, "lon", "lat", 1)
 
 
+def test_grid_res_bounds_fail_at_plan_time():
+    """res > 30 silently overflows the int64 packed cell id
+    (x * ny + y grows as 2^(2*res+1)); res < 0 used to die on Python's
+    negative-shift error — both now get the named-parameter guard."""
+    from osm_legal_default_speeds_spark.operators.spatial import (
+        grid_nx,
+        grid_ny,
+    )
+
+    for bad in (-1, 31):
+        with pytest.raises(ValueError, match=r"\[0, 30\]"):
+            grid_nx(bad)
+        with pytest.raises(ValueError, match=r"\[0, 30\]"):
+            grid_ny(bad)
+
+
+def test_rolling_hash_rejects_degenerate_mod():
+    """mod=0 makes every fingerprint a silent NULL (x % 0 under
+    non-ANSI Spark); mod=1 hashes everything to 0."""
+    from pyspark.sql import functions as F
+
+    from osm_legal_default_speeds_spark.operators.textops import (
+        rolling_hash_from_hashes,
+        word_hashes,
+    )
+
+    wh = word_hashes(F.split(F.lit("a b"), " "), hex_chars=8)
+    for bad in (0, 1):
+        with pytest.raises(ValueError, match="mod must be >= 2"):
+            rolling_hash_from_hashes(wh, mod=bad)
+
+
 # --------------------------------------------------------------------------
 # polygon_overlay
 # --------------------------------------------------------------------------
