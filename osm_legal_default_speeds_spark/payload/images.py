@@ -394,6 +394,13 @@ def image_features(images: DataFrame) -> DataFrame:
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize; re-encodes with the row's own fmt.
     Returns the full image schema with updated bytes/w/h."""
+    if out_w < 1 or out_h < 1:
+        # numpy's empty-arange makes a <= 0 target a silent ZERO-pixel
+        # image per executor row (empty // 0 raises nothing on an
+        # empty array); fail on the driver instead
+        raise ValueError(
+            f"resize target must be >= 1x1, got {out_w}x{out_h}"
+        )
 
     def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -701,6 +708,14 @@ def sample_patches(
     ANN over patches instead of whole images, plus the integer-exact
     ``lum_total`` decode pin (sum of the crop's channel values — an
     oracle regenerating reference pixels reproduces it exactly)."""
+    if grid < 1 or pw < 1 or ph < 1:
+        # grid=0 silently emits ZERO patches per image (an empty
+        # lattice, indistinguishable from an empty corpus downstream);
+        # non-positive crop dims emit zero-pixel patches
+        raise ValueError(
+            f"need grid >= 1 and patch dims >= 1x1, got grid={grid}, "
+            f"{pw}x{ph}"
+        )
 
     def patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -113,6 +113,23 @@ def test_image_features(images):
         assert r["edge_energy"] > 0.0
 
 
+def test_resize_and_patch_params_fail_at_plan_time(images):
+    """A <= 0 resize target silently emits zero-pixel images per
+    executor row (numpy's empty arange never raises), and grid=0
+    silently emits zero patches per image — both now fail on the
+    driver."""
+    from osm_legal_default_speeds_spark.payload.images import sample_patches
+
+    with pytest.raises(ValueError, match=">= 1x1"):
+        resize_images(images, 0, 12)
+    with pytest.raises(ValueError, match=">= 1x1"):
+        resize_images(images, 16, -1)
+    with pytest.raises(ValueError, match="grid >= 1"):
+        sample_patches(images, grid=0)
+    with pytest.raises(ValueError, match="grid >= 1"):
+        sample_patches(images, grid=2, pw=0)
+
+
 def test_resize(images):
     small = resize_images(images, 16, 12)
     v = decode_and_verify(small)  # captions still intact
